@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Group E — aggregations (SURVEY.md §2.4 E).
+  *
+  * The reference delegates all aggregation to external SQL engines
+  * (reference `ReadMe.md:85-94`); here they are native Catalyst
+  * `HashAggregateExec` plans. All aggregates run partial (map-side) then
+  * final after a shuffle on the grouping keys — the shape that scales
+  * linearly with input at 100 TB because only partial states shuffle.
+  */
+object GroupE {
+
+  /** TPC-H Q1 shape: scan→filter→hash-agg→sort. The filter and the 7-column
+    * projection both push into the parquet scan (verified via explain:
+    * PushedFilters + ReadSchema).
+    */
+  val e1 = Q(
+    "e1_groupby_sum_avg",
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** count(distinct) — Catalyst expands to a two-phase aggregate; at scale the
+    * distinct keys shuffle once (Expand + partial agg), never collect().
+    */
+  val e2 = Q(
+    "e2_count_distinct",
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  /** ROLLUP over nation→region hierarchy (customer ⋈ nation ⋈ region).
+    * Dims are tiny (25 / 5 rows) → broadcast joins, no shuffle for the join.
+    */
+  val e3 = Q(
+    "e3_rollup",
+    """SELECT n_name, r_name,
+      |  round(sum(c_acctbal), 2) AS total_bal,
+      |  count(*) AS n_cust
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY n_name NULLS FIRST, r_name NULLS FIRST""".stripMargin) { (s, d) =>
+    // Spark 4's DetectAmbiguousSelfJoin misfires on rollup-over-join (the
+    // Expand duplicates child attributes); the plan is genuinely unambiguous
+    // (customer/nation/region are distinct relations), so disable the lint.
+    s.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name", "c_acctbal")
+      // toDF mints fresh attribute ids: Spark 4's ambiguous-self-join check
+      // otherwise rejects rollup's Expand duplicating join-child attributes.
+      .toDF("r_name", "n_name", "c_acctbal")
+      .rollup("r_name", "n_name")
+      .agg(round(sum("c_acctbal"), 2).as("total_bal"), count(lit(1)).as("n_cust"))
+      .select("n_name", "r_name", "total_bal", "n_cust")
+      .orderBy(col("n_name").asc_nulls_first, col("r_name").asc_nulls_first)
+  }
+
+  /** CUBE on two low-cardinality order attributes. */
+  val e4 = Q(
+    "e4_cube",
+    """SELECT o_orderstatus, o_orderpriority,
+      |  count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** GROUP BY … HAVING — the HAVING predicate runs post-aggregate (cheap)
+    * while the aggregate itself stays partial+final.
+    */
+  val e5 = Q(
+    "e5_having",
+    """SELECT o_custkey, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS spend
+      |FROM orders
+      |GROUP BY o_custkey
+      |HAVING count(*) >= 8
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("spend"))
+      .filter(col("n_orders") >= 8)
+      .orderBy("o_custkey")
+  }
+
+  val all: Seq[Q] = Seq(e1, e2, e3, e4, e5)
+}

@@ -1,0 +1,6 @@
+package graft.queries
+
+/** Single place that collects every declared query (SURVEY.md §2.4). */
+object Registry {
+  def all: Seq[Q] = GroupE.all
+}
