@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Group F — window functions, sort/top-k, set ops (SURVEY.md §2.4 F).
+  *
+  * Scale notes: window partitions are keyed on high-cardinality columns
+  * (custkey/user_id) so state per key stays tiny; global top-k compiles to
+  * `TakeOrderedAndProject` (per-partition heap + driver merge of k rows),
+  * never a full global sort.
+  */
+object GroupF {
+
+  /** Top-3 orders per priority class via row_number over a totally-ordered
+    * window (price desc, key asc — deterministic under ties).
+    */
+  val f1 = Q(
+    "f1_row_number_topk_per_group",
+    """SELECT o_orderpriority, rn, o_orderkey, round(o_totalprice, 2) AS price
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_orderpriority, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  /** lag/lead over per-user event streams (ordered by ts with event_id
+    * tiebreak).
+    */
+  val f2 = Q(
+    "f2_lag_lead",
+    """SELECT user_id, event_id,
+      |  round(value, 2) AS value,
+      |  round(lag(value) OVER w, 2) AS prev_value,
+      |  lead(event_type) OVER w AS next_type
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(
+        col("user_id"), col("event_id"),
+        round(col("value"), 2).as("value"),
+        round(lag(col("value"), 1).over(w), 2).as("prev_value"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Running sum with an explicit ROWS frame. Both engines accumulate in
+    * identical frame order so the rounded doubles agree bit-for-bit.
+    */
+  val f3 = Q(
+    "f3_running_sum_frame",
+    """SELECT o_custkey, o_orderkey,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Global top-k: ORDER BY … LIMIT compiles to TakeOrderedAndProject —
+    * no global sort of the full table at any scale.
+    */
+  val f4 = Q(
+    "f4_order_limit",
+    """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 2).as("price"))
+  }
+
+  /** UNION ALL of two tagged branches. */
+  val f5 = Q(
+    "f5_union_all",
+    """SELECT 'big' AS src, o_orderkey, round(o_totalprice, 2) AS price
+      |FROM orders WHERE o_totalprice > 400000
+      |UNION ALL
+      |SELECT 'urgent' AS src, o_orderkey, round(o_totalprice, 2) AS price
+      |FROM orders WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY src, o_orderkey""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val big = o.filter(col("o_totalprice") > 400000)
+      .select(lit("big").as("src"), col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(lit("urgent").as("src"), col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+    big.unionByName(urgent).orderBy("src", "o_orderkey")
+  }
+
+  /** INTERSECT (set semantics, dedup built in). */
+  val f6 = Q(
+    "f6_intersect",
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |INTERSECT
+      |SELECT o_custkey AS c_custkey FROM orders
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val building = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val withOrders = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+    building.intersect(withOrders).orderBy("c_custkey")
+  }
+
+  /** EXCEPT (set difference). */
+  val f7 = Q(
+    "f7_except",
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |EXCEPT
+      |SELECT o_custkey AS c_custkey FROM orders
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val building = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val withOrders = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+    building.except(withOrders).orderBy("c_custkey")
+  }
+
+  val all: Seq[Q] = Seq(f1, f2, f3, f4, f5, f6, f7)
+}
