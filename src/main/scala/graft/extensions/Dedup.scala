@@ -1,0 +1,116 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard. (The reference's only dedup is
+  * the latent `drop_duplicates` at `data_processing.py:342-345`; these are
+  * the north-star extensions.)
+  *
+  * 100 TB posture:
+  *   - exact dedup = hash-groupBy: one shuffle on the 128-bit fingerprint,
+  *     perfectly balanced (hash keys are uniform).
+  *   - MinHash+LSH: signatures are computed scan-side (codegen, no shuffle);
+  *     only (band, bucket-hash) pairs shuffle — 4 rows of a few bytes per
+  *     document instead of all O(n²) comparisons; the bucket self-join only
+  *     compares colliding candidates.
+  *   - SimHash: one 16-bit signature per doc scan-side; near-dup = equal
+  *     signature (or small Hamming distance via banding, same LSH trick).
+  */
+object Dedup {
+
+  /** Exact dedup by content fingerprint (md5 of whitespace-normalized
+    * lowercase text): one representative (min id) + multiplicity per group.
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), md5(TextOps.normalized(col(textCol))).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signatures: `numHashes` min-hash values per doc from 3-gram
+    * word shingles. Docs with <3 tokens have no shingles and are excluded
+    * (no signature is defined for them).
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val sh = TextOps.shingles3(toks)
+    val mhCols = (0 until numHashes).map(k => TextOps.minhash(col("__sh"), k).as(s"mh$k"))
+    docs
+      .select(col(idCol), sh.as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col(idCol) +: mhCols: _*)
+  }
+
+  /** LSH banding: hash `rowsPerBand` consecutive signature values per band;
+    * docs sharing any (band, hash) bucket become candidate pairs.
+    */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sig = minhashSignatures(docs, idCol, textCol, numHashes)
+    val bandRows = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      sig.select(col(idCol), lit(b).as("band"), md5(concat(cols: _*)).as("bucket"))
+    }.reduce(_ unionByName _)
+    val a = bandRows.toDF("id_a", "band", "bucket")
+    val b = bandRows.toDF("id_b", "band", "bucket")
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** 16-bit SimHash signature per document (near-dup docs get equal or
+    * near-equal signatures; weighted by token multiplicity).
+    */
+  def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) > 0)
+      .select(col(idCol), TextOps.simhash16(col("__t")).as("simhash"))
+
+  /** Exact n-gram (3-shingle) Jaccard similarity for candidate pairs within
+    * a blocking key (e.g. same source) — the verify stage after LSH, or a
+    * standalone exact near-dup pass when a cheap blocking key exists.
+    * Returned similarity is rounded to 4dp for cross-engine stability.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, minJaccard: Double): DataFrame = {
+    val base = docs.select(col(idCol).as("doc"), col(blockCol).as("blk"),
+      TextOps.shingles3(TextOps.tokens(col(textCol))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // distinct (doc, shingle) rows — relational set representation
+    val ds = base.select(col("doc"), col("blk"), explode(col("sh")).as("shingle")).distinct()
+    val sizes = ds.groupBy("doc").agg(count(lit(1)).as("n"))
+    val inter = ds.toDF("doc_a", "blk", "shingle")
+      .join(ds.toDF("doc_b", "blk", "shingle"), Seq("blk", "shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .withColumn("jaccard",
+        round(col("i") / (col("na") + col("nb") - col("i")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Embedding near-dup: pairs within a blocking key whose cosine similarity
+    * (computed in double, sequential like the oracle) meets the threshold.
+    */
+  def embeddingNearDupPairs(embs: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, minCosine: Double): DataFrame = {
+    val a = embs.select(col(idCol).as("id_a"), col(blockCol).as("blk"),
+      col(vecCol).as("va"))
+    val b = embs.select(col(idCol).as("id_b"), col(blockCol).as("blk"),
+      col(vecCol).as("vb"))
+    a.join(b, "blk")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(Similarity.cosine(col("va"), col("vb")), 4))
+      .filter(col("cos") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,37 @@
+package graft.extensions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization of an event stream, batch formulation:
+  * a new session starts when the gap to the previous event of the same user
+  * exceeds `gapSeconds`; session ids are the running count of session starts
+  * (lag + cumulative sum — one shuffle on user_id, then two window passes
+  * over the same partitioning, which Catalyst executes with a single sort).
+  *
+  * The streaming variant (graft.streaming.StreamSessionize) shares the same
+  * output contract via flatMapGroupsWithState.
+  */
+object Sessionize {
+
+  def sessions(events: DataFrame, userCol: String, tsCol: String,
+      gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col("event_id"))
+    val withStart = events
+      .withColumn("__prev_ts", lag(col(tsCol), 1).over(byUser))
+      .withColumn("__new_session",
+        when(col("__prev_ts").isNull, 1)
+          .when(unix_timestamp(col(tsCol)) - unix_timestamp(col("__prev_ts")) > gapSeconds, 1)
+          .otherwise(0))
+      .withColumn("session_n",
+        sum(col("__new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    withStart
+      .groupBy(col(userCol), col("session_n"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("start_s"),
+        date_format(max(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("end_s"),
+        round(sum(col("value")), 2).as("total_value"))
+  }
+}

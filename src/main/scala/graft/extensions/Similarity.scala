@@ -1,0 +1,99 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths, per the north star:
+  *   - `bruteForceTopK` — exact baseline: broadcast the (small) query set,
+  *     score every corpus vector with a codegen'd higher-order-function
+  *     cosine, take per-query top-k with a window. Cost O(|Q|·|corpus|) but
+  *     fully distributed and shuffle-free until the final tiny top-k.
+  *   - `lshTopK` — scale path: random-hyperplane LSH. Each vector gets a
+  *     `nPlanes`-bit signature computed scan-side from deterministic,
+  *     seed-derived hyperplanes; candidates = same-bucket vectors, re-ranked
+  *     exactly. At 100 TB the bucket join replaces the full cross product
+  *     with collision groups (tunable recall via nPlanes/nTables).
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, computed in double with
+    * strictly sequential accumulation — the same op order as the DuckDB
+    * oracle's list_aggregate('sum'), so rounded values agree cross-engine.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(ad, lit(0.0), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(bd, lit(0.0), (acc, v) => acc + v * v))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k neighbours per query vector (excluding self-matches).
+    * Output: (query_id, rank, neighbor_id, cos).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (table, plane,
+    * dim): a seeded hash folded into [-0.5, 0.5). Same construction at every
+    * executor — no driver-side randomness, no broadcast of plane matrices.
+    */
+  private def planeComponent(table: Int, plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(table), lit(plane), dim), lit(1000000L)) / 1000000.0) - 0.5
+
+  /** `nPlanes`-bit signature of a vector under one LSH table. */
+  def lshSignature(vec: Column, table: Int, nPlanes: Int): Column = {
+    val vd = transform(vec, x => x.cast("double"))
+    val bits = (0 until nPlanes).map { p =>
+      val dot = aggregate(
+        zip_with(vd, sequence(lit(0), size(vd) - 1),
+          (x, i) => x * planeComponent(table, p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+
+  /** ANN top-k via multi-table hyperplane LSH: bucket per table, exact
+    * re-rank of in-bucket candidates, per-query top-k. Recall grows with
+    * `nTables`; bucket size shrinks with `nPlanes`.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nPlanes: Int = 8, nTables: Int = 4): DataFrame = {
+    def buckets(df: DataFrame, id: String, v: String) =
+      (0 until nTables).map { t =>
+        df.select(col(id), col(v),
+          lit(t).as("table"), lshSignature(col(v), t, nPlanes).as("bucket"))
+      }.reduce(_ unionByName _)
+    val cb = buckets(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      "neighbor_id", "cv")
+    val qb = buckets(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "query_id", "qv")
+    val cand = cb.join(qb, Seq("table", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "qv", "neighbor_id", "cv")
+      .distinct() // same pair may collide in several tables
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+}

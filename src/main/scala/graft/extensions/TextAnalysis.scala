@@ -1,0 +1,88 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID
+  * (marker-word heuristic), quality scoring, token counting, and document
+  * fingerprinting. All codegen'd built-ins over one scan — at 100 TB these
+  * run as a single map stage.
+  */
+object TextAnalysis {
+
+  /** Language-ID heuristic: count per-language marker-word hits and pick the
+    * argmax (ties broken by language code; all-zero → "und"). Deliberately
+    * simple and deterministic — the point is the distributed shape (a wide
+    * scored projection + greatest-of), not linguistic accuracy.
+    */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val scored = docs.select(
+      col(idCol) +: TextOps.langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+        TextOps.markerHits(toks, words).as(s"hits_$lang")
+      }: _*)
+    val langs = TextOps.langMarkers.keys.toSeq.sorted
+    // argmax via a packed (hits, -ord) struct comparison: greatest hit count,
+    // ties to the alphabetically-first language.
+    val packed = array(langs.zipWithIndex.map { case (l, i) =>
+      struct(col(s"hits_$l").as("h"), lit(-i).as("nord"), lit(l).as("lang"))
+    }: _*)
+    scored
+      .withColumn("best", array_max(packed))
+      .select(col(idCol),
+        when(col("best.h") > 0, col("best.lang")).otherwise("und").as("lang_guess"),
+        col("best.h").as("marker_hits"))
+  }
+
+  /** Quality signals: token count, mean token length, stopword ratio,
+    * alphabetic-character ratio, and a simple composite score in [0,1].
+    */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    docs
+      .select(col(idCol), col(textCol).as("__text"), toks.as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("n_chars", length(col("__text")).cast("long"))
+      .withColumn("mean_tok_len",
+        round(aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t)) /
+          greatest(col("n_tokens"), lit(1L)).cast("double"), 4))
+      .withColumn("stopword_ratio",
+        round(TextOps.markerHits(col("__toks"), TextOps.enStopwords) /
+          greatest(col("n_tokens"), lit(1L)).cast("double"), 4))
+      .withColumn("alpha_ratio",
+        round(length(regexp_replace(lower(col("__text")), "[^a-z]", "")) /
+          greatest(col("n_chars"), lit(1L)).cast("double"), 4))
+      // floor(x*1e4+0.5)/1e4 instead of round(): the composite's inputs are
+      // already-rounded values, so it lands exactly on .xxxx5 often — where
+      // Spark's decimal-string rounding and DuckDB's binary rounding diverge.
+      // The floor formula is the same double ops in both engines.
+      .withColumn("quality_score",
+        floor((least(col("n_tokens") / lit(64.0), lit(1.0)) * 0.5 +
+          col("alpha_ratio") * 0.3 +
+          least(col("stopword_ratio") * lit(4.0), lit(1.0)) * 0.2) * 10000 + 0.5) / 10000)
+      .select(idCol, "n_tokens", "mean_tok_len", "stopword_ratio",
+        "alpha_ratio", "quality_score")
+  }
+
+  /** Token counting three ways: whitespace tokens, regex word tokens
+    * (BPE-ish `[a-z0-9]+` pieces), and the chars/4 BPE approximation.
+    */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      size(TextOps.tokens(col(textCol))).cast("long").as("ws_tokens"),
+      regexp_count(lower(col(textCol)), lit("[a-z0-9]+")).cast("long").as("re_tokens"),
+      ceil(length(col(textCol)) / 4.0).cast("long").as("bpe_approx"))
+
+  /** Content fingerprints: md5 of the normalized text (exact-dup key) and
+    * md5 of the first-5-token prefix (cheap clustering key for near-dup
+    * blocking).
+    */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    docs.select(
+      col(idCol),
+      md5(TextOps.normalized(col(textCol))).as("content_fp"),
+      md5(concat_ws(" ", slice(toks, 1, 5))).as("prefix_fp"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.extensions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text primitives for the LLM-data-pipeline operators. Everything is
+  * built from codegen'd built-ins (`split`, `transform`, `aggregate`, `md5`)
+  * — no UDFs — so these stay inside whole-stage codegen over the scan and
+  * scale linearly at 100 TB.
+  *
+  * Tokenization contract (mirrored by every DuckDB oracle):
+  * lowercase, split on `\s+`.
+  */
+object TextOps {
+
+  /** Whitespace tokens of the lowercased text. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Word k-shingles (k=3): `toks[i] ++ " " ++ toks[i+1] ++ " " ++ toks[i+2]`.
+    * Empty array when fewer than 3 tokens.
+    */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+          element_at(toks, i + 3))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Whitespace-normalized lowercase text (for content fingerprints). */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** One MinHash value: min over shingles of md5(k ++ ":" ++ shingle).
+    * md5-hex strings compare lexicographically identically in Spark and
+    * DuckDB, so the whole signature is engine-portable.
+    */
+  def minhash(shingleArr: Column, k: Int): Column =
+    array_min(transform(shingleArr, sh => md5(concat(lit(s"$k:"), sh))))
+
+  /** One SimHash bit column (+1/-1 votes summed over tokens; bit j is set by
+    * the j-th hex digit of each token's md5 — high nibble bit — weighted by
+    * token multiplicity).
+    */
+  def simhashVote(toks: Column, j: Int): Column =
+    aggregate(
+      transform(toks, t =>
+        when(substring(md5(t), j, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+          .otherwise(-1)),
+      lit(0), (acc, v) => acc + v)
+
+  /** 16-bit SimHash rendered as a bit-string (portable across engines —
+    * no integer bit twiddling needed).
+    */
+  def simhash16(toks: Column): Column =
+    concat((1 to 16).map(j => when(simhashVote(toks, j) >= 0, "1").otherwise("0"))
+      .map(c => c.cast("string")): _*)
+
+  /** Per-language stopword marker sets for the n-gram/stopword language-ID
+    * heuristic (public common function words).
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "on"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "las", "un", "una", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "une", "est", "dans", "que", "pour"),
+    "zh" -> Seq("de5", "shi4", "bu4", "le5", "wo3", "zai4", "you3", "ta1", "men5", "zhe4"))
+
+  /** English stopwords used by the quality score. */
+  val enStopwords: Seq[String] = langMarkers("en")
+
+  /** Count of tokens that appear in `words`. */
+  def markerHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+}

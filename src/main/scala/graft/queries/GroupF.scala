@@ -29,7 +29,7 @@ object GroupF {
     val w = Window.partitionBy("o_orderpriority")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.orders(s, d)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
         round(col("o_totalprice"), 2).as("price"))

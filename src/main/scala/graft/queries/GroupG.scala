@@ -30,7 +30,7 @@ object GroupG {
         substring(col("c_name"), 1, 8).as("name_pfx"),
         concat(col("c_name"), lit(":"), col("c_mktsegment")).as("name_seg"),
         trim(concat(lit("  "), col("c_name"), lit(" "))).as("name_trim"),
-        length(col("c_name")).as("name_len"))
+        length(col("c_name")).cast("long").as("name_len"))
       .orderBy("c_custkey")
   }
 
@@ -47,8 +47,8 @@ object GroupG {
     Tables.orders(s, d)
       .select(
         col("o_orderkey"),
-        year(col("o_orderdate")).as("yr"),
-        month(col("o_orderdate")).as("mo"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
         date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
         datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
           .cast("long").as("days_to_2002"))

@@ -1,0 +1,306 @@
+package graft.queries
+
+import graft.Tables
+import graft.extensions.{Dedup, Sessionize, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Group H — LLM-training-data pipeline operators (the north-star
+  * extensions): dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard /
+  * embedding), similarity search, text analysis, sessionization.
+  *
+  * Every oracle mirrors the Spark implementation *relationally* (same
+  * tokenization `lower`+`\s+`, same md5-based hashes, same double math in
+  * the same order) so the DuckDB hash gate verifies real semantics, not a
+  * weaker rows-only check. Only h9 (hyperplane LSH ANN) has no oracle — its
+  * seeded hyperplanes use Spark's xxhash64, which DuckDB lacks; it is
+  * instead recall-tested against brute force in ScalaTest.
+  */
+object GroupH {
+
+  /** Exact dedup groups by normalized-content fingerprint. */
+  val h1 = Q(
+    "h1_exact_dedup_docs",
+    """WITH fp AS (
+      |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+      |  FROM documents)
+      |SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS n_dups
+      |FROM fp GROUP BY fingerprint
+      |ORDER BY fingerprint""".stripMargin) { (s, d) =>
+    Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("fingerprint")
+  }
+
+  /** Brute-force cosine top-10 for 8 query vectors over the whole corpus. */
+  val h2 = Q(
+    "h2_cosine_topk",
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      |norms AS (
+      |  SELECT vec_id,
+      |    sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')) AS nrm
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    round(list_aggregate(
+      |      list_transform(generate_series(1, len(qv)), i -> qv[i]::DOUBLE * cv[i]::DOUBLE),
+      |      'sum') / (nq.nrm * nc.nrm), 4) AS cos
+      |  FROM q JOIN c ON query_id <> neighbor_id
+      |  JOIN norms nq ON nq.vec_id = query_id
+      |  JOIN norms nc ON nc.vec_id = neighbor_id),
+      |ranked AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val embs = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Corpus-wide token counts, top-100 (word-count shape: explode → agg). */
+  val h3 = Q(
+    "h3_token_counts",
+    """WITH tok AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                            t -> len(t) > 0)) AS word
+      |  FROM documents)
+      |SELECT word, count(*) AS n FROM tok
+      |GROUP BY word ORDER BY n DESC, word LIMIT 100""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(graft.extensions.TextOps.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(100)
+  }
+
+  /** Gap-based sessionization (30-min gap) of the events stream, batch. */
+  val h4 = Q(
+    "h4_sessionize_batch",
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+      |         WHEN date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1
+      |         ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_n
+      |  FROM g)
+      |SELECT user_id, CAST(session_n AS BIGINT) AS session_n, count(*) AS n_events,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+      |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_s,
+      |  round(sum(value), 2) AS total_value
+      |FROM s GROUP BY user_id, session_n
+      |ORDER BY user_id, session_n""".stripMargin) { (s, d) =>
+    Sessionize.sessions(Tables.events(s, d), "user_id", "ts", 1800L)
+      .orderBy("user_id", "session_n")
+  }
+
+  /** MinHash(16) + LSH(4 bands × 4 rows) candidate near-dup pairs. */
+  val h5 = Q(
+    "h5_minhash_lsh_pairs",
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |base AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 3),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      |  FROM base),
+      |ks AS (SELECT unnest(generate_series(0, 15)) AS k),
+      |mh AS (
+      |  SELECT doc_id, k, min(md5(k::VARCHAR || ':' || shingle)) AS m
+      |  FROM sh CROSS JOIN ks GROUP BY doc_id, k),
+      |sig AS (
+      |  SELECT doc_id, k // 4 AS band, md5(string_agg(m, '' ORDER BY k)) AS bucket
+      |  FROM mh GROUP BY doc_id, k // 4)
+      |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM sig a JOIN sig b ON a.band = b.band AND a.bucket = b.bucket
+      |  AND a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    Dedup.lshCandidatePairs(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Exact 3-gram Jaccard pairs within a blocking key (source), j ≥ 0.1. */
+  val h6 = Q(
+    "h6_ngram_jaccard",
+    """WITH tok AS (
+      |  SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\s+'),
+      |                                     t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |base AS (SELECT doc_id, source, toks FROM tok WHERE len(toks) >= 3),
+      |sh AS (
+      |  SELECT doc_id, source, unnest(list_transform(generate_series(1, len(toks) - 2),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      |  FROM base),
+      |ds AS (SELECT DISTINCT doc_id, source, shingle FROM sh),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+      |inter AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+      |  FROM ds x JOIN ds y ON x.shingle = y.shingle AND x.source = y.source
+      |    AND x.doc_id < y.doc_id
+      |  GROUP BY x.doc_id, y.doc_id)
+      |SELECT doc_a, doc_b,
+      |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) >= 0.1
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", "source", 0.1)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 16-bit SimHash signature per document. */
+  val h7 = Q(
+    "h7_simhash",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                                    t -> len(t) > 0)) AS t
+      |  FROM documents),
+      |js AS (SELECT unnest(generate_series(1, 16)) AS j),
+      |votes AS (
+      |  SELECT doc_id, j,
+      |    sum(CASE WHEN substr(md5(t), j, 1) IN ('8','9','a','b','c','d','e','f')
+      |        THEN 1 ELSE -1 END) AS v
+      |  FROM tok CROSS JOIN js GROUP BY doc_id, j)
+      |SELECT doc_id,
+      |  string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+      |FROM votes GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Dedup.simhashes(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Embedding cosine near-dup pairs within a blocking key (label). */
+  val h8 = Q(
+    "h8_embedding_near_dup",
+    """WITH norms AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')) AS nrm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_aggregate(
+      |    list_transform(generate_series(1, len(a.embedding)),
+      |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')
+      |    / (a.nrm * b.nrm), 4) AS cos
+      |FROM norms a JOIN norms b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE round(list_aggregate(
+      |    list_transform(generate_series(1, len(a.embedding)),
+      |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')
+      |    / (a.nrm * b.nrm), 4) >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", "label", 0.3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Hyperplane-LSH ANN — the scale path. No DuckDB oracle (the seeded
+    * hyperplanes derive from Spark's xxhash64); recall vs. h2's brute force
+    * is asserted in SimilaritySpec, and the driver records a rows-only check.
+    */
+  val h9 = Q("h9_lsh_ann_topk", None) { (s, d) =>
+    val embs = Tables.embeddings(s, d)
+    Similarity.lshTopK(embs, embs.filter(col("vec_id") < 8), "vec_id", "embedding",
+      k = 5, nPlanes = 6, nTables = 4)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Marker-word language ID. */
+  val h10 = Q(
+    "h10_lang_id",
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |hits AS (
+      |  SELECT doc_id,
+      |    [
+      |      {'h': len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','ein','eine','nicht','mit','zu'], t))), 'lang': 'de'},
+      |      {'h': len(list_filter(toks, t -> list_contains(['the','a','and','of','to','in','is','it','for','on'], t))), 'lang': 'en'},
+      |      {'h': len(list_filter(toks, t -> list_contains(['el','la','de','que','y','los','las','un','una','en'], t))), 'lang': 'es'},
+      |      {'h': len(list_filter(toks, t -> list_contains(['le','la','les','et','des','une','est','dans','que','pour'], t))), 'lang': 'fr'},
+      |      {'h': len(list_filter(toks, t -> list_contains(['de5','shi4','bu4','le5','wo3','zai4','you3','ta1','men5','zhe4'], t))), 'lang': 'zh'}
+      |    ] AS scores
+      |  FROM tok),
+      |flat AS (SELECT doc_id, unnest(scores) AS s FROM hits),
+      |ranked AS (
+      |  SELECT doc_id, s.lang AS lang, s.h AS h,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY s.h DESC, s.lang) AS rn
+      |  FROM flat)
+      |SELECT doc_id,
+      |  CASE WHEN h > 0 THEN lang ELSE 'und' END AS lang_guess,
+      |  h AS marker_hits
+      |FROM ranked WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text")
+      .withColumn("marker_hits", col("marker_hits").cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality signals + composite score. */
+  val h11 = Q(
+    "h11_quality_score",
+    """WITH tok AS (
+      |  SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\s+'),
+      |                                   t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    round(list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+      |      / greatest(len(toks), 1)::DOUBLE, 4) AS mean_tok_len,
+      |    round(len(list_filter(toks, t -> list_contains(['the','a','and','of','to','in','is','it','for','on'], t)))
+      |      / greatest(len(toks), 1)::DOUBLE, 4) AS stopword_ratio,
+      |    round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+      |      / greatest(length(text), 1)::DOUBLE, 4) AS alpha_ratio
+      |  FROM tok)
+      |SELECT doc_id, n_tokens, mean_tok_len, stopword_ratio, alpha_ratio,
+      |  floor((least(n_tokens / 64.0, 1.0) * 0.5 + alpha_ratio * 0.3 +
+      |        least(stopword_ratio * 4.0, 1.0) * 0.2) * 10000 + 0.5) / 10000
+      |    AS quality_score
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text")
+      .drop("n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** Token counting three ways (whitespace / regex-BPE-ish / chars-per-4). */
+  val h12 = Q(
+    "h12_token_stats",
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |                       t -> len(t) > 0)) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS re_tokens,
+      |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_approx
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.tokenStats(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Content + prefix fingerprints (rolling-hash-style blocking keys). */
+  val h13 = Q(
+    "h13_fingerprints",
+    """WITH tok AS (
+      |  SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\s+'),
+      |                                   t -> len(t) > 0) AS toks
+      |  FROM documents)
+      |SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_fp,
+      |  md5(array_to_string(toks[1:5], ' ')) AS prefix_fp
+      |FROM tok
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(h1, h2, h3, h4, h5, h6, h7, h8, h9, h10, h11, h12, h13)
+}

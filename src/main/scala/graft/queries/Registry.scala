@@ -3,5 +3,6 @@ package graft.queries
 /** Single place that collects every declared query (SURVEY.md §2.4). */
 object Registry {
   def all: Seq[Q] =
-    GroupABC.all ++ GroupD.all ++ GroupE.all ++ GroupF.all ++ GroupG.all
+    GroupABC.all ++ GroupD.all ++ GroupE.all ++ GroupF.all ++ GroupG.all ++
+      GroupH.all
 }

@@ -49,6 +49,13 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {gcols} != {wcols}")
             n_bad += 1
             continue
+        tmis = [(c, got.schema.field(c).type, want.schema.field(c).type)
+                for c in gcols
+                if got.schema.field(c).type != want.schema.field(c).type]
+        if tmis:
+            print(f"FAIL {name}: dtype mismatch {tmis}")
+            n_bad += 1
+            continue
         grows = [[canon(r[c]) for c in gcols] for r in got.to_pylist()]
         wrows = [[canon(r[c]) for c in wcols] for r in want.to_pylist()]
         if len(grows) != len(wrows):
