@@ -1,0 +1,148 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.extensions.Sessionize
+import graft.streaming.{SessEvent, StreamSessionize, StreamWindows}
+
+/** Structured Streaming suites: MemoryStream-driven micro-batches, asserting
+  * (a) watermark/window semantics and (b) batch↔stream output-contract
+  * equivalence (the same transform body runs on spark.read and
+  * spark.readStream; the stateful sessionizer must reproduce the batch
+  * formulation exactly once sessions finalize).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(h: Int, m: Int, s: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:$s%02d")
+
+  test("tumbling windows: event-time aggregation, append on window close") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF.toDF("ts", "event_type", "value")
+    val q = StreamWindows.tumblingTypeStats(df, "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("tumble").outputMode("append").start()
+    try {
+      mem.addData((ts(10, 0), "click", 1.5), (ts(10, 1), "click", 2.0),
+        (ts(10, 6), "view", 3.25))
+      q.processAllAvailable()
+      // nothing emitted yet: windows still open under the watermark
+      assert(spark.table("tumble").count() === 0)
+      mem.addData((ts(11, 0), "late_pusher", 0.0)) // watermark → 10:50
+      q.processAllAvailable()
+      val rows = spark.table("tumble")
+        .select("w_start", "event_type", "n_events", "total_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows === Set(
+        (ts(10, 0), "click", 2L, 3.5),
+        (ts(10, 5), "view", 1L, 3.25)))
+    } finally q.stop()
+  }
+
+  test("sliding windows: each event lands in width/slide overlapping windows") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val df = mem.toDF.toDF("ts", "user_id", "value")
+    val q = StreamWindows.slidingUserActivity(df, "5 minutes", "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("slide").outputMode("append").start()
+    try {
+      mem.addData((ts(10, 7), 1L, 1.0))
+      q.processAllAvailable()
+      mem.addData((ts(11, 0), 99L, 0.0)) // push watermark past both windows
+      q.processAllAvailable()
+      val rows = spark.table("slide").filter(col("user_id") === 1)
+        .select("w_start").collect().map(_.getTimestamp(0)).toSet
+      assert(rows === Set(ts(10, 0), ts(10, 5)))
+    } finally q.stop()
+  }
+
+  test("session windows: gap-merged per user, matches batch run of same transform") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val data = Seq(
+      (ts(10, 0), 1L, 1.0), (ts(10, 10), 1L, 2.0), // one session (gap 30m)
+      (ts(11, 30), 1L, 4.0),                       // second session
+      (ts(10, 5), 2L, 8.0))
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val df = mem.toDF.toDF("ts", "user_id", "value")
+    val q = StreamWindows.sessionWindowStats(df, "30 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      mem.addData((ts(14, 0), 99L, 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sess").filter(col("user_id") =!= 99)
+        .select("user_id", "s_start", "n_events", "total_value")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      // identical transform, batch path (watermark is a no-op on batch)
+      val batch = StreamWindows.sessionWindowStats(
+        data.toDF("ts", "user_id", "value"), "30 minutes", "30 minutes")
+        .select("user_id", "s_start", "n_events", "total_value")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed === batch)
+      assert(streamed.map(_._1) === Set(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark drops re-delivered events") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val df = mem.toDF.toDF("ts", "event_id", "value")
+    val q = StreamWindows.dedupWithinWatermark(df, Seq("event_id"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      mem.addData((ts(10, 0), 1L, 1.0), (ts(10, 1), 2L, 2.0))
+      q.processAllAvailable()
+      mem.addData((ts(10, 0), 1L, 1.0), (ts(10, 2), 3L, 3.0)) // 1 re-delivered
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() === 3)
+    } finally q.stop()
+  }
+
+  test("stateful gap sessionization matches the batch Sessionize contract") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val events = Seq(
+      SessEvent(1L, 10L, ts(10, 0), 1.25),
+      SessEvent(1L, 11L, ts(10, 20), 2.0),  // gap 20m ≤ 30m: same session
+      SessEvent(1L, 12L, ts(11, 30), 4.0),  // gap 70m: new session
+      SessEvent(2L, 20L, ts(10, 5), 8.5))
+    val mem = MemoryStream[SessEvent]
+    val ds = mem.toDS.withWatermark("ts", "10 seconds")
+    val q = StreamSessionize.sessions(ds, 1800L)
+      .writeStream.format("memory").queryName("fmgws").outputMode("append").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      // advance the watermark well past (max ts + gap), then one more batch
+      // so the timeout-triggered emission runs
+      mem.addData(SessEvent(99L, 90L, ts(15, 0), 0.0))
+      q.processAllAvailable()
+      mem.addData(SessEvent(99L, 91L, ts(15, 1), 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("fmgws").filter(col("user_id") =!= 99)
+        .select("user_id", "session_n", "n_events", "start_s", "end_s", "total_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+          r.getString(4), r.getDouble(5))).toSet
+      val batch = Sessionize.sessions(
+        events.toDF(), "user_id", "ts", 1800L)
+        .select("user_id", "session_n", "n_events", "start_s", "end_s", "total_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+          r.getString(4), r.getDouble(5))).toSet
+      assert(streamed === batch)
+      assert(streamed.size === 3)
+    } finally q.stop()
+  }
+}
