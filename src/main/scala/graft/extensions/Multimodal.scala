@@ -1,0 +1,136 @@
+package graft.extensions
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One media object: opaque binary payload + routing metadata. At 100 TB the
+  * payload column dominates — loaders should keep
+  * `spark.sql.files.maxPartitionBytes` at its 128 MB default so a partition
+  * holds a bounded number of blobs, and operators below never materialize a
+  * whole partition (strictly iterator-to-iterator).
+  */
+case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+
+/** Typed decode result (per-kind fields zeroed when not applicable). */
+case class MediaMeta(media_id: Long, kind: String, n_bytes: Long,
+    width: Long, height: Long, n_frames: Long)
+
+/** One sampled frame of a video payload. */
+case class MediaFrame(media_id: Long, frame_idx: Long, frame_bytes: Array[Byte])
+
+/** Fixed-dim feature vector extracted from a payload (embedding-shaped:
+  * joins/ANN-compatible with the `embeddings` table operators).
+  */
+case class MediaFeature(media_id: Long, kind: String, feature: Array[Float])
+
+/** Multimodal (image/audio/video) column processing: opaque `binary` payloads
+  * with typed metadata, processed by iterator-based `mapPartitions` passes —
+  * the Scala analogue of arrow-batched `mapInPandas`: one JVM-side codec
+  * instance per partition, streamed row batches, typed output schema.
+  *
+  * ── STUB BOUNDARY ──────────────────────────────────────────────────────
+  * This container has no image/audio codecs, so `FakeCodec` below is a
+  * DETERMINISTIC FAKE: it derives plausible metadata/frames/features from
+  * the payload bytes alone (documented formulas, mirrored by the DuckDB
+  * oracle). A production deployment swaps `FakeCodec` for a real codec
+  * (e.g. javax.imageio / ffmpeg bindings) behind the same `MediaCodec`
+  * trait — every Spark-side shape (schemas, partitioning, lazy iterator
+  * batching, per-partition codec lifecycle) is real and tested.
+  * ───────────────────────────────────────────────────────────────────────
+  */
+object Multimodal {
+
+  /** Codec contract: one instance is created per partition (cheap here; a
+    * real codec would hold native handles — hence per-partition, not per-row).
+    */
+  trait MediaCodec extends Serializable {
+    def decode(m: MediaRow): MediaMeta
+    def frames(m: MediaRow, everyNBytes: Int): Iterator[MediaFrame]
+    def feature(m: MediaRow, dim: Int): Array[Float]
+  }
+
+  /** Deterministic fake codec (see STUB BOUNDARY above). Formulas:
+    *   width    = 16 + n_bytes mod 64          (image/video; 0 for audio)
+    *   height   = 16 + (n_bytes * 7) mod 64    (image/video; 0 for audio)
+    *   n_frames = image → 1, audio → 0, video → 1 + n_bytes div 256
+    *   frame i  = payload[i*everyN ... min((i+1)*everyN, n)-1]
+    *   feature  = L2-normalized folded byte sums over `dim` strides
+    */
+  object FakeCodec extends MediaCodec {
+    def decode(m: MediaRow): MediaMeta = {
+      val n = m.payload.length.toLong
+      m.kind match {
+        case "image" => MediaMeta(m.media_id, m.kind, n, 16 + n % 64, 16 + (n * 7) % 64, 1L)
+        case "audio" => MediaMeta(m.media_id, m.kind, n, 0L, 0L, 0L)
+        case _       => MediaMeta(m.media_id, m.kind, n, 16 + n % 64, 16 + (n * 7) % 64, 1L + n / 256)
+      }
+    }
+    def frames(m: MediaRow, everyNBytes: Int): Iterator[MediaFrame] =
+      m.payload.grouped(everyNBytes).zipWithIndex.map { case (chunk, i) =>
+        MediaFrame(m.media_id, i.toLong, chunk)
+      }
+    def feature(m: MediaRow, dim: Int): Array[Float] = {
+      val acc = new Array[Double](dim)
+      var i = 0
+      while (i < m.payload.length) {
+        acc(i % dim) += (m.payload(i) & 0xff).toDouble
+        i += 1
+      }
+      val nrm = math.sqrt(acc.map(x => x * x).sum) max 1e-12
+      acc.map(x => (x / nrm).toFloat)
+    }
+  }
+
+  /** Adapt the `documents` table into a media table (payload = UTF-8 bytes,
+    * kind assigned by id mod 3) — the fixture generator for the multimodal
+    * path; a real pipeline reads (id, kind, payload) parquet directly.
+    */
+  def toMedia(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    implicit val enc = Encoders.product[MediaRow]
+    docs.select(
+      col(idCol).cast("long").as("media_id"),
+      when(col(idCol) % 3 === 0, "image")
+        .when(col(idCol) % 3 === 1, "audio")
+        .otherwise("video").as("kind"),
+      encode(col(textCol), "UTF-8").as("payload")).as[MediaRow]
+  }
+
+  /** Decode pass: binary → typed metadata. Iterator-to-iterator (no partition
+    * materialization); codec instantiated once per partition.
+    */
+  def extractMeta(media: Dataset[MediaRow],
+      codec: MediaCodec = FakeCodec): Dataset[MediaMeta] = {
+    implicit val enc = Encoders.product[MediaMeta]
+    media.mapPartitions(it => it.map(codec.decode))
+  }
+
+  /** Frame sampling: one input row → n output rows (flatMap batch shape). */
+  def frameSample(media: Dataset[MediaRow], everyNBytes: Int = 256,
+      codec: MediaCodec = FakeCodec): Dataset[MediaFrame] = {
+    implicit val enc = Encoders.product[MediaFrame]
+    media.mapPartitions(it => it.flatMap(m => codec.frames(m, everyNBytes)))
+  }
+
+  /** Feature extraction: binary → fixed-dim float vector, embedding-shaped
+    * so downstream similarity/ANN operators (Similarity.*) apply unchanged.
+    */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 8,
+      codec: MediaCodec = FakeCodec): Dataset[MediaFeature] = {
+    implicit val enc = Encoders.product[MediaFeature]
+    media.mapPartitions(it => it.map(m =>
+      MediaFeature(m.media_id, m.kind, codec.feature(m, dim))))
+  }
+
+  /** Metadata-level resize plan: new dims + scale factors, computed
+    * relationally (no payload touch — a real resize would be another
+    * mapPartitions pass over payloads with the same output schema).
+    */
+  def resizePlan(meta: Dataset[MediaMeta], targetW: Long, targetH: Long): DataFrame =
+    meta.toDF()
+      .filter(col("width") > 0)
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        lit(targetW).as("new_width"), lit(targetH).as("new_height"),
+        round(lit(targetW) / col("width"), 4).as("scale_x"),
+        round(lit(targetH) / col("height"), 4).as("scale_y"))
+}

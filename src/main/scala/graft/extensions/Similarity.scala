@@ -56,6 +56,47 @@ object Similarity {
   private def planeComponent(table: Int, plane: Int, dim: Column): Column =
     (pmod(xxhash64(lit(table), lit(plane), dim), lit(1000000L)) / 1000000.0) - 0.5
 
+  /** IVF (inverted-file) ANN — the second scale path, complementary to LSH:
+    * a fixed set of `nCentroids` seed centroids (deterministically the
+    * vectors with id < nCentroids — a real deployment would k-means these;
+    * the partition/probe machinery is identical), every corpus vector
+    * assigned to its nearest centroid in ONE broadcast pass (map-side
+    * `max_by`, so the shuffle carries one row per vector), and each query
+    * probing only its `nProbe` nearest centroids' inverted lists before an
+    * exact re-rank. At 100 TB: candidate scans touch ~nProbe/nCentroids of
+    * the corpus, and the assignment can be written once and reused as a
+    * bucketed/partitioned layout keyed by `cid`.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
+    val cent = corpus.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("cid"), col(vecCol).as("centroid"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // nearest centroid per corpus vector: full-precision cosine, ties to the
+    // smaller cid (max_by over a (cos, -cid) struct = argmax with that tiebreak)
+    val assigned = c.join(broadcast(cent))
+      .withColumn("acos", cosine(col("cv"), col("centroid")))
+      .groupBy("neighbor_id")
+      .agg(max_by(col("cid"), struct(col("acos"), (-col("cid")).as("t"))).as("cid"),
+        first(col("cv")).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("acos").desc, col("cid"))
+    val probes = q.join(broadcast(cent))
+      .withColumn("acos", cosine(col("qv"), col("centroid")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select("query_id", "qv", "cid")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(assigned, "cid")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** `nPlanes`-bit signature of a vector under one LSH table. */
   def lshSignature(vec: Column, table: Int, nPlanes: Int): Column = {
     val vd = transform(vec, x => x.cast("double"))

@@ -302,5 +302,84 @@ object GroupH {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(h1, h2, h3, h4, h5, h6, h7, h8, h9, h10, h11, h12, h13)
+  /** Multimodal metadata extraction: documents adapted to opaque binary
+    * payloads (UTF-8 bytes, kind by id mod 3), decoded by the deterministic
+    * stub codec via iterator mapPartitions (see Multimodal's STUB BOUNDARY).
+    * The oracle mirrors the fake-codec formulas over byte lengths
+    * (DuckDB `strlen` = UTF-8 byte count), verifying the whole binary
+    * pipeline end-to-end.
+    */
+  val h14 = Q(
+    "h14_multimodal_meta",
+    """SELECT doc_id AS media_id,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |       ELSE 'video' END AS kind,
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 16 + strlen(text) % 64 END AS BIGINT) AS width,
+      |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 16 + (strlen(text) * 7) % 64 END AS BIGINT) AS height,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 WHEN doc_id % 3 = 1 THEN 0
+      |       ELSE 1 + strlen(text) // 256 END AS BIGINT) AS n_frames
+      |FROM documents
+      |ORDER BY media_id""".stripMargin) { (s, d) =>
+    graft.extensions.Multimodal
+      .extractMeta(graft.extensions.Multimodal.toMedia(Tables.documents(s, d), "doc_id", "text"))
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  /** IVF ANN top-5 for 8 query vectors: 16 deterministic centroids, 2 probes,
+    * exact in-list re-rank — oracled in DuckDB with the same full-precision
+    * assignment/probe ranking.
+    */
+  val h15 = Q(
+    "h15_ivf_ann_topk",
+    """WITH norms AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')) AS nrm
+      |  FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, embedding AS centroid, nrm AS cnrm
+      |         FROM norms WHERE vec_id < 16),
+      |sim_all AS (
+      |  SELECT n.vec_id, c.cid,
+      |    list_aggregate(list_transform(generate_series(1, len(n.embedding)),
+      |      i -> n.embedding[i]::DOUBLE * c.centroid[i]::DOUBLE), 'sum')
+      |      / (n.nrm * c.cnrm) AS acos
+      |  FROM norms n CROSS JOIN cent c),
+      |assigned AS (
+      |  SELECT vec_id AS neighbor_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY acos DESC, cid) AS rn
+      |    FROM sim_all) WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY acos DESC, cid) AS rn
+      |    FROM sim_all WHERE vec_id < 8) WHERE rn <= 2),
+      |cand AS (
+      |  SELECT p.query_id, a.neighbor_id
+      |  FROM probes p JOIN assigned a ON p.cid = a.cid
+      |  WHERE a.neighbor_id <> p.query_id),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    round(list_aggregate(list_transform(generate_series(1, len(q.embedding)),
+      |      i -> q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE), 'sum')
+      |      / (q.nrm * n.nrm), 4) AS cos
+      |  FROM cand
+      |  JOIN norms q ON q.vec_id = query_id
+      |  JOIN norms n ON n.vec_id = neighbor_id),
+      |ranked AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val embs = Tables.embeddings(s, d)
+    Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 8), "vec_id", "embedding",
+      k = 5, nCentroids = 16, nProbe = 2)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
+  val all: Seq[Q] =
+    Seq(h1, h2, h3, h4, h5, h6, h7, h8, h9, h10, h11, h12, h13, h14, h15)
 }

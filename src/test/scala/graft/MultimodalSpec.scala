@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.extensions.{Multimodal, Similarity}
+import graft.extensions.Multimodal.FakeCodec
+
+/** Multimodal binary-column plumbing: schemas, iterator batching, flatMap
+  * frame explosion, and embedding-shaped features feeding the similarity
+  * operators unchanged. The codec itself is the documented deterministic
+  * stub — these suites pin the Spark-side shapes a real codec would slot
+  * into.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private def media = Multimodal.toMedia(
+    Tables.documents(spark, sf), "doc_id", "text")
+
+  test("toMedia: binary payload column with kind routing, round-trippable") {
+    val m = media
+    assert(m.schema("payload").dataType.typeName === "binary")
+    val kinds = m.toDF().groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds.keySet === Set("image", "audio", "video"))
+    // payload really is the UTF-8 text bytes
+    val row = m.filter(col("media_id") === 0).head()
+    val doc0 = Tables.documents(spark, sf).filter(col("doc_id") === 0)
+      .head().getAs[String]("text")
+    assert(new String(row.payload, "UTF-8") === doc0)
+  }
+
+  test("extractMeta matches the fake-codec formulas for every kind") {
+    val metas = Multimodal.extractMeta(media).collect()
+    assert(metas.length === media.count())
+    metas.foreach { mm =>
+      mm.kind match {
+        case "audio" =>
+          assert(mm.width === 0 && mm.height === 0 && mm.n_frames === 0)
+        case "image" =>
+          assert(mm.width === 16 + mm.n_bytes % 64)
+          assert(mm.n_frames === 1)
+        case "video" =>
+          assert(mm.height === 16 + (mm.n_bytes * 7) % 64)
+          assert(mm.n_frames === 1 + mm.n_bytes / 256)
+      }
+    }
+  }
+
+  test("frameSample explodes payloads into contiguous chunks that reassemble") {
+    val one = media.filter(col("media_id") === 2) // video kind (2 % 3 = 2)
+    val frames = Multimodal.frameSample(one, everyNBytes = 64).collect()
+      .sortBy(_.frame_idx)
+    val orig = one.head().payload
+    assert(frames.map(_.frame_bytes.length).sum === orig.length)
+    assert(frames.dropRight(1).forall(_.frame_bytes.length === 64))
+    assert(frames.flatMap(_.frame_bytes).toSeq === orig.toSeq)
+  }
+
+  test("features are deterministic, L2-normalized, and ANN-compatible") {
+    val f1 = Multimodal.extractFeatures(media, dim = 8)
+    val fits = f1.limit(50).collect()
+    fits.foreach { f =>
+      assert(f.feature.length === 8)
+      val n = math.sqrt(f.feature.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-5, s"not normalized: $n")
+    }
+    // embedding-shaped: brute-force top-k over features runs unchanged
+    val feats = f1.toDF().select(col("media_id").as("vec_id"), col("feature").as("embedding"))
+    val topk = Similarity.bruteForceTopK(
+      feats, feats.filter(col("vec_id") < 2), "vec_id", "embedding", 3)
+    assert(topk.count() === 6)
+  }
+
+  test("resizePlan excludes audio and scales dims") {
+    val plan = Multimodal.resizePlan(Multimodal.extractMeta(media), 32, 32)
+    assert(plan.filter(col("kind") === "audio").count() === 0)
+    val r = plan.head()
+    assert(r.getAs[Double]("scale_x") ===
+      BigDecimal(32.0 / r.getAs[Long]("width"))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("ivfTopK: high recall vs brute force on real embeddings") {
+    val embs = Tables.embeddings(spark, sf)
+    val qs = embs.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(embs, qs, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(embs, qs, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.size === exact.size)
+    val recall = (ivf intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+}
