@@ -22,8 +22,24 @@ object Similarity {
   /** Cosine similarity of two float-array columns, computed in double with
     * strictly sequential accumulation — the same op order as the DuckDB
     * oracle's list_aggregate('sum'), so rounded values agree cross-engine.
+    *
+    * Backed by the native codegen'd graft.functions.CosineSimilarity
+    * expression (one fused allocation-free loop in WholeStageCodegen);
+    * `cosineHof` is the built-in higher-order-function composition it
+    * replaced — numerically identical (SimilaritySpec asserts bit equality),
+    * ~10× slower on the pairwise hot paths because HOF lambdas are
+    * interpreted.
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.CosineSimilarity(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
+  /** Reference HOF formulation of [[cosine]] (kept for the equivalence test
+    * and as the fallback shape for engines without the native expression).
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     val ad = transform(a, x => x.cast("double"))
     val bd = transform(b, x => x.cast("double"))
     val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.extensions.Similarity
+import graft.functions.GraftFunctions
+
+/** Native CosineSimilarity expression: bit-for-bit parity with the HOF
+  * composition (the oracle contract), codegen activation, null semantics,
+  * SQL registration, and ANN recall.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private def embs = Tables.embeddings(spark, sf)
+
+  test("native cosine == HOF cosine bit-for-bit on real embeddings") {
+    val a = embs.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = embs.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val pairs = a.join(b, col("id_a") < col("id_b")).limit(20000)
+      .select(
+        Similarity.cosine(col("va"), col("vb")).as("fast"),
+        Similarity.cosineHof(col("va"), col("vb")).as("hof"))
+    // exact double equality — same op order, same promotions
+    assert(pairs.filter(col("fast") =!= col("hof")).count() === 0)
+    assert(pairs.filter(col("fast").isNull).count() === 0)
+  }
+
+  test("native cosine runs inside WholeStageCodegen") {
+    val plan = embs.select(Similarity.cosine(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    // `*(n)` marks operators fused into a WholeStageCodegen span — the
+    // projection containing cosine_sim must carry it (i.e. doGenCode was
+    // used, no interpreted fallback)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("cosine_sim") && l.trim.startsWith("*(")), plan)
+  }
+
+  test("null semantics: null array, length mismatch, null element") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq(1.0f, 2.0f)), Some(Seq(1.0f, 2.0f))),
+      (2L, None, Some(Seq(1.0f, 2.0f))),
+      (3L, Some(Seq(1.0f)), Some(Seq(1.0f, 2.0f)))
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"), Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(math.abs(out(1L).get - 1.0) < 1e-12)
+    assert(out(2L).isEmpty)
+    assert(out(3L).isEmpty)
+  }
+
+  test("cosine_sim registers as a SQL function (extensions surface)") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT))) AS c").head().getDouble(0)
+    assert(math.abs(r) < 1e-12)
+  }
+
+  test("LSH ANN recall vs brute force") {
+    val qs = embs.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(embs, qs, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(embs, qs, "vec_id", "embedding", 5, nPlanes = 6, nTables = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // smoke bound only: sf0.001 has few vectors, so bucket collisions are
+    // sparse and recall is noisy — the bound guards "candidates are real
+    // neighbours at all", not production recall (which nTables tunes up)
+    val recall = (lsh intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.15, s"LSH recall too low: $recall")
+  }
+}
