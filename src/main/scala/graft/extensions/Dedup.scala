@@ -80,11 +80,25 @@ object Dedup {
 
   /** 16-bit SimHash signature per document (near-dup docs get equal or
     * near-equal signatures; weighted by token multiplicity).
+    *
+    * Shape: explode tokens, md5 each token ONCE, derive all 16 ±1 votes from
+    * that one hash in a single codegen'd projection, then one partial+final
+    * aggregate per doc. (The column-per-bit HOF formulation re-hashed every
+    * token 16× in interpreted lambdas — measured 25× slower at sf0.1.)
     */
-  def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
-      .filter(size(col("__t")) > 0)
-      .select(col(idCol), TextOps.simhash16(col("__t")).as("simhash"))
+  def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokRows = docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__tok"))
+      .withColumn("__h", md5(col("__tok")))
+    val voteCols = (1 to 16).map { j =>
+      sum(when(substring(col("__h"), j, 1)
+        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)).as(s"v$j")
+    }
+    tokRows.groupBy(col(idCol)).agg(voteCols.head, voteCols.tail: _*)
+      .select(col(idCol),
+        concat((1 to 16).map(j =>
+          when(col(s"v$j") >= 0, "1").otherwise("0")): _*).as("simhash"))
+  }
 
   /** Exact n-gram (3-shingle) Jaccard similarity for candidate pairs within
     * a blocking key (e.g. same source) — the verify stage after LSH, or a

@@ -16,11 +16,16 @@ object TextAnalysis {
     * scored projection + greatest-of), not linguistic accuracy.
     */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
-    val scored = docs.select(
-      col(idCol) +: TextOps.langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
-        TextOps.markerHits(toks, words).as(s"hits_$lang")
-      }: _*)
+    // explode_outer keeps zero-token docs (one null-token row → 0 hits →
+    // "und"); marker hits for all languages come from ONE pass over token
+    // rows with codegen'd conditional sums, instead of one interpreted HOF
+    // filter per language over the token array.
+    val tokRows = docs.select(col(idCol),
+      explode_outer(TextOps.tokens(col(textCol))).as("__tok"))
+    val hitCols = TextOps.langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      sum(when(col("__tok").isin(words: _*), 1).otherwise(0)).as(s"hits_$lang")
+    }
+    val scored = tokRows.groupBy(col(idCol)).agg(hitCols.head, hitCols.tail: _*)
     val langs = TextOps.langMarkers.keys.toSeq.sorted
     // argmax via a packed (hits, -ord) struct comparison: greatest hit count,
     // ties to the alphabetically-first language.
