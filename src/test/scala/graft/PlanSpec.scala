@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan regression suite: the properties that make these queries
+  * scale — filter/column pushdown into the parquet scan, broadcast joins for
+  * small dims, TakeOrderedAndProject for top-k, partial aggregation, native
+  * codegen'd expressions — asserted on the executed plans so a refactor
+  * cannot silently trade them away. (These are the `.explain("formatted")`
+  * checks from the build plan, pinned as tests.)
+  */
+class PlanSpec extends SparkSpec {
+
+  private def qdf(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+
+  private def planStr(df: DataFrame): String = {
+    // materialize so AQE finalizes its plan choices
+    df.write.mode("overwrite").format("noop").save()
+    val p = df.queryExecution.executedPlan
+    val fin = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    fin.toString + "\n" + df.queryExecution.optimizedPlan.toString
+  }
+
+  test("e1 (TPC-H Q1 shape): shipdate filter and 7-col projection push into the scan") {
+    val p = planStr(qdf("e1_groupby_sum_avg"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(p.contains("ReadSchema"), p)
+    // pruned: no l_orderkey/l_comment in the scan schema
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+    // partial + final aggregation
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("a1: column pruning reaches the scan (4 of 16 lineitem columns read)") {
+    val p = planStr(qdf("a1_project_prune"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_returnflag"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"), readSchema)
+  }
+
+  test("d2: small dim join is a BroadcastHashJoin (no shuffle of the fact side)") {
+    val p = planStr(qdf("d2_broadcast_dim"))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("d6: multiway star join broadcasts every small dim") {
+    val p = planStr(qdf("d6_multiway_star"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("f4: order+limit compiles to TakeOrderedAndProject (no global sort)") {
+    val p = planStr(qdf("f4_order_limit"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("h2: query set is broadcast; cosine_sim is the native expression") {
+    val p = planStr(qdf("h2_cosine_topk"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("cosine_sim"), p)
+  }
+
+  test("h5: minhash aggregate is partial (map-side) before the doc shuffle") {
+    val p = planStr(qdf("h5_minhash_lsh_pairs"))
+    // two HashAggregates per agg (partial, final) — 'partial_min' markers
+    assert(p.contains("partial_min") || p.contains("HashAggregate"), p)
+    assert(p.contains("Generate"), p) // explode stayed scan-side
+  }
+
+  test("events loader: ts conversion does not break scan batching") {
+    val p = planStr(Tables.events(spark, sf))
+    assert(p.contains("Batched: true"), p)
+  }
+}
