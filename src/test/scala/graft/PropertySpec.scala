@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
+
+import graft.extensions.{Similarity, TextOps}
+
+/** ScalaCheck property suites (SURVEY.md §5.2): algebraic laws of the text
+  * primitives, similarity expression, deterministic dedup, and timestamp
+  * derivation — each property runs its generated cases through real Spark
+  * plans and compares against an independent driver-side reference
+  * implementation.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = SCTest.Parameters.default
+    .withMinSuccessfulTests(12)
+    .withInitialSeed(org.scalacheck.rng.Seed(42L))
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(params, p)
+    assert(res.passed, res.status.toString)
+  }
+
+  // printable-ascii words + assorted whitespace, the token-contract domain
+  private val wordGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+  private val wsGen = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+  private val textGen: Gen[String] = for {
+    words <- Gen.listOfN(8, wordGen)
+    seps <- Gen.listOfN(8, wsGen)
+    lead <- wsGen
+  } yield lead + words.zip(seps).map { case (w, s) => w + s }.mkString
+
+  test("tokens == lowercased non-empty whitespace-split chunks (vs driver reference)") {
+    check(Prop.forAll(Gen.listOfN(40, textGen)) { texts =>
+      val got = texts.toDF("s").select(TextOps.tokens($"s").as("t"))
+        .as[Seq[String]].collect()
+      val want = texts.map(_.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+      got.toSeq == want
+    })
+  }
+
+  test("shingles3 == tokens.sliding(3) (vs driver reference)") {
+    check(Prop.forAll(Gen.listOfN(30, textGen)) { texts =>
+      val got = texts.toDF("s")
+        .select(TextOps.shingles3(TextOps.tokens($"s")).as("sh"))
+        .as[Seq[String]].collect()
+      val want = texts.map { s =>
+        val t = s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        if (t.size < 3) Seq.empty[String]
+        else t.sliding(3).map(_.mkString(" ")).toSeq
+      }
+      got.toSeq == want
+    })
+  }
+
+  private val vecGen: Gen[Seq[Float]] =
+    Gen.listOfN(16, Gen.choose(-10.0f, 10.0f))
+      .map(_.toSeq).suchThat(v => v.exists(x => math.abs(x) > 0.01f))
+
+  test("cosine: self-similarity 1, symmetry, positive-scale invariance") {
+    check(Prop.forAll(Gen.listOfN(20, Gen.zip(vecGen, vecGen, Gen.choose(0.1f, 8.0f)))) { triples =>
+      val df = triples.toDF("a", "b", "s")
+        .select(
+          Similarity.cosine($"a", $"a").as("self"),
+          Similarity.cosine($"a", $"b").as("ab"),
+          Similarity.cosine($"b", $"a").as("ba"),
+          Similarity.cosine(transform($"a", x => x * $"s"), $"b").as("scaled"))
+        .collect()
+      df.forall { r =>
+        math.abs(r.getDouble(0) - 1.0) < 1e-6 &&
+          math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-12 &&
+          math.abs(r.getDouble(1) - r.getDouble(3)) < 1e-5
+      }
+    })
+  }
+
+  test("deterministic dedup is idempotent and input-order invariant") {
+    val rowGen = Gen.zip(Gen.choose(0, 5), Gen.identifier, Gen.choose(0, 100))
+    check(Prop.forAll(Gen.listOfN(30, rowGen)) { rows =>
+      rows.nonEmpty ==> {
+        def dedup(xs: Seq[(Int, String, Int)]) =
+          xs.toDF("k", "v", "ord")
+            .groupBy($"k").agg(min(struct($"ord", $"v")).as("m"))
+            .select($"k", $"m.v".as("v")).orderBy($"k")
+            .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+        val once = dedup(rows)
+        dedup(scala.util.Random.shuffle(rows)) == once
+      }
+    })
+  }
+
+  test("date derivation inverts: to_date(date_format(ts)) == to_date(ts)") {
+    val tsGen = Gen.choose(0L, 4102444800L) // 1970..2100 epoch seconds
+    check(Prop.forAll(Gen.listOfN(40, tsGen)) { secs =>
+      val df = secs.toDF("sec")
+        .select(timestamp_seconds($"sec").as("ts"))
+        .select(
+          to_date(date_format($"ts", "yyyy-MM-dd")).as("via_string"),
+          to_date($"ts").as("direct"))
+      df.filter($"via_string" =!= $"direct").count() == 0
+    })
+  }
+
+  test("sessionization: event conservation + gap bounds (vs driver fold)") {
+    val evGen = Gen.zip(Gen.choose(1, 3), Gen.choose(0L, 20000L), Gen.choose(0.0, 9.0))
+    check(Prop.forAll(Gen.listOfN(40, evGen)) { evs =>
+      evs.nonEmpty ==> {
+        val rows = evs.zipWithIndex.map { case ((u, off, v), i) =>
+          (u.toLong, i.toLong, new java.sql.Timestamp(1600000000000L + off * 1000L),
+            math.round(v * 100.0) / 100.0)
+        }
+        val out = graft.extensions.Sessionize.sessions(
+          rows.toDF("user_id", "event_id", "ts", "value"), "user_id", "ts", 1800L)
+          .collect()
+        val nOut = out.map(_.getAs[Long]("n_events")).sum
+        // driver-side reference: sort per user, fold on gap > 1800s
+        val wantSessions = rows.groupBy(_._1).map { case (_, es) =>
+          val ts = es.map(_._3.getTime).sorted
+          1 + ts.sliding(2).count { case Seq(a, b) => b - a > 1800000L; case _ => false }
+        }.sum
+        nOut == rows.size && out.length == wantSessions
+      }
+    })
+  }
+}
