@@ -135,6 +135,49 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** End-to-end corpus dedup pass — the composition an LLM-data pipeline
+    * actually runs: (1) exact-dup groups collapse to their min-id
+    * representative; (2) MinHash+LSH proposes candidate near-dup pairs among
+    * the survivors; (3) candidates are VERIFIED with exact shingle-set
+    * Jaccard (only candidate pairs pay the verify cost); (4) greedy keep
+    * policy drops the larger id of every verified pair (deterministic,
+    * one-pass; full transitive clustering would need iterative connected
+    * components — see scaladoc note). Returns the kept doc ids.
+    *
+    * 100 TB shape: two linear scan+agg passes (fingerprints, signatures), the
+    * tiny LSH bucket join, and a verify join that touches only candidate
+    * pairs' shingle rows.
+    */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.5, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    // (1) exact collapse
+    val reps = docs
+      .select(col(idCol), md5(TextOps.normalized(col(textCol))).as("__fp"))
+      .groupBy("__fp").agg(min(col(idCol)).as(idCol))
+      .join(docs, idCol)
+      .select(col(idCol), col(textCol))
+    // (2) LSH candidates among representatives
+    val cand = lshCandidatePairs(reps, idCol, textCol, numHashes, bands)
+    // (3) exact Jaccard verify, restricted to candidate pairs
+    val ds = reps
+      .select(col(idCol).as("doc"), explode(TextOps.shingles3(TextOps.tokens(col(textCol)))).as("sh"))
+      .select(col("doc"), xxhash64(col("sh")).as("sh"))
+      .distinct()
+    val sizes = ds.groupBy("doc").agg(count(lit(1)).as("n"))
+    // equi-join on (id, shingle) both times → one row per common shingle
+    val inter = cand
+      .join(ds.toDF("id_a", "sh"), "id_a")
+      .join(ds.toDF("id_b", "sh"), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    val verified = inter
+      .join(sizes.toDF("id_a", "na"), "id_a")
+      .join(sizes.toDF("id_b", "nb"), "id_b")
+      .filter(round(col("i") / (col("na") + col("nb") - col("i")), 4) >= minJaccard)
+    // (4) greedy keep: drop the larger id of each verified near-dup pair
+    reps.select(col(idCol))
+      .join(verified.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-dup: pairs within a blocking key whose cosine similarity
     * (computed in double, sequential like the oracle) meets the threshold.
     */

@@ -1,0 +1,49 @@
+package graft.extensions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation operators for hot keys at 100 TB. AQE's skew-join
+  * handling (on by default in Spark 4) covers sort-merge joins adaptively;
+  * these cover the two shapes AQE does not: aggregation skew (one giant
+  * group serializing into one reducer) and broadcast-infeasible hot-key
+  * joins where the build side is too big to broadcast but the probe side's
+  * key distribution is pathological.
+  *
+  * Salts are derived from `monotonically_increasing_id` — the salt value
+  * never affects the RESULT (stage 2 merges across salts; the join
+  * replicates the small side per salt), only the shuffle distribution, so
+  * determinism of output is preserved.
+  */
+object Skew {
+
+  /** Salted sum/count (two-stage aggregation packaged end-to-end): returns
+    * `keys..., sum_<valueCol>, count_rows` with the same values a plain
+    * groupBy would produce, but no single-reducer hot key.
+    */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
+      buckets: Int = 32): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(buckets)))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__psum")).as(s"sum_$valueCol"), sum(col("__pcnt")).as("count_rows"))
+  }
+
+  /** Salted equi-join for a skewed probe side against a non-broadcastable
+    * build side: probe rows get a salt in [0, buckets); the build side is
+    * replicated once per salt value; the join key becomes (key, salt). Result
+    * rows are exactly those of `probe.join(build, keys)` — each probe row
+    * matches exactly one replica of each matching build row.
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+      buckets: Int = 8): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val saltedProbe = probe.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(buckets)).cast("int"))
+    val saltedBuild = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedProbe.join(saltedBuild, keys :+ "__salt").drop("__salt")
+  }
+}

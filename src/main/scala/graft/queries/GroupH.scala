@@ -380,6 +380,61 @@ object GroupH {
       .orderBy("query_id", "rank")
   }
 
+  /** End-to-end corpus dedup: exact collapse → LSH candidates → exact
+    * Jaccard verify (candidates only) → greedy keep-list. The oracle is the
+    * literal composition of h1's fingerprint, h5's MinHash/LSH, and h6's
+    * Jaccard CTEs.
+    */
+  val h16 = Q(
+    "h16_dedup_corpus_keep",
+    """WITH fp AS (
+      |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |reps AS (
+      |  SELECT d.doc_id, d.text
+      |  FROM documents d
+      |  JOIN (SELECT fp, min(doc_id) AS doc_id FROM fp GROUP BY fp) k
+      |    ON d.doc_id = k.doc_id),
+      |tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             t -> len(t) > 0) AS toks
+      |  FROM reps),
+      |base AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 3),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      |  FROM base),
+      |ks AS (SELECT unnest(generate_series(0, 15)) AS k),
+      |mh AS (
+      |  SELECT doc_id, k, min(md5(k::VARCHAR || ':' || shingle)) AS m
+      |  FROM sh CROSS JOIN ks GROUP BY doc_id, k),
+      |sig AS (
+      |  SELECT doc_id, k // 4 AS band, md5(string_agg(m, '' ORDER BY k)) AS bucket
+      |  FROM mh GROUP BY doc_id, k // 4),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sig a JOIN sig b ON a.band = b.band AND a.bucket = b.bucket
+      |    AND a.doc_id < b.doc_id),
+      |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.id_a, c.id_b, count(*) AS i
+      |  FROM cand c
+      |  JOIN ds x ON x.doc_id = c.id_a
+      |  JOIN ds y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+      |  GROUP BY c.id_a, c.id_b),
+      |drop_ids AS (
+      |  SELECT DISTINCT id_b FROM inter
+      |  JOIN sizes sa ON id_a = sa.doc_id
+      |  JOIN sizes sb ON id_b = sb.doc_id
+      |  WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) >= 0.5)
+      |SELECT r.doc_id FROM reps r
+      |WHERE r.doc_id NOT IN (SELECT id_b FROM drop_ids)
+      |ORDER BY r.doc_id""".stripMargin) { (s, d) =>
+    Dedup.dedupCorpus(Tables.documents(s, d), "doc_id", "text", minJaccard = 0.5)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
-    Seq(h1, h2, h3, h4, h5, h6, h7, h8, h9, h10, h11, h12, h13, h14, h15)
+    Seq(h1, h2, h3, h4, h5, h6, h7, h8, h9, h10, h11, h12, h13, h14, h15, h16)
 }
