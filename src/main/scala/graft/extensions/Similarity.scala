@@ -113,8 +113,19 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
-  /** `nPlanes`-bit signature of a vector under one LSH table. */
-  def lshSignature(vec: Column, table: Int, nPlanes: Int): Column = {
+  /** `nPlanes`-bit signature of a vector under one LSH table — the native
+    * codegen'd graft.functions.HyperplaneSignature (bit-compatible with
+    * [[lshSignatureHof]], asserted in SimilaritySpec).
+    */
+  def lshSignature(vec: Column, table: Int, nPlanes: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.HyperplaneSignature(
+        org.apache.spark.sql.GraftColumnBridge.expression(vec), table, nPlanes))
+
+  /** Reference HOF formulation of [[lshSignature]] (kept for the parity
+    * test; nPlanes interpreted aggregates per row).
+    */
+  def lshSignatureHof(vec: Column, table: Int, nPlanes: Int): Column = {
     val vd = transform(vec, x => x.cast("double"))
     val bits = (0 until nPlanes).map { p =>
       val dot = aggregate(

@@ -9,7 +9,20 @@ import graft.sources.Bucketing
   */
 class BucketingSpec extends SparkSpec {
 
+  private def dropTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    // the in-memory catalog forgets tables across JVMs but the warehouse
+    // directory persists — remove it so saveAsTable can recreate
+    val dir = new java.io.File(s"spark-warehouse/$name")
+    if (dir.exists()) {
+      dir.listFiles().foreach(_.delete())
+      dir.delete()
+    }
+  }
+
   test("bucketed fact-fact join eliminates both shuffle exchanges") {
+    dropTable("b_orders")
+    dropTable("b_lineitem")
     val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
     val lineitem = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     Bucketing.writeBucketed(orders, "b_orders", Seq("o_orderkey"), 4, Seq("o_orderkey"))

@@ -57,6 +57,14 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r) < 1e-12)
   }
 
+  test("native hyperplane signature == HOF signature bit-for-bit") {
+    val both = embs.select(
+      Similarity.lshSignature(col("embedding"), table = 1, nPlanes = 6).as("fast"),
+      Similarity.lshSignatureHof(col("embedding"), table = 1, nPlanes = 6).as("hof"))
+    assert(both.filter(col("fast") =!= col("hof")).count() === 0)
+    assert(both.filter(col("fast").isNull).count() === 0)
+  }
+
   test("LSH ANN recall vs brute force") {
     val qs = embs.filter(col("vec_id") < 8)
     val exact = Similarity.bruteForceTopK(embs, qs, "vec_id", "embedding", 5)
