@@ -90,4 +90,33 @@ object TextAnalysis {
       md5(TextOps.normalized(col(textCol))).as("content_fp"),
       md5(concat_ws(" ", slice(toks, 1, 5))).as("prefix_fp"))
   }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash
+    * every 3-gram shingle, slide a window of `w` consecutive hashes, keep
+    * each window's minimum — the selected hash set is a position-robust
+    * document fingerprint (guaranteed to share hashes with any copy that
+    * overlaps by ≥ w+2 tokens).
+    *
+    * Relational shape: posexplode shingles (scan-side), one md5 per shingle,
+    * a `min over (partition by doc order by pos rows w-1 following)` window,
+    * distinct. One shuffle on doc id; window state is w rows.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 4): DataFrame = {
+    require(w > 0, "window must be positive")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+    val hashed = docs
+      .select(col(idCol),
+        posexplode(TextOps.shingles3(TextOps.tokens(col(textCol)))).as(Seq("__pos", "__sh")))
+      .withColumn("__h", md5(col("__sh")))
+      .withColumn("__n", count(lit(1)).over(win.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .withColumn("__winmin", min(col("__h")).over(win.rowsBetween(0, w - 1)))
+    hashed
+      .filter(col("__pos") <= col("__n") - w) // full windows only
+      .select(col(idCol), col("__winmin").as("fp"))
+      .distinct()
+  }
 }

@@ -435,6 +435,33 @@ object GroupH {
       .orderBy("doc_id")
   }
 
+  /** Winnowing fingerprints (window-min over shingle hashes) — the rolling
+    * document-fingerprinting scheme; oracle mirrors the window algebra.
+    */
+  val h17 = Q(
+    "h17_winnow_fingerprints",
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |base AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 3),
+      |sh AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS h
+      |  FROM base, unnest(generate_series(1, len(toks) - 2)) AS u(i)),
+      |winmin AS (
+      |  SELECT doc_id, pos,
+      |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+      |    count(*) OVER (PARTITION BY doc_id) AS n
+      |  FROM sh)
+      |SELECT DISTINCT doc_id, fp FROM winmin
+      |WHERE pos <= n - 4
+      |ORDER BY doc_id, fp""".stripMargin) { (s, d) =>
+    TextAnalysis.winnowFingerprints(Tables.documents(s, d), "doc_id", "text", w = 4)
+      .orderBy("doc_id", "fp")
+  }
+
   val all: Seq[Q] =
-    Seq(h1, h2, h3, h4, h5, h6, h7, h8, h9, h10, h11, h12, h13, h14, h15, h16)
+    Seq(h1, h2, h3, h4, h5, h6, h7, h8, h9, h10, h11, h12, h13, h14, h15, h16, h17)
 }
