@@ -462,6 +462,85 @@ object GroupH {
       .orderBy("doc_id", "fp")
   }
 
+  /** As-of join: each purchase event enriched with the user's most recent
+    * click at or before it (ties → larger event_id; left outer). Spark runs
+    * the union+window formulation (one shuffle); the oracle is the
+    * obviously-correct LATERAL top-1 — agreeing results prove the scalable
+    * shape implements the declarative semantics.
+    */
+  val h18 = Q(
+    "h18_asof_purchase_click",
+    """WITH l AS (
+      |  SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |r AS (
+      |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click')
+      |SELECT l.user_id, l.event_id,
+      |  strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+      |  round(l.value, 2) AS value,
+      |  m.click_event_id,
+      |  strftime(m.click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts_s,
+      |  CAST(date_diff('second', m.click_ts, l.ts) AS BIGINT) AS gap_s
+      |FROM l LEFT JOIN LATERAL (
+      |  SELECT r.event_id AS click_event_id, r.ts AS click_ts
+      |  FROM r
+      |  WHERE r.user_id = l.user_id AND r.ts <= l.ts
+      |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) m ON TRUE
+      |ORDER BY l.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "event_id", "ts")
+    graft.extensions.AsOf.asOfJoin(purchases, clicks,
+      keyCols = Seq("user_id"), tsCol = "ts", tieCol = "event_id",
+      payloadCols = Seq("event_id", "ts"))
+      .select(
+        col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        round(col("value"), 2).as("value"),
+        col("asof_event_id").as("click_event_id"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts_s"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("asof_ts")))
+          .cast("long").as("gap_s"))
+      .orderBy("event_id")
+  }
+
+  /** Deterministic distinct-count sketch: linear counting over 16-bit md5
+    * buckets. Unlike HLL (engine-specific sketches), the bucket set is a
+    * pure function of the values, so Spark and DuckDB agree exactly — the
+    * estimate is auditable against the true distinct count in the output.
+    */
+  val h19 = Q(
+    "h19_distinct_sketch",
+    """WITH b AS (
+      |  SELECT DISTINCT l_returnflag AS flag,
+      |    substr(md5(CAST(l_partkey AS VARCHAR)), 1, 4) AS bucket
+      |  FROM lineitem),
+      |c AS (SELECT flag, count(*) AS n_buckets FROM b GROUP BY flag),
+      |x AS (SELECT l_returnflag AS flag, count(DISTINCT l_partkey) AS exact_nd
+      |      FROM lineitem GROUP BY l_returnflag)
+      |SELECT c.flag, c.n_buckets,
+      |  CAST(floor(-65536.0 * ln(1.0 - n_buckets / 65536.0) + 0.5) AS BIGINT)
+      |    AS est_nd,
+      |  x.exact_nd
+      |FROM c JOIN x ON c.flag = x.flag
+      |ORDER BY c.flag""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val buckets = li.select(col("l_returnflag").as("flag"),
+      substring(md5(col("l_partkey").cast("string")), 1, 4).as("bucket"))
+      .distinct()
+      .groupBy("flag").agg(count(lit(1)).as("n_buckets"))
+    val exact = li.groupBy(col("l_returnflag").as("flag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_nd"))
+    buckets.join(exact, "flag")
+      .select(col("flag"), col("n_buckets"),
+        floor(lit(-65536.0) * log(lit(1.0) - col("n_buckets") / 65536.0) + 0.5)
+          .cast("long").as("est_nd"),
+        col("exact_nd"))
+      .orderBy("flag")
+  }
+
   val all: Seq[Q] =
-    Seq(h1, h2, h3, h4, h5, h6, h7, h8, h9, h10, h11, h12, h13, h14, h15, h16, h17)
+    Seq(h1, h2, h3, h4, h5, h6, h7, h8, h9, h10, h11, h12, h13, h14, h15, h16,
+      h17, h18, h19)
 }
