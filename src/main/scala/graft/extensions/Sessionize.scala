@@ -15,7 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
-  def sessions(events: DataFrame, userCol: String, tsCol: String,
+  /** Session intervals with FULL-precision timestamp bounds (µs) — the form
+    * downstream temporal operators (e.g. range joins) must consume; the
+    * formatted [[sessions]] view truncates bounds to seconds for display.
+    */
+  def sessionIntervals(events: DataFrame, userCol: String, tsCol: String,
       gapSeconds: Long, eventIdCol: String = "event_id",
       valueCol: String = "value"): DataFrame = {
     val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col(eventIdCol))
@@ -31,8 +35,17 @@ object Sessionize {
       .groupBy(col(userCol), col("session_n"))
       .agg(
         count(lit(1)).as("n_events"),
-        date_format(min(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("start_s"),
-        date_format(max(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("end_s"),
+        min(col(tsCol)).as("s_start"),
+        max(col(tsCol)).as("s_end"),
         round(sum(col(valueCol)), 2).as("total_value"))
   }
+
+  def sessions(events: DataFrame, userCol: String, tsCol: String,
+      gapSeconds: Long, eventIdCol: String = "event_id",
+      valueCol: String = "value"): DataFrame =
+    sessionIntervals(events, userCol, tsCol, gapSeconds, eventIdCol, valueCol)
+      .select(col(userCol), col("session_n"), col("n_events"),
+        date_format(col("s_start"), "yyyy-MM-dd HH:mm:ss").as("start_s"),
+        date_format(col("s_end"), "yyyy-MM-dd HH:mm:ss").as("end_s"),
+        col("total_value"))
 }

@@ -540,7 +540,51 @@ object GroupH {
       .orderBy("flag")
   }
 
+  /** Banded range join: every event matched back into its session interval
+    * (from the h4 sessionization) via bucketed interval join. Spark runs the
+    * banded equi-join; the oracle is the declarative BETWEEN join. Matching
+    * n_matched == n_events per session is the built-in self-consistency
+    * check (every event falls in exactly one session of its user).
+    */
+  val h20 = Q(
+    "h20_point_in_session_range_join",
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+      |         WHEN date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1
+      |         ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, event_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_n
+      |  FROM g),
+      |sess AS (
+      |  SELECT user_id, CAST(session_n AS BIGINT) AS session_n,
+      |    count(*) AS n_events, min(ts) AS s_start, max(ts) AS s_end
+      |  FROM s GROUP BY user_id, session_n)
+      |SELECT sess.user_id, sess.session_n, sess.n_events,
+      |  count(e.event_id) AS n_matched
+      |FROM sess JOIN events e
+      |  ON e.user_id = sess.user_id AND e.ts BETWEEN sess.s_start AND sess.s_end
+      |GROUP BY sess.user_id, sess.session_n, sess.n_events
+      |ORDER BY sess.user_id, sess.session_n""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    // full-precision bounds: second-truncated display bounds would miss
+    // boundary events carrying microseconds
+    val sess = Sessionize.sessionIntervals(ev, "user_id", "ts", 1800L)
+      .select("user_id", "session_n", "n_events", "s_start", "s_end")
+    graft.extensions.RangeJoin.bandedRangeJoin(
+      ev.select(col("user_id"), col("event_id"), col("ts")), sess,
+      keyCols = Seq("user_id"), tsCol = "ts",
+      startCol = "s_start", endCol = "s_end", bucketSeconds = 3600L)
+      .groupBy("user_id", "session_n", "n_events")
+      .agg(count(col("event_id")).as("n_matched"))
+      .orderBy("user_id", "session_n")
+  }
+
   val all: Seq[Q] =
     Seq(h1, h2, h3, h4, h5, h6, h7, h8, h9, h10, h11, h12, h13, h14, h15, h16,
-      h17, h18, h19)
+      h17, h18, h19, h20)
 }
