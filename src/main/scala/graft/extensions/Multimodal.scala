@@ -1,6 +1,6 @@
 package graft.extensions
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
 /** One media object: opaque binary payload + routing metadata. At 100 TB the
@@ -86,7 +86,6 @@ object Multimodal {
     * path; a real pipeline reads (id, kind, payload) parquet directly.
     */
   def toMedia(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
-    val spark = docs.sparkSession
     implicit val enc = Encoders.product[MediaRow]
     docs.select(
       col(idCol).cast("long").as("media_id"),
