@@ -144,18 +144,25 @@ object Dedup {
     * one-pass; full transitive clustering would need iterative connected
     * components — see scaladoc note). Returns the kept doc ids.
     *
-    * 100 TB shape: two linear scan+agg passes (fingerprints, signatures), the
-    * tiny LSH bucket join, and a verify join that touches only candidate
-    * pairs' shingle rows.
+    * 100 TB shape: the `reps` survivor set feeds three consumers (signature
+    * pass, verify-stage shingle set, final keep-list), so without reuse the
+    * corpus is scanned and fingerprinted once per consumer and tokenized
+    * twice. Pass `persistIntermediate = true` to persist `reps` (and the
+    * distinct shingle set) across those consumers — at real scale you would
+    * instead materialize `reps` to a bucketed table between stages. The
+    * LSH bucket join itself is tiny ((id, bucket) pairs), and the verify
+    * join touches only candidate pairs' shingle rows.
     */
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
-      minJaccard: Double = 0.5, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+      minJaccard: Double = 0.5, numHashes: Int = 16, bands: Int = 4,
+      persistIntermediate: Boolean = false): DataFrame = {
     // (1) exact collapse
-    val reps = docs
+    val reps0 = docs
       .select(col(idCol), md5(TextOps.normalized(col(textCol))).as("__fp"))
       .groupBy("__fp").agg(min(col(idCol)).as(idCol))
       .join(docs, idCol)
       .select(col(idCol), col(textCol))
+    val reps = if (persistIntermediate) reps0.persist() else reps0
     // (2) LSH candidates among representatives
     val cand = lshCandidatePairs(reps, idCol, textCol, numHashes, bands)
     // (3) exact Jaccard verify, restricted to candidate pairs

@@ -52,7 +52,9 @@ object Multimodal {
   /** Deterministic fake codec (see STUB BOUNDARY above). Formulas:
     *   width    = 16 + n_bytes mod 64          (image/video; 0 for audio)
     *   height   = 16 + (n_bytes * 7) mod 64    (image/video; 0 for audio)
-    *   n_frames = image → 1, audio → 0, video → 1 + n_bytes div 256
+    *   n_frames = image → 1, audio → 0, video → ceil(n_bytes / 256)
+    *              (== frames(m, 256).size — metadata and frame sampling must
+    *              agree; MultimodalSpec cross-checks them)
     *   frame i  = payload[i*everyN ... min((i+1)*everyN, n)-1]
     *   feature  = L2-normalized folded byte sums over `dim` strides
     */
@@ -62,7 +64,7 @@ object Multimodal {
       m.kind match {
         case "image" => MediaMeta(m.media_id, m.kind, n, 16 + n % 64, 16 + (n * 7) % 64, 1L)
         case "audio" => MediaMeta(m.media_id, m.kind, n, 0L, 0L, 0L)
-        case _       => MediaMeta(m.media_id, m.kind, n, 16 + n % 64, 16 + (n * 7) % 64, 1L + n / 256)
+        case _       => MediaMeta(m.media_id, m.kind, n, 16 + n % 64, 16 + (n * 7) % 64, (n + 255) / 256)
       }
     }
     def frames(m: MediaRow, everyNBytes: Int): Iterator[MediaFrame] =

@@ -51,30 +51,11 @@ object TextOps {
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
-  /** One MinHash value: min over shingles of md5(k ++ ":" ++ shingle).
-    * md5-hex strings compare lexicographically identically in Spark and
-    * DuckDB, so the whole signature is engine-portable.
-    */
-  def minhash(shingleArr: Column, k: Int): Column =
-    array_min(transform(shingleArr, sh => md5(concat(lit(s"$k:"), sh))))
-
-  /** One SimHash bit column (+1/-1 votes summed over tokens; bit j is set by
-    * the j-th hex digit of each token's md5 — high nibble bit — weighted by
-    * token multiplicity).
-    */
-  def simhashVote(toks: Column, j: Int): Column =
-    aggregate(
-      transform(toks, t =>
-        when(substring(md5(t), j, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
-          .otherwise(-1)),
-      lit(0), (acc, v) => acc + v)
-
-  /** 16-bit SimHash rendered as a bit-string (portable across engines —
-    * no integer bit twiddling needed).
-    */
-  def simhash16(toks: Column): Column =
-    concat((1 to 16).map(j => when(simhashVote(toks, j) >= 0, "1").otherwise("0"))
-      .map(c => c.cast("string")): _*)
+  // NOTE: the minhash / simhash FORMULAS (md5("k:" ++ shingle) min; ±1 votes
+  // from md5 hex-nibble high bits) live in Dedup.minhashSignatures and
+  // Dedup.simhashes as explode+aggregate pipelines — the array-shaped HOF
+  // helpers that used to sit here were deleted when those rewrites landed
+  // (two divergent copies of an oracle-mirrored formula is a hazard).
 
   /** Per-language stopword marker sets for the n-gram/stopword language-ID
     * heuristic (public common function words).

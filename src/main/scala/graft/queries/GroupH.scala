@@ -318,7 +318,7 @@ object GroupH {
       |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 16 + strlen(text) % 64 END AS BIGINT) AS width,
       |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 16 + (strlen(text) * 7) % 64 END AS BIGINT) AS height,
       |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 WHEN doc_id % 3 = 1 THEN 0
-      |       ELSE 1 + strlen(text) // 256 END AS BIGINT) AS n_frames
+      |       ELSE ceil(strlen(text) / 256.0) END AS BIGINT) AS n_frames
       |FROM documents
       |ORDER BY media_id""".stripMargin) { (s, d) =>
     graft.extensions.Multimodal
@@ -520,8 +520,9 @@ object GroupH {
       |x AS (SELECT l_returnflag AS flag, count(DISTINCT l_partkey) AS exact_nd
       |      FROM lineitem GROUP BY l_returnflag)
       |SELECT c.flag, c.n_buckets,
-      |  CAST(floor(-65536.0 * ln(1.0 - n_buckets / 65536.0) + 0.5) AS BIGINT)
-      |    AS est_nd,
+      |  CASE WHEN c.n_buckets >= 65536 THEN NULL
+      |       ELSE CAST(floor(-65536.0 * ln(1.0 - n_buckets / 65536.0) + 0.5) AS BIGINT)
+      |  END AS est_nd,
       |  x.exact_nd
       |FROM c JOIN x ON c.flag = x.flag
       |ORDER BY c.flag""".stripMargin) { (s, d) =>
@@ -534,7 +535,11 @@ object GroupH {
       .agg(countDistinct(col("l_partkey")).as("exact_nd"))
     buckets.join(exact, "flag")
       .select(col("flag"), col("n_buckets"),
-        floor(lit(-65536.0) * log(lit(1.0) - col("n_buckets") / 65536.0) + 0.5)
+        // saturation guard: all buckets occupied → ln(0) = -Inf, which casts
+        // to garbage in Spark and errors in DuckDB — a saturated sketch has
+        // no estimate (null), it needs more buckets
+        when(col("n_buckets") >= 65536, lit(null))
+          .otherwise(floor(lit(-65536.0) * log(lit(1.0) - col("n_buckets") / 65536.0) + 0.5))
           .cast("long").as("est_nd"),
         col("exact_nd"))
       .orderBy("flag")

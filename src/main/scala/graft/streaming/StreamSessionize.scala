@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 import java.time.format.DateTimeFormatter
-import java.time.ZoneOffset
+import java.time.ZoneId
 
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -17,70 +17,109 @@ case class SessEvent(user_id: Long, event_id: Long, ts: Timestamp, value: Double
 case class SessionOut(user_id: Long, session_n: Long, n_events: Long,
     start_s: String, end_s: String, total_value: Double)
 
-/** Per-user state: sessions already emitted (for continued numbering) and
-  * the buffered not-yet-finalized events as (tsMicros, eventId, value).
+/** One open (not yet watermark-closed) session as a mergeable aggregate:
+  * [minUs, maxUs] span, event count, value sum, and the min event_id at the
+  * min/max bounds (the batch tiebreak never affects these outputs, but the
+  * bounds themselves must be exact).
   */
-case class SessBuffer(nEmitted: Long, events: List[(Long, Long, Double)])
+case class OpenSession(minUs: Long, maxUs: Long, n: Long, sum: Double)
+
+/** Per-user state: number of sessions already emitted (numbering continues
+  * across emissions) and the open-session aggregates, ascending by span.
+  */
+case class SessBuffer(nEmitted: Long, open: List[OpenSession])
 
 /** Gap-based sessionization over an unbounded stream via
   * `flatMapGroupsWithState` + event-time timeout.
   *
-  * Correctness under out-of-order arrival: events are BUFFERED per user until
-  * the watermark passes (max buffered ts + gap). At that point no future
-  * event can extend or split the buffered span — any event still admissible
-  * under the watermark has ts ≥ watermark ≥ maxTs + gap, i.e. it starts a new
-  * session — so the buffer is sessionized exactly like the batch formulation
-  * (sorted by (ts, event_id)) and emitted. Per-user state is the event buffer
-  * of at most one watermark horizon — bounded, independent of stream length.
+  * State is NOT a buffer of raw events: session membership is a closure over
+  * the pairwise gap relation, and adding an event can only extend or merge
+  * sessions — never split one — so each open session compacts exactly to
+  * (min, max, count, sum). Late events (admissible under the watermark)
+  * either join/merge existing aggregates or open a new one. A session is
+  * emitted once the watermark passes `max + gap` (no admissible future event
+  * can join it, because sessions are gap-separated and the closure property
+  * is prefix-monotone in time). Per-user state is therefore O(open
+  * sessions) ≤ watermark-horizon / gap + 1 — bounded regardless of how long
+  * a user stays active.
+  *
+  * Gap semantics match the batch operator exactly: the batch formulation
+  * compares `unix_timestamp` values (second-TRUNCATED), so two events
+  * 1800.1 s apart can still share a session; the merge test here truncates
+  * epoch-micros to seconds the same way. Output timestamps are formatted in
+  * the session time zone captured from the SparkSession at plan time (the
+  * batch `date_format` uses the same conf).
   */
 object StreamSessionize {
 
-  private val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
-    .withZone(ZoneOffset.UTC)
+  private def fmtMicros(us: Long, zone: String): String =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(ZoneId.of(zone))
+      .format(java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))
 
-  private def fmtMicros(us: Long): String =
-    fmt.format(java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))
+  /** Batch-equivalent gap test: floor-to-second difference exceeds the gap. */
+  private def gapExceeded(aUs: Long, bUs: Long, gapSeconds: Long): Boolean =
+    (bUs / 1000000L) - (aUs / 1000000L) > gapSeconds
 
-  /** Split buffered events (sorted by ts, event_id) into gap-delimited
-    * sessions, numbering from `from + 1`.
+  /** Fold one event timestamp into the ordered open-session list: join an
+    * overlapping-or-within-gap neighbor (merging neighbors that the new
+    * event bridges) or insert a fresh singleton.
     */
-  private[streaming] def sessionsOf(user: Long, buf: List[(Long, Long, Double)],
-      gapSeconds: Long, from: Long): List[SessionOut] = {
-    val sorted = buf.sortBy(e => (e._1, e._2))
-    if (sorted.isEmpty) Nil
-    else {
-      val groups = sorted.tail.foldLeft(List(List(sorted.head))) { (acc, e) =>
-        if (e._1 - acc.head.head._1 > gapSeconds * 1000000L) List(e) :: acc
-        else (e :: acc.head) :: acc.tail
-      }.map(_.reverse).reverse
-      groups.zipWithIndex.map { case (g, i) =>
-        val total = BigDecimal(g.map(_._3).sum)
-          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
-        SessionOut(user, from + i + 1, g.size.toLong,
-          fmtMicros(g.head._1), fmtMicros(g.last._1), total)
+  private[streaming] def addEvent(open: List[OpenSession], tsUs: Long,
+      value: Double, gapSeconds: Long): List[OpenSession] = {
+    val single = OpenSession(tsUs, tsUs, 1L, value)
+    val (before, after) = open.partition(_.minUs <= tsUs)
+    // candidates to merge: the last session starting at/before ts, and the
+    // first session starting after ts
+    var merged = single
+    var keepBefore = before
+    var keepAfter = after
+    before.lastOption.foreach { p =>
+      if (tsUs <= p.maxUs || !gapExceeded(p.maxUs, tsUs, gapSeconds)) {
+        merged = OpenSession(p.minUs, math.max(p.maxUs, tsUs), p.n + 1, p.sum + value)
+        keepBefore = before.init
       }
     }
+    after.headOption.foreach { nx =>
+      if (!gapExceeded(merged.maxUs, nx.minUs, gapSeconds)) {
+        merged = OpenSession(merged.minUs, math.max(merged.maxUs, nx.maxUs),
+          merged.n + nx.n, merged.sum + nx.sum)
+        keepAfter = after.tail
+      }
+    }
+    keepBefore ::: merged :: keepAfter
   }
 
-  private def update(gapSeconds: Long)(user: Long, rows: Iterator[SessEvent],
+  private def toOut(user: Long, s: OpenSession, num: Long, zone: String): SessionOut =
+    SessionOut(user, num, s.n,
+      fmtMicros(s.minUs, zone), fmtMicros(s.maxUs, zone),
+      BigDecimal(s.sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+  private def update(gapSeconds: Long, zone: String)(user: Long,
+      rows: Iterator[SessEvent],
       state: GroupState[SessBuffer]): Iterator[SessionOut] = {
     val prev = state.getOption.getOrElse(SessBuffer(0L, Nil))
-    if (state.hasTimedOut) {
-      // Watermark passed maxTs + gap: every buffered event is finalizable.
-      val out = sessionsOf(user, prev.events, gapSeconds, prev.nEmitted)
-      state.update(SessBuffer(prev.nEmitted + out.size, Nil))
-      out.iterator
-    } else {
-      val incoming = rows.map(e => (e.ts.getTime * 1000L +
-        (e.ts.getNanos / 1000L) % 1000L, e.event_id, e.value)).toList
-      val buf = prev.events ++ incoming
-      state.update(SessBuffer(prev.nEmitted, buf))
-      if (buf.nonEmpty) {
-        val maxTsMs = buf.map(_._1).max / 1000L
-        state.setTimeoutTimestamp(maxTsMs + gapSeconds * 1000L)
-      }
-      Iterator.empty
+    val withNew = rows.foldLeft(prev.open) { (acc, e) =>
+      val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+      addEvent(acc, us, e.value, gapSeconds)
     }
+    // a session is final once the watermark passes max + gap; closure is
+    // prefix-monotone (sessions are gap-separated in time)
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val (closed, stillOpen) = withNew.span(s =>
+      state.getCurrentWatermarkMs() > 0 && gapExceeded(s.maxUs, wmUs, gapSeconds))
+    val out = closed.zipWithIndex.map { case (s, i) =>
+      toOut(user, s, prev.nEmitted + i + 1, zone)
+    }
+    state.update(SessBuffer(prev.nEmitted + closed.size, stillOpen))
+    // the earliest open session closes when floor(wm_s) > floor(max_s) + gap,
+    // i.e. at wall-clock second (floor(max_s) + gap + 1) exactly — computing
+    // that boundary (not max_ms + gap) keeps the timeout strictly ahead of
+    // any watermark that has not yet closed the session
+    stillOpen.headOption.foreach { s =>
+      state.setTimeoutTimestamp((s.maxUs / 1000000L + gapSeconds + 1L) * 1000L)
+    }
+    out.iterator
   }
 
   /** Sessionize a (possibly streaming) Dataset of events. The caller sets the
@@ -88,12 +127,13 @@ object StreamSessionize {
     * Append (sessions are emitted exactly once, when finalized).
     */
   def sessions(events: Dataset[SessEvent], gapSeconds: Long): Dataset[SessionOut] = {
+    val zone = events.sparkSession.sessionState.conf.sessionLocalTimeZone
     implicit val outEnc = Encoders.product[SessionOut]
     implicit val stEnc = Encoders.product[SessBuffer]
     implicit val keyEnc = Encoders.scalaLong
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        update(gapSeconds))
+        update(gapSeconds, zone))
   }
 }

@@ -41,9 +41,20 @@ class MultimodalSpec extends SparkSpec {
           assert(mm.n_frames === 1)
         case "video" =>
           assert(mm.height === 16 + (mm.n_bytes * 7) % 64)
-          assert(mm.n_frames === 1 + mm.n_bytes / 256)
+          assert(mm.n_frames === (mm.n_bytes + 255) / 256)
       }
     }
+  }
+
+  test("video metadata n_frames equals actual frameSample output count") {
+    val videos = media.filter(col("kind") === "video")
+    val metaCounts = Multimodal.extractMeta(videos).toDF()
+      .select("media_id", "n_frames")
+    val frameCounts = Multimodal.frameSample(videos, everyNBytes = 256).toDF()
+      .groupBy("media_id").count()
+    val mismatches = metaCounts.join(frameCounts, "media_id")
+      .filter(col("n_frames") =!= col("count")).count()
+    assert(mismatches === 0)
   }
 
   test("frameSample explodes payloads into contiguous chunks that reassemble") {

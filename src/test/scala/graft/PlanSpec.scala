@@ -16,8 +16,10 @@ class PlanSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sf)
 
   private def planStr(df: DataFrame): String = {
-    // materialize so AQE finalizes its plan choices
-    df.write.mode("overwrite").format("noop").save()
+    // collect() executes THIS QueryExecution (a write would plan a separate
+    // one), so AdaptiveSparkPlanExec.executedPlan below is the FINAL plan
+    // AQE actually ran, not the initial static plan
+    df.collect()
     val p = df.queryExecution.executedPlan
     val fin = p match {
       case a: AdaptiveSparkPlanExec => a.executedPlan

@@ -109,6 +109,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionization: sub-second gap semantics match batch (second-truncated)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // 1800.1 s apart in raw time, but unix_timestamp (second-truncated) diff
+    // is exactly 1800 → the batch operator keeps ONE session; the streaming
+    // path must agree
+    val e1 = SessEvent(1L, 1L, Timestamp.valueOf("2026-01-01 10:00:00.8"), 1.0)
+    val e2 = SessEvent(1L, 2L, Timestamp.valueOf("2026-01-01 10:30:00.9"), 2.0)
+    val mem = MemoryStream[SessEvent]
+    val ds = mem.toDS.withWatermark("ts", "10 seconds")
+    val q = StreamSessionize.sessions(ds, 1800L)
+      .writeStream.format("memory").queryName("subsec").outputMode("append").start()
+    try {
+      mem.addData(e1, e2)
+      q.processAllAvailable()
+      mem.addData(SessEvent(99L, 90L, ts(14, 0), 0.0))
+      q.processAllAvailable()
+      mem.addData(SessEvent(99L, 91L, ts(14, 1), 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("subsec").filter(col("user_id") === 1)
+        .select("session_n", "n_events", "start_s", "end_s", "total_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getString(3), r.getDouble(4))).toSet
+      val batch = Sessionize.sessions(Seq(e1, e2).toDF(), "user_id", "ts", 1800L)
+        .select("session_n", "n_events", "start_s", "end_s", "total_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getString(3), r.getDouble(4))).toSet
+      assert(streamed === batch)
+      assert(streamed.map(_._2) === Set(2L)) // one session holding both events
+    } finally q.stop()
+  }
+
   test("stateful gap sessionization matches the batch Sessionize contract") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
