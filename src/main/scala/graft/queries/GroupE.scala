@@ -135,5 +135,54 @@ object GroupE {
       .orderBy("o_custkey")
   }
 
-  val all: Seq[Q] = Seq(e1, e2, e3, e4, e5)
+  /** Exact interpolated percentiles per group (Spark `percentile` ≙ DuckDB
+    * `quantile_cont`, both the standard linear-interpolation definition —
+    * NOT the engine-specific approx sketches, which never cross-match).
+    */
+  val e6 = Q(
+    "e6_percentiles",
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+      |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Pivot on a known low-cardinality domain (event_type) — Spark's
+    * `groupBy().pivot(values)` with explicit values (no extra
+    * domain-discovery job); oracle is the equivalent conditional-sum spread.
+    */
+  val e7 = Q(
+    "e7_pivot_event_types",
+    """SELECT user_id,
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .count()
+      .na.fill(0L, types)
+      .select(col("user_id") +: types.map(t => col(t).cast("long").as(t)): _*)
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7)
 }

@@ -589,7 +589,28 @@ object GroupH {
       .orderBy("user_id", "session_n")
   }
 
+  /** Deterministic hash-bucket train/valid/test split — reproducible across
+    * engines/partitionings (hex-cutoff predicate runs identically in DuckDB).
+    */
+  val h21 = Q(
+    "h21_hash_split",
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+      |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'valid'
+      |         ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT split, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM s GROUP BY split
+      |ORDER BY split""".stripMargin) { (s, d) =>
+    graft.extensions.Splits.withSplit(Tables.documents(s, d), "doc_id")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("split")
+  }
+
   val all: Seq[Q] =
     Seq(h1, h2, h3, h4, h5, h6, h7, h8, h9, h10, h11, h12, h13, h14, h15, h16,
-      h17, h18, h19, h20)
+      h17, h18, h19, h20, h21)
 }
