@@ -106,16 +106,16 @@ object TextAnalysis {
     require(w > 0, "window must be positive")
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("__pos"))
-    val hashed = docs
+    docs
       .select(col(idCol),
         posexplode(TextOps.shingles3(TextOps.tokens(col(textCol)))).as(Seq("__pos", "__sh")))
       .withColumn("__h", md5(col("__sh")))
-      .withColumn("__n", count(lit(1)).over(win.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      // a window starting here is full iff w-1 rows follow — the lead marker
+      // shares the moving-frame sort (an unbounded count frame would buffer
+      // whole partitions in a second frame pass)
+      .withColumn("__full", lead(col("__h"), w - 1).over(win).isNotNull)
       .withColumn("__winmin", min(col("__h")).over(win.rowsBetween(0, w - 1)))
-    hashed
-      .filter(col("__pos") <= col("__n") - w) // full windows only
+      .filter(col("__full"))
       .select(col(idCol), col("__winmin").as("fp"))
       .distinct()
   }
