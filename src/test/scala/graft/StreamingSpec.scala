@@ -109,6 +109,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionization: late event bridges two open sessions (out-of-order merge)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[SessEvent]
+    // watermark delay 2h admits the late bridging event
+    val ds = mem.toDS.withWatermark("ts", "2 hours")
+    val q = StreamSessionize.sessions(ds, 1800L)
+      .writeStream.format("memory").queryName("bridge").outputMode("append").start()
+    try {
+      // batch 1: 10:00 and 11:00 — gap 60m > 30m → provisionally two sessions
+      mem.addData(SessEvent(1L, 1L, ts(10, 0), 1.0), SessEvent(1L, 2L, ts(11, 0), 2.0))
+      q.processAllAvailable()
+      // batch 2: LATE event at 10:30 sharp — exactly the 30-min gap from both
+      // neighbours (gap is exceeded only when strictly greater) → bridges them
+      mem.addData(SessEvent(1L, 3L, ts(10, 30), 4.0))
+      q.processAllAvailable()
+      // advance watermark far past and trigger the timeout batch
+      mem.addData(SessEvent(99L, 90L, ts(20, 0), 0.0))
+      q.processAllAvailable()
+      mem.addData(SessEvent(99L, 91L, ts(20, 1), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("bridge").filter(col("user_id") === 1)
+        .select("session_n", "n_events", "start_s", "end_s", "total_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getString(3), r.getDouble(4))).toSeq
+      assert(got === Seq((1L, 3L, "2026-01-01 10:00:00", "2026-01-01 11:00:00", 7.0)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization: sub-second gap semantics match batch (second-truncated)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
