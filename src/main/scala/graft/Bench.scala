@@ -15,18 +15,25 @@ object Bench {
     // shuffle machinery) so the first measured query isn't charged for them.
     spark.read.parquet(s"$sfDir/region.parquet").selectExpr("count(*)").collect()
     spark.range(100000).selectExpr("sum(id % 7)").collect()
+    var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every output column (a count() would let
       // Catalyst prune the projections being measured)
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+      catch { case e: Throwable =>
+        failed ::= name
+        System.err.println(s"[bench] $name: $e")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a crashed query records ~0s — surface failures in the JSON so a broken
+    // round can never read as a performance win
+    val errs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -32,8 +32,11 @@ object AsOf {
     val leftCols = left.columns.toSeq
     val payload = struct(payloadCols.map(col): _*)
     // right rows sort BEFORE left rows at equal ts (side 0 < 1), so a right
-    // row with ts == left.ts is visible to that left row ("at or before")
-    val r = right.select(
+    // row with ts == left.ts is visible to that left row ("at or before").
+    // Null-ts right rows are excluded up front: `r.ts <= l.ts` is never true
+    // for them declaratively, but nulls-first ordering would otherwise make
+    // one the running match for left rows with no real predecessor.
+    val r = right.filter(col(tsCol).isNotNull).select(
       keyCols.map(col) ++ Seq(col(tsCol), col(tieCol).as("__tie"),
         lit(0).as("__side"), payload.as("__r")): _*)
     val l = left.select(

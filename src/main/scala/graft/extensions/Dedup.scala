@@ -162,14 +162,18 @@ object Dedup {
       .groupBy("__fp").agg(min(col(idCol)).as(idCol))
       .join(docs, idCol)
       .select(col(idCol), col(textCol))
+    // Caller owns the cache lifecycle: both handles stay persisted until the
+    // session ends (or spark.catalog.clearCache()); appropriate for a
+    // one-shot dedup job, not for a long-lived session running many corpora.
     val reps = if (persistIntermediate) reps0.persist() else reps0
     // (2) LSH candidates among representatives
     val cand = lshCandidatePairs(reps, idCol, textCol, numHashes, bands)
     // (3) exact Jaccard verify, restricted to candidate pairs
-    val ds = reps
+    val ds0 = reps
       .select(col(idCol).as("doc"), explode(TextOps.shingles3(TextOps.tokens(col(textCol)))).as("sh"))
       .select(col("doc"), xxhash64(col("sh")).as("sh"))
       .distinct()
+    val ds = if (persistIntermediate) ds0.persist() else ds0
     val sizes = ds.groupBy("doc").agg(count(lit(1)).as("n"))
     // equi-join on (id, shingle) both times → one row per common shingle
     val inter = cand

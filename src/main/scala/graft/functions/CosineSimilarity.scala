@@ -21,9 +21,12 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   * index-order accumulation of dot/norm sums, then dot/(√na·√nb) — so
   * oracle hashes are unchanged (asserted bit-for-bit in SimilaritySpec).
   *
-  * Null semantics: null array → null; mismatched lengths or a null element →
-  * null (the HOF form can only hit these on malformed input; made explicit
-  * here).
+  * Null semantics: null array → null; mismatched lengths, a null element, or
+  * a zero-norm (or empty) input vector → null. The zero-norm guard is a
+  * deliberate improvement over the HOF form, whose IEEE 0.0/0.0 yields NaN —
+  * and Spark orders NaN above every real double, so a zero vector would rank
+  * first in every top-k and pass every `>= threshold` filter. Degenerate
+  * input has no defined cosine; null propagates instead of poisoning ranks.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -58,7 +61,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -84,7 +88,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |    final double $yi = (double) $b.getFloat($i);
          |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |  }
-         |  if ($bad) {
+         |  if ($bad || $na == 0.0 || $nb == 0.0) {
          |    ${ev.isNull} = true;
          |  } else {
          |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));

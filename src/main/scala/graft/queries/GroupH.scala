@@ -268,7 +268,6 @@ object GroupH {
       |    AS quality_score
       |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
     TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text")
-      .drop("n_chars")
       .orderBy("doc_id")
   }
 

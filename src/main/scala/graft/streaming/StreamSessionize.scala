@@ -18,9 +18,8 @@ case class SessionOut(user_id: Long, session_n: Long, n_events: Long,
     start_s: String, end_s: String, total_value: Double)
 
 /** One open (not yet watermark-closed) session as a mergeable aggregate:
-  * [minUs, maxUs] span, event count, value sum, and the min event_id at the
-  * min/max bounds (the batch tiebreak never affects these outputs, but the
-  * bounds themselves must be exact).
+  * exact [minUs, maxUs] span, event count, and value sum — everything the
+  * SessionOut contract needs; raw events are never retained.
   */
 case class OpenSession(minUs: Long, maxUs: Long, n: Long, sum: Double)
 
@@ -95,8 +94,8 @@ object StreamSessionize {
       fmtMicros(s.minUs, zone), fmtMicros(s.maxUs, zone),
       BigDecimal(s.sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
 
-  private def update(gapSeconds: Long, zone: String)(user: Long,
-      rows: Iterator[SessEvent],
+  private def update(gapSeconds: Long, zone: String, streaming: Boolean)(
+      user: Long, rows: Iterator[SessEvent],
       state: GroupState[SessBuffer]): Iterator[SessionOut] = {
     val prev = state.getOption.getOrElse(SessBuffer(0L, Nil))
     val withNew = rows.foldLeft(prev.open) { (acc, e) =>
@@ -104,27 +103,43 @@ object StreamSessionize {
       addEvent(acc, us, e.value, gapSeconds)
     }
     // a session is final once the watermark passes max + gap; closure is
-    // prefix-monotone (sessions are gap-separated in time)
-    val wmUs = state.getCurrentWatermarkMs() * 1000L
-    val (closed, stillOpen) = withNew.span(s =>
-      state.getCurrentWatermarkMs() > 0 && gapExceeded(s.maxUs, wmUs, gapSeconds))
+    // prefix-monotone (sessions are gap-separated in time). On a batch
+    // Dataset there is no watermark (and getCurrentWatermarkMs throws) —
+    // every session is final because all data is present.
+    val (closed, stillOpen) =
+      if (!streaming) (withNew, Nil)
+      else {
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        withNew.span(s => wmUs > 0 && gapExceeded(s.maxUs, wmUs, gapSeconds))
+      }
     val out = closed.zipWithIndex.map { case (s, i) =>
       toOut(user, s, prev.nEmitted + i + 1, zone)
     }
-    state.update(SessBuffer(prev.nEmitted + closed.size, stillOpen))
-    // the earliest open session closes when floor(wm_s) > floor(max_s) + gap,
-    // i.e. at wall-clock second (floor(max_s) + gap + 1) exactly — computing
-    // that boundary (not max_ms + gap) keeps the timeout strictly ahead of
-    // any watermark that has not yet closed the session
-    stillOpen.headOption.foreach { s =>
-      state.setTimeoutTimestamp((s.maxUs / 1000000L + gapSeconds + 1L) * 1000L)
+    if (stillOpen.isEmpty && !streaming) {
+      state.remove()
+    } else {
+      // State persists (holding only the emission counter) even when every
+      // session has closed, so a user who returns continues session_n where
+      // they left off — state size is bounded by USER CARDINALITY (one small
+      // row per user ever seen), not by stream length or activity.
+      state.update(SessBuffer(prev.nEmitted + closed.size, stillOpen))
+      // the earliest open session closes when floor(wm_s) > floor(max_s) +
+      // gap, i.e. at wall-clock second (floor(max_s) + gap + 1) exactly —
+      // computing that boundary (not max_ms + gap) keeps the timeout
+      // strictly ahead of any watermark that has not yet closed the session
+      if (streaming) stillOpen.headOption.foreach { s =>
+        state.setTimeoutTimestamp((s.maxUs / 1000000L + gapSeconds + 1L) * 1000L)
+      }
     }
     out.iterator
   }
 
-  /** Sessionize a (possibly streaming) Dataset of events. The caller sets the
-    * watermark (`withWatermark("ts", ...)`) before grouping; output mode is
-    * Append (sessions are emitted exactly once, when finalized).
+  /** Sessionize a streaming OR batch Dataset of events. Streaming callers
+    * set the watermark (`withWatermark("ts", ...)`) before grouping; output
+    * mode is Append (sessions are emitted exactly once, when finalized). On
+    * a batch Dataset the watermark machinery is absent, so every session
+    * finalizes immediately — the same code path the streaming side runs at
+    * timeout, giving identical outputs to the batch Sessionize operator.
     */
   def sessions(events: Dataset[SessEvent], gapSeconds: Long): Dataset[SessionOut] = {
     val zone = events.sparkSession.sessionState.conf.sessionLocalTimeZone
@@ -134,6 +149,6 @@ object StreamSessionize {
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        update(gapSeconds, zone))
+        update(gapSeconds, zone, events.isStreaming))
   }
 }

@@ -40,13 +40,17 @@ class SimilaritySpec extends SparkSpec {
     val df = Seq(
       (1L, Some(Seq(1.0f, 2.0f)), Some(Seq(1.0f, 2.0f))),
       (2L, None, Some(Seq(1.0f, 2.0f))),
-      (3L, Some(Seq(1.0f)), Some(Seq(1.0f, 2.0f)))
+      (3L, Some(Seq(1.0f)), Some(Seq(1.0f, 2.0f))),
+      // zero-norm vector: cosine undefined → null (NOT NaN, which would
+      // sort above every real cosine and win every top-k)
+      (4L, Some(Seq(0.0f, 0.0f)), Some(Seq(1.0f, 2.0f)))
     ).toDF("id", "a", "b")
     val out = df.select(col("id"), Similarity.cosine(col("a"), col("b")).as("c"))
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
     assert(math.abs(out(1L).get - 1.0) < 1e-12)
     assert(out(2L).isEmpty)
     assert(out(3L).isEmpty)
+    assert(out(4L).isEmpty)
   }
 
   test("cosine_sim registers as a SQL function (extensions surface)") {

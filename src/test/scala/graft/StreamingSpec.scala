@@ -170,6 +170,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionizer runs on a BATCH Dataset and matches batch Sessionize") {
+    import spark.implicits._
+    val events = Seq(
+      SessEvent(1L, 10L, ts(10, 0), 1.25),
+      SessEvent(1L, 11L, ts(10, 20), 2.0),
+      SessEvent(1L, 12L, ts(11, 30), 4.0),
+      SessEvent(2L, 20L, ts(10, 5), 8.5))
+    val viaState = StreamSessionize.sessions(events.toDS(), 1800L)
+      .collect().map(s => (s.user_id, s.session_n, s.n_events, s.start_s,
+        s.end_s, s.total_value)).toSet
+    val viaBatch = Sessionize.sessions(events.toDF(), "user_id", "ts", 1800L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getDouble(5))).toSet
+    assert(viaState === viaBatch)
+    assert(viaState.size === 3)
+  }
+
   test("stateful gap sessionization matches the batch Sessionize contract") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
