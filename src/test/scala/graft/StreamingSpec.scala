@@ -170,6 +170,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchases attribute to in-window clicks") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val joined = graft.streaming.StreamJoins.clickPurchaseAttribution(
+      clicks.toDF.toDF("user_id", "event_id", "ts"),
+      purchases.toDF.toDF("user_id", "event_id", "ts"),
+      watermarkDelay = "10 minutes", attributionWindow = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, 100L, ts(10, 0)), (1L, 101L, ts(10, 20)), (2L, 200L, ts(10, 0)))
+      purchases.addData((1L, 500L, ts(10, 25)), (2L, 600L, ts(11, 30)))
+      q.processAllAvailable()
+      val rows = spark.table("attrib")
+        .select("user_id", "c_event_id", "p_event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // purchase 500 at 10:25 attributes to clicks 100 (25m before) and
+      // 101 (5m before); purchase 600 at 11:30 is 90m after click 200 → none
+      assert(rows === Set((1L, 100L, 500L), (1L, 101L, 500L)))
+      // batch path of the identical transform agrees
+      val batch = graft.streaming.StreamJoins.clickPurchaseAttribution(
+        Seq((1L, 100L, ts(10, 0)), (1L, 101L, ts(10, 20)), (2L, 200L, ts(10, 0)))
+          .toDF("user_id", "event_id", "ts"),
+        Seq((1L, 500L, ts(10, 25)), (2L, 600L, ts(11, 30)))
+          .toDF("user_id", "event_id", "ts"))
+        .select("user_id", "c_event_id", "p_event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch === rows)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer runs on a BATCH Dataset and matches batch Sessionize") {
     import spark.implicits._
     val events = Seq(
