@@ -135,19 +135,36 @@ object GroupE {
       .orderBy("o_custkey")
   }
 
-  /** Exact interpolated percentiles per group (Spark `percentile` ≙ DuckDB
-    * `quantile_cont`, both the standard linear-interpolation definition —
-    * NOT the engine-specific approx sketches, which never cross-match).
+  /** Exact interpolated percentiles per group. The oracle does NOT use
+    * DuckDB's `quantile_cont`: its interpolation arithmetic differs from
+    * Spark's `lower + (higher-lower)*frac` in the last ulp, which flips a
+    * cent exactly at a .xx5 rounding boundary (observed at sf0.001). The
+    * oracle instead picks the two bounding order statistics by row_number
+    * and applies literally Spark's formula — identical IEEE ops → identical
+    * doubles. (Engine-specific approx sketches can never cross-match at all.)
     */
   val e6 = Q(
     "e6_percentiles",
-    """SELECT l_returnflag,
-      |  round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-      |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-      |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
-      |  count(*) AS n
-      |FROM lineitem
-      |GROUP BY l_returnflag
+    """WITH ranked AS (
+      |  SELECT l_returnflag AS flag, l_extendedprice AS v,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) - 1 AS idx,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem),
+      |pick AS (
+      |  SELECT flag, n,
+      |    max(CASE WHEN idx = CAST(floor(0.25*(n-1)) AS BIGINT) THEN v END) AS lo25,
+      |    max(CASE WHEN idx = CAST(ceil(0.25*(n-1)) AS BIGINT) THEN v END) AS hi25,
+      |    max(CASE WHEN idx = CAST(floor(0.5*(n-1)) AS BIGINT) THEN v END) AS lo50,
+      |    max(CASE WHEN idx = CAST(ceil(0.5*(n-1)) AS BIGINT) THEN v END) AS hi50,
+      |    max(CASE WHEN idx = CAST(floor(0.9*(n-1)) AS BIGINT) THEN v END) AS lo90,
+      |    max(CASE WHEN idx = CAST(ceil(0.9*(n-1)) AS BIGINT) THEN v END) AS hi90
+      |  FROM ranked GROUP BY flag, n)
+      |SELECT flag AS l_returnflag,
+      |  floor((lo25 + (hi25 - lo25) * (0.25*(n-1) - floor(0.25*(n-1)))) * 100 + 0.5) / 100 AS p25,
+      |  floor((lo50 + (hi50 - lo50) * (0.5*(n-1) - floor(0.5*(n-1)))) * 100 + 0.5) / 100 AS p50,
+      |  floor((lo90 + (hi90 - lo90) * (0.9*(n-1) - floor(0.9*(n-1)))) * 100 + 0.5) / 100 AS p90,
+      |  n
+      |FROM pick
       |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
     // one array-percentile aggregate: a single per-group value buffer serves
     // all three quantiles (three scalar percentile() calls each build their
@@ -159,9 +176,9 @@ object GroupE {
         count(lit(1)).as("n"))
       .select(
         col("l_returnflag"),
-        round(element_at(col("__ps"), 1), 2).as("p25"),
-        round(element_at(col("__ps"), 2), 2).as("p50"),
-        round(element_at(col("__ps"), 3), 2).as("p90"),
+        (floor(element_at(col("__ps"), 1) * 100 + 0.5) / 100).as("p25"),
+        (floor(element_at(col("__ps"), 2) * 100 + 0.5) / 100).as("p50"),
+        (floor(element_at(col("__ps"), 3) * 100 + 0.5) / 100).as("p90"),
         col("n"))
       .orderBy("l_returnflag")
   }
