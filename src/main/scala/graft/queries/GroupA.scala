@@ -171,7 +171,7 @@ object GroupABC {
     */
   val c1 = Q(
     "c1_parquet_roundtrip",
-    """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS total
+    """SELECT l_returnflag, count(*) AS n, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
@@ -181,7 +181,7 @@ object GroupABC {
       .write.mode("overwrite").partitionBy("l_returnflag").parquet(scratch)
     s.read.parquet(scratch)
       .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
+      .agg(count(lit(1)).as("n"), sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("total"))
       .orderBy("l_returnflag")
   }
 

@@ -22,14 +22,14 @@ object GroupD {
   val d1 = Q(
     "d1_fact_dim_inner",
     """SELECT c_mktsegment, count(*) AS n_orders,
-      |  round(sum(o_totalprice), 2) AS revenue
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
     Tables.orders(s, d)
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
-      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
       .orderBy("c_mktsegment")
   }
 
@@ -40,14 +40,14 @@ object GroupD {
   val d2 = Q(
     "d2_broadcast_dim",
     """SELECT p_brand, count(*) AS n_lines,
-      |  round(sum(l_quantity), 2) AS total_qty
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand
       |ORDER BY p_brand""".stripMargin) { (s, d) =>
     Tables.lineitem(s, d)
       .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
-      .agg(count(lit(1)).as("n_lines"), round(sum("l_quantity"), 2).as("total_qty"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"))
       .orderBy("p_brand")
   }
 
@@ -101,7 +101,7 @@ object GroupD {
   val d6 = Q(
     "d6_multiway_star",
     """SELECT r_name, count(*) AS n_lines,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |  floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -116,7 +116,7 @@ object GroupD {
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name")
       .agg(count(lit(1)).as("n_lines"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        (floor(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")).cast("double") * 100 + 0.5) / 100).as("revenue"))
       .orderBy("r_name")
   }
 

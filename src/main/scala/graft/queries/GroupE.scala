@@ -16,32 +16,47 @@ object GroupE {
   /** TPC-H Q1 shape: scan→filter→hash-agg→sort. The filter and the 7-column
     * projection both push into the parquet scan (verified via explain:
     * PushedFilters + ReadSchema).
+    *
+    * Money sums run on DECIMAL: the source columns are exact 2-dp values, so
+    * decimal sums are exact integer arithmetic — order-independent, hence
+    * identical across engines, partitionings, AND data scales (a double sum
+    * re-ordered by partial aggregation drifts by ~n·|x|·ε, which at 1e12-row
+    * groups exceeds the 0.005 the display rounding can absorb). Averages
+    * derive from the exact sums and round via floor(x·10⁴+0.5)/10⁴, which is
+    * deterministic on identical doubles — `round()` is not: Spark rounds the
+    * shortest decimal repr, DuckDB the binary value (observed divergence in
+    * e6 before its fix).
     */
   val e1 = Q(
     "e1_groupby_sum_avg",
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      |  round(avg(l_quantity), 4) AS avg_qty,
-      |  round(avg(l_extendedprice), 4) AS avg_price,
-      |  round(avg(l_discount), 4) AS avg_disc,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100 AS sum_disc_price,
+      |  floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_qty,
+      |  floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_price,
+      |  floor(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    val qty = sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+    val price = sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+    val disc = sum(col("l_discount").cast("decimal(18,2)")).cast("double")
+    val n = count(lit(1))
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_extendedprice"), 4).as("avg_price"),
-        round(avg("l_discount"), 4).as("avg_disc"),
-        count(lit(1)).as("count_order"))
+        qty.as("sum_qty"),
+        price.as("sum_base_price"),
+        (floor(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double") * 100 + 0.5) / 100).as("sum_disc_price"),
+        (floor(qty / n * 10000 + 0.5) / 10000).as("avg_qty"),
+        (floor(price / n * 10000 + 0.5) / 10000).as("avg_price"),
+        (floor(disc / n * 10000 + 0.5) / 10000).as("avg_disc"),
+        n.as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
@@ -72,7 +87,7 @@ object GroupE {
   val e3 = Q(
     "e3_rollup",
     """SELECT n_name, r_name,
-      |  round(sum(c_acctbal), 2) AS total_bal,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
       |  count(*) AS n_cust
       |FROM customer
       |JOIN nation ON c_nationkey = n_nationkey
@@ -93,7 +108,7 @@ object GroupE {
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .select("r_name", "n_name", "c_acctbal")
         .rollup("r_name", "n_name")
-        .agg(round(sum("c_acctbal"), 2).as("total_bal"), count(lit(1)).as("n_cust"))
+        .agg(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"), count(lit(1)).as("n_cust"))
         .select("n_name", "r_name", "total_bal", "n_cust")
         .orderBy(col("n_name").asc_nulls_first, col("r_name").asc_nulls_first)
     } finally prev match {
@@ -107,13 +122,13 @@ object GroupE {
     "e4_cube",
     """SELECT o_orderstatus, o_orderpriority,
       |  count(*) AS n_orders,
-      |  round(sum(o_totalprice), 2) AS total_price
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
       |FROM orders
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
     Tables.orders(s, d)
       .cube("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total_price"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
   }
 
@@ -123,14 +138,14 @@ object GroupE {
   val e5 = Q(
     "e5_having",
     """SELECT o_custkey, count(*) AS n_orders,
-      |  round(sum(o_totalprice), 2) AS spend
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
       |FROM orders
       |GROUP BY o_custkey
       |HAVING count(*) >= 8
       |ORDER BY o_custkey""".stripMargin) { (s, d) =>
     Tables.orders(s, d)
       .groupBy("o_custkey")
-      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("spend"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"))
       .filter(col("n_orders") >= 8)
       .orderBy("o_custkey")
   }

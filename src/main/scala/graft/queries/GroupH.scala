@@ -93,7 +93,7 @@ object GroupH {
       |SELECT user_id, CAST(session_n AS BIGINT) AS session_n, count(*) AS n_events,
       |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
       |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_s,
-      |  round(sum(value), 2) AS total_value
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM s GROUP BY user_id, session_n
       |ORDER BY user_id, session_n""".stripMargin) { (s, d) =>
     Sessionize.sessions(Tables.events(s, d), "user_id", "ts", 1800L)
