@@ -49,14 +49,14 @@ object TextAnalysis {
       .withColumn("n_tokens", size(col("__toks")).cast("long"))
       .withColumn("n_chars", length(col("__text")).cast("long"))
       .withColumn("mean_tok_len",
-        round(aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t)) /
-          greatest(col("n_tokens"), lit(1L)).cast("double"), 4))
+        floor(aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t)) /
+          greatest(col("n_tokens"), lit(1L)).cast("double") * 10000 + 0.5) / 10000)
       .withColumn("stopword_ratio",
-        round(TextOps.markerHits(col("__toks"), TextOps.enStopwords) /
-          greatest(col("n_tokens"), lit(1L)).cast("double"), 4))
+        floor(TextOps.markerHits(col("__toks"), TextOps.enStopwords) /
+          greatest(col("n_tokens"), lit(1L)).cast("double") * 10000 + 0.5) / 10000)
       .withColumn("alpha_ratio",
-        round(length(regexp_replace(lower(col("__text")), "[^a-z]", "")) /
-          greatest(col("n_chars"), lit(1L)).cast("double"), 4))
+        floor(length(regexp_replace(lower(col("__text")), "[^a-z]", "")) /
+          greatest(col("n_chars"), lit(1L)).cast("double") * 10000 + 0.5) / 10000)
       // floor(x*1e4+0.5)/1e4 instead of round(): the composite's inputs are
       // already-rounded values, so it lands exactly on .xxxx5 often — where
       // Spark's decimal-string rounding and DuckDB's binary rounding diverge.

@@ -145,7 +145,7 @@ object GroupF {
     """SELECT o_custkey, o_orderkey,
       |  CAST(rank() OVER w AS BIGINT) AS rnk,
       |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
-      |  round(percent_rank() OVER w, 4) AS prnk,
+      |  floor(percent_rank() OVER w * 10000 + 0.5) / 10000 AS prnk,
       |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
       |FROM orders
       |WHERE o_custkey < 100
@@ -160,7 +160,7 @@ object GroupF {
         col("o_custkey"), col("o_orderkey"),
         rank().over(w).cast("long").as("rnk"),
         dense_rank().over(w).cast("long").as("drnk"),
-        round(percent_rank().over(w), 4).as("prnk"),
+        (floor(percent_rank().over(w) * 10000 + 0.5) / 10000).as("prnk"),
         ntile(4).over(w).cast("long").as("quartile"))
       .orderBy("o_custkey", "rnk", "o_orderkey")
   }

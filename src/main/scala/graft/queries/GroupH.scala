@@ -41,9 +41,9 @@ object GroupH {
       |  FROM embeddings),
       |scored AS (
       |  SELECT query_id, neighbor_id,
-      |    round(list_aggregate(
+      |    floor(list_aggregate(
       |      list_transform(generate_series(1, len(qv)), i -> qv[i]::DOUBLE * cv[i]::DOUBLE),
-      |      'sum') / (nq.nrm * nc.nrm), 4) AS cos
+      |      'sum') / (nq.nrm * nc.nrm) * 10000 + 0.5) / 10000 AS cos
       |  FROM q JOIN c ON query_id <> neighbor_id
       |  JOIN norms nq ON nq.vec_id = query_id
       |  JOIN norms nc ON nc.vec_id = neighbor_id),
@@ -147,11 +147,11 @@ object GroupH {
       |    AND x.doc_id < y.doc_id
       |  GROUP BY x.doc_id, y.doc_id)
       |SELECT doc_a, doc_b,
-      |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+      |  floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000 + 0.5) / 10000 AS jaccard
       |FROM inter
       |JOIN sizes sa ON doc_a = sa.doc_id
       |JOIN sizes sb ON doc_b = sb.doc_id
-      |WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) >= 0.1
+      |WHERE floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000 + 0.5) / 10000 >= 0.1
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", "source", 0.1)
       .orderBy("doc_a", "doc_b")
@@ -186,15 +186,15 @@ object GroupH {
       |    sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')) AS nrm
       |  FROM embeddings)
       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |  round(list_aggregate(
+      |  floor(list_aggregate(
       |    list_transform(generate_series(1, len(a.embedding)),
       |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')
-      |    / (a.nrm * b.nrm), 4) AS cos
+      |    / (a.nrm * b.nrm) * 10000 + 0.5) / 10000 AS cos
       |FROM norms a JOIN norms b ON a.label = b.label AND a.vec_id < b.vec_id
-      |WHERE round(list_aggregate(
+      |WHERE floor(list_aggregate(
       |    list_transform(generate_series(1, len(a.embedding)),
       |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')
-      |    / (a.nrm * b.nrm), 4) >= 0.3
+      |    / (a.nrm * b.nrm) * 10000 + 0.5) / 10000 >= 0.3
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", "label", 0.3)
       .orderBy("id_a", "id_b")
@@ -255,12 +255,12 @@ object GroupH {
       |  SELECT doc_id,
       |    CAST(len(toks) AS BIGINT) AS n_tokens,
       |    CAST(length(text) AS BIGINT) AS n_chars,
-      |    round(list_aggregate(list_transform(toks, t -> length(t)), 'sum')
-      |      / greatest(len(toks), 1)::DOUBLE, 4) AS mean_tok_len,
-      |    round(len(list_filter(toks, t -> list_contains(['the','a','and','of','to','in','is','it','for','on'], t)))
-      |      / greatest(len(toks), 1)::DOUBLE, 4) AS stopword_ratio,
-      |    round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
-      |      / greatest(length(text), 1)::DOUBLE, 4) AS alpha_ratio
+      |    floor(list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+      |      / greatest(len(toks), 1)::DOUBLE * 10000 + 0.5) / 10000 AS mean_tok_len,
+      |    floor(len(list_filter(toks, t -> list_contains(['the','a','and','of','to','in','is','it','for','on'], t)))
+      |      / greatest(len(toks), 1)::DOUBLE * 10000 + 0.5) / 10000 AS stopword_ratio,
+      |    floor(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+      |      / greatest(length(text), 1)::DOUBLE * 10000 + 0.5) / 10000 AS alpha_ratio
       |  FROM tok)
       |SELECT doc_id, n_tokens, mean_tok_len, stopword_ratio, alpha_ratio,
       |  floor((least(n_tokens / 64.0, 1.0) * 0.5 + alpha_ratio * 0.3 +
@@ -360,9 +360,9 @@ object GroupH {
       |  WHERE a.neighbor_id <> p.query_id),
       |scored AS (
       |  SELECT query_id, neighbor_id,
-      |    round(list_aggregate(list_transform(generate_series(1, len(q.embedding)),
+      |    floor(list_aggregate(list_transform(generate_series(1, len(q.embedding)),
       |      i -> q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE), 'sum')
-      |      / (q.nrm * n.nrm), 4) AS cos
+      |      / (q.nrm * n.nrm) * 10000 + 0.5) / 10000 AS cos
       |  FROM cand
       |  JOIN norms q ON q.vec_id = query_id
       |  JOIN norms n ON n.vec_id = neighbor_id),
@@ -426,7 +426,7 @@ object GroupH {
       |  SELECT DISTINCT id_b FROM inter
       |  JOIN sizes sa ON id_a = sa.doc_id
       |  JOIN sizes sb ON id_b = sb.doc_id
-      |  WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) >= 0.5)
+      |  WHERE floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000 + 0.5) / 10000 >= 0.5)
       |SELECT r.doc_id FROM reps r
       |WHERE r.doc_id NOT IN (SELECT id_b FROM drop_ids)
       |ORDER BY r.doc_id""".stripMargin) { (s, d) =>
