@@ -430,7 +430,8 @@ object GroupH {
       |SELECT r.doc_id FROM reps r
       |WHERE r.doc_id NOT IN (SELECT id_b FROM drop_ids)
       |ORDER BY r.doc_id""".stripMargin) { (s, d) =>
-    Dedup.dedupCorpus(Tables.documents(s, d), "doc_id", "text", minJaccard = 0.5)
+    Dedup.dedupCorpus(Tables.documents(s, d), "doc_id", "text", minJaccard = 0.5,
+      persistIntermediate = true) // reps/ds feed 3 consumers; footprint ~MBs
       .orderBy("doc_id")
   }
 
