@@ -46,10 +46,8 @@ object AsOf {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = l.unionByName(r.select(l.columns.map {
-      case c if r.columns.contains(c) => col(c)
-      case c => lit(null).as(c)
-    }: _*), allowMissingColumns = false)
+    // r lacks the left-only payload columns; allowMissingColumns null-fills
+    val matched = l.unionByName(r, allowMissingColumns = true)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
     matched.select(

@@ -130,7 +130,7 @@ object Dedup {
       .join(sizes.toDF("doc_a", "na"), "doc_a")
       .join(sizes.toDF("doc_b", "nb"), "doc_b")
       .withColumn("jaccard",
-        floor(col("i") / (col("na") + col("nb") - col("i")) * 10000 + 0.5) / 10000)
+        Det.floorRound(col("i") / (col("na") + col("nb") - col("i")), 4))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -183,7 +183,7 @@ object Dedup {
     val verified = inter
       .join(sizes.toDF("id_a", "na"), "id_a")
       .join(sizes.toDF("id_b", "nb"), "id_b")
-      .filter(floor(col("i") / (col("na") + col("nb") - col("i")) * 10000 + 0.5) / 10000 >= minJaccard)
+      .filter(Det.floorRound(col("i") / (col("na") + col("nb") - col("i")), 4) >= minJaccard)
     // (4) greedy keep: drop the larger id of each verified near-dup pair
     reps.select(col(idCol))
       .join(verified.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
@@ -200,7 +200,7 @@ object Dedup {
       col(vecCol).as("vb"))
     a.join(b, "blk")
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", floor(Similarity.cosine(col("va"), col("vb")) * 10000 + 0.5) / 10000)
+      .withColumn("cos", Det.floorRound(Similarity.cosine(col("va"), col("vb")), 4))
       .filter(col("cos") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

@@ -37,7 +37,7 @@ object Sessionize {
         count(lit(1)).as("n_events"),
         min(col(tsCol)).as("s_start"),
         max(col(tsCol)).as("s_end"),
-        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("total_value"))
+        Det.exactSum(col(valueCol)).as("total_value"))
   }
 
   def sessions(events: DataFrame, userCol: String, tsCol: String,

@@ -56,7 +56,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", floor(cosine(col("qv"), col("cv")) * 10000 + 0.5) / 10000)
+      .withColumn("cos", Det.floorRound(cosine(col("qv"), col("cv")), 4))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored
@@ -107,7 +107,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id"))
     probes.join(assigned, "cid")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", floor(cosine(col("qv"), col("cv")) * 10000 + 0.5) / 10000)
+      .withColumn("cos", Det.floorRound(cosine(col("qv"), col("cv")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
@@ -159,7 +159,7 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     cand
-      .withColumn("cos", floor(cosine(col("qv"), col("cv")) * 10000 + 0.5) / 10000)
+      .withColumn("cos", Det.floorRound(cosine(col("qv"), col("cv")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")

@@ -49,22 +49,22 @@ object TextAnalysis {
       .withColumn("n_tokens", size(col("__toks")).cast("long"))
       .withColumn("n_chars", length(col("__text")).cast("long"))
       .withColumn("mean_tok_len",
-        floor(aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t)) /
-          greatest(col("n_tokens"), lit(1L)).cast("double") * 10000 + 0.5) / 10000)
+        Det.floorRound(aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t)) /
+          greatest(col("n_tokens"), lit(1L)).cast("double"), 4))
       .withColumn("stopword_ratio",
-        floor(TextOps.markerHits(col("__toks"), TextOps.enStopwords) /
-          greatest(col("n_tokens"), lit(1L)).cast("double") * 10000 + 0.5) / 10000)
+        Det.floorRound(TextOps.markerHits(col("__toks"), TextOps.enStopwords) /
+          greatest(col("n_tokens"), lit(1L)).cast("double"), 4))
       .withColumn("alpha_ratio",
-        floor(length(regexp_replace(lower(col("__text")), "[^a-z]", "")) /
-          greatest(col("n_chars"), lit(1L)).cast("double") * 10000 + 0.5) / 10000)
+        Det.floorRound(length(regexp_replace(lower(col("__text")), "[^a-z]", "")) /
+          greatest(col("n_chars"), lit(1L)).cast("double"), 4))
       // floor(x*1e4+0.5)/1e4 instead of round(): the composite's inputs are
       // already-rounded values, so it lands exactly on .xxxx5 often — where
       // Spark's decimal-string rounding and DuckDB's binary rounding diverge.
       // The floor formula is the same double ops in both engines.
       .withColumn("quality_score",
-        floor((least(col("n_tokens") / lit(64.0), lit(1.0)) * 0.5 +
+        Det.floorRound(least(col("n_tokens") / lit(64.0), lit(1.0)) * 0.5 +
           col("alpha_ratio") * 0.3 +
-          least(col("stopword_ratio") * lit(4.0), lit(1.0)) * 0.2) * 10000 + 0.5) / 10000)
+          least(col("stopword_ratio") * lit(4.0), lit(1.0)) * 0.2, 4))
       .select(idCol, "n_tokens", "mean_tok_len", "stopword_ratio",
         "alpha_ratio", "quality_score")
   }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.extensions.Det
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -181,7 +182,7 @@ object GroupABC {
       .write.mode("overwrite").partitionBy("l_returnflag").parquet(scratch)
     s.read.parquet(scratch)
       .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n"), sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .agg(count(lit(1)).as("n"), Det.exactSum(col("l_extendedprice")).as("total"))
       .orderBy("l_returnflag")
   }
 

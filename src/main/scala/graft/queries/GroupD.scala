@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.extensions.Det
 import org.apache.spark.sql.functions._
 
 /** Group D — joins (SURVEY.md §2.4 D). The reference's star schema implies
@@ -29,7 +30,7 @@ object GroupD {
     Tables.orders(s, d)
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
-      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .agg(count(lit(1)).as("n_orders"), Det.exactSum(col("o_totalprice")).as("revenue"))
       .orderBy("c_mktsegment")
   }
 
@@ -47,7 +48,7 @@ object GroupD {
     Tables.lineitem(s, d)
       .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
-      .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"))
+      .agg(count(lit(1)).as("n_lines"), Det.exactSum(col("l_quantity")).as("total_qty"))
       .orderBy("p_brand")
   }
 
@@ -116,7 +117,7 @@ object GroupD {
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name")
       .agg(count(lit(1)).as("n_lines"),
-        (floor(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")).cast("double") * 100 + 0.5) / 100).as("revenue"))
+        Det.floorRound(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")).cast("double"), 2).as("revenue"))
       .orderBy("r_name")
   }
 

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.extensions.Det
 import org.apache.spark.sql.functions._
 
 /** Group E — aggregations (SURVEY.md §2.4 E).
@@ -41,9 +42,9 @@ object GroupE {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
-    val qty = sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
-    val price = sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
-    val disc = sum(col("l_discount").cast("decimal(18,2)")).cast("double")
+    val qty = Det.exactSum(col("l_quantity"))
+    val price = Det.exactSum(col("l_extendedprice"))
+    val disc = Det.exactSum(col("l_discount"))
     val n = count(lit(1))
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
@@ -51,11 +52,11 @@ object GroupE {
       .agg(
         qty.as("sum_qty"),
         price.as("sum_base_price"),
-        (floor(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(18,4)")).cast("double") * 100 + 0.5) / 100).as("sum_disc_price"),
-        (floor(qty / n * 10000 + 0.5) / 10000).as("avg_qty"),
-        (floor(price / n * 10000 + 0.5) / 10000).as("avg_price"),
-        (floor(disc / n * 10000 + 0.5) / 10000).as("avg_disc"),
+        Det.floorRound(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double"), 2).as("sum_disc_price"),
+        Det.floorRound(qty / n, 4).as("avg_qty"),
+        Det.floorRound(price / n, 4).as("avg_price"),
+        Det.floorRound(disc / n, 4).as("avg_disc"),
         n.as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -108,7 +109,7 @@ object GroupE {
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .select("r_name", "n_name", "c_acctbal")
         .rollup("r_name", "n_name")
-        .agg(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"), count(lit(1)).as("n_cust"))
+        .agg(Det.exactSum(col("c_acctbal")).as("total_bal"), count(lit(1)).as("n_cust"))
         .select("n_name", "r_name", "total_bal", "n_cust")
         .orderBy(col("n_name").asc_nulls_first, col("r_name").asc_nulls_first)
     } finally prev match {
@@ -128,7 +129,7 @@ object GroupE {
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
     Tables.orders(s, d)
       .cube("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+      .agg(count(lit(1)).as("n_orders"), Det.exactSum(col("o_totalprice")).as("total_price"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
   }
 
@@ -145,7 +146,7 @@ object GroupE {
       |ORDER BY o_custkey""".stripMargin) { (s, d) =>
     Tables.orders(s, d)
       .groupBy("o_custkey")
-      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"))
+      .agg(count(lit(1)).as("n_orders"), Det.exactSum(col("o_totalprice")).as("spend"))
       .filter(col("n_orders") >= 8)
       .orderBy("o_custkey")
   }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.extensions.Det
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -160,7 +161,7 @@ object GroupF {
         col("o_custkey"), col("o_orderkey"),
         rank().over(w).cast("long").as("rnk"),
         dense_rank().over(w).cast("long").as("drnk"),
-        (floor(percent_rank().over(w) * 10000 + 0.5) / 10000).as("prnk"),
+        Det.floorRound(percent_rank().over(w), 4).as("prnk"),
         ntile(4).over(w).cast("long").as("quartile"))
       .orderBy("o_custkey", "rnk", "o_orderkey")
   }
