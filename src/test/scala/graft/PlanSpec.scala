@@ -75,6 +75,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), p) // explode stayed scan-side
   }
 
+  test("h18 as-of join: one window pass, no range cross-product operators") {
+    val p = planStr(qdf("h18_asof_purchase_click"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("h20 banded range join: equi-join on buckets, no cross product") {
+    val p = planStr(qdf("h20_point_in_session_range_join"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("events loader: ts conversion does not break scan batching") {
     val p = planStr(Tables.events(spark, sf))
     assert(p.contains("Batched: true"), p)
