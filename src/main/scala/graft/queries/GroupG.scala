@@ -98,5 +98,26 @@ object GroupG {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(g1, g2, g3, g4)
+  /** Edit distance (classic Levenshtein DP — identical integer results in
+    * every engine): the standard fuzzy-match scalar for name/record
+    * deduplication, here scoring how far each part's type string is from
+    * its container label.
+    */
+  val g5 = Q(
+    "g5_edit_distance",
+    """SELECT p_partkey,
+      |  CAST(levenshtein(lower(p_name), lower(p_type)) AS BIGINT) AS name_type_dist,
+      |  CAST(levenshtein(lower(p_brand), lower(p_type)) AS BIGINT) AS brand_type_dist
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        levenshtein(lower(col("p_name")), lower(col("p_type"))).cast("long")
+          .as("name_type_dist"),
+        levenshtein(lower(col("p_brand")), lower(col("p_type"))).cast("long")
+          .as("brand_type_dist"))
+      .orderBy("p_partkey")
+  }
+
+  val all: Seq[Q] = Seq(g1, g2, g3, g4, g5)
 }
