@@ -91,6 +91,31 @@ object TextAnalysis {
       md5(concat_ws(" ", slice(toks, 1, 5))).as("prefix_fp"))
   }
 
+  /** Corpus cleaning pass (the C4-style gate an LLM data pipeline runs
+    * before training): keep documents that are (a) confidently in an
+    * allowed language, (b) above a composite quality floor, and (c) inside
+    * token-count bounds. Returns every doc with its signals and the keep
+    * verdict, so the caller can audit rejections — filtering to `keep` is
+    * one more predicate.
+    *
+    * One scan composes the langId and qualityScore shapes (two aggregates
+    * over the same token rows joined on the doc id); at 100 TB both are
+    * partial-aggregated map-side and the join is co-partitioned on the id.
+    */
+  def cleanCorpus(docs: DataFrame, idCol: String, textCol: String,
+      allowedLangs: Seq[String] = Seq("en"), minQuality: Double = 0.5,
+      minTokens: Long = 10L, maxTokens: Long = 100000L): DataFrame = {
+    val lang = langId(docs, idCol, textCol)
+    val quality = qualityScore(docs, idCol, textCol)
+    lang.join(quality, idCol)
+      .withColumn("keep",
+        col("lang_guess").isin(allowedLangs: _*) &&
+          col("quality_score") >= minQuality &&
+          col("n_tokens").between(minTokens, maxTokens))
+      .select(col(idCol), col("lang_guess"), col("n_tokens"),
+        col("quality_score"), col("keep"))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash
     * every 3-gram shingle, slide a window of `w` consecutive hashes, keep
     * each window's minimum — the selected hash set is a position-robust

@@ -610,7 +610,58 @@ object GroupH {
       .orderBy("split")
   }
 
+  /** Corpus cleaning gate (C4-style): language + quality + token-count
+    * predicates, composed from the h10/h11 shapes; every doc keeps its
+    * signals and verdict so rejections are auditable. The oracle is the
+    * literal join of the two oracles plus the keep predicate.
+    */
+  val h22 = Q(
+    "h22_clean_corpus",
+    """WITH tok AS (
+      |  SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\s+'),
+      |                                   t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |hits AS (
+      |  SELECT doc_id,
+      |    [
+      |      {'h': len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','ein','eine','nicht','mit','zu'], t))), 'lang': 'de'},
+      |      {'h': len(list_filter(toks, t -> list_contains(['the','a','and','of','to','in','is','it','for','on'], t))), 'lang': 'en'},
+      |      {'h': len(list_filter(toks, t -> list_contains(['el','la','de','que','y','los','las','un','una','en'], t))), 'lang': 'es'},
+      |      {'h': len(list_filter(toks, t -> list_contains(['le','la','les','et','des','une','est','dans','que','pour'], t))), 'lang': 'fr'},
+      |      {'h': len(list_filter(toks, t -> list_contains(['de5','shi4','bu4','le5','wo3','zai4','you3','ta1','men5','zhe4'], t))), 'lang': 'zh'}
+      |    ] AS scores
+      |  FROM tok),
+      |flat AS (SELECT doc_id, unnest(scores) AS s FROM hits),
+      |lang AS (
+      |  SELECT doc_id,
+      |    CASE WHEN h > 0 THEN lang ELSE 'und' END AS lang_guess
+      |  FROM (SELECT doc_id, s.lang AS lang, s.h AS h,
+      |          row_number() OVER (PARTITION BY doc_id ORDER BY s.h DESC, s.lang) AS rn
+      |        FROM flat) WHERE rn = 1),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    floor(len(list_filter(toks, t -> list_contains(['the','a','and','of','to','in','is','it','for','on'], t)))
+      |      / greatest(len(toks), 1)::DOUBLE * 10000 + 0.5) / 10000 AS stopword_ratio,
+      |    floor(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+      |      / greatest(length(text), 1)::DOUBLE * 10000 + 0.5) / 10000 AS alpha_ratio
+      |  FROM tok),
+      |q AS (
+      |  SELECT doc_id, n_tokens,
+      |    floor((least(n_tokens / 64.0, 1.0) * 0.5 + alpha_ratio * 0.3 +
+      |          least(stopword_ratio * 4.0, 1.0) * 0.2) * 10000 + 0.5) / 10000
+      |      AS quality_score
+      |  FROM m)
+      |SELECT l.doc_id, l.lang_guess, q.n_tokens, q.quality_score,
+      |  (l.lang_guess = 'en' AND q.quality_score >= 0.5
+      |   AND q.n_tokens BETWEEN 10 AND 100000) AS keep
+      |FROM lang l JOIN q ON l.doc_id = q.doc_id
+      |ORDER BY l.doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.cleanCorpus(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(h1, h2, h3, h4, h5, h6, h7, h8, h9, h10, h11, h12, h13, h14, h15, h16,
-      h17, h18, h19, h20, h21)
+      h17, h18, h19, h20, h21, h22)
 }
