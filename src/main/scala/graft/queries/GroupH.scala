@@ -430,8 +430,10 @@ object GroupH {
       |SELECT r.doc_id FROM reps r
       |WHERE r.doc_id NOT IN (SELECT id_b FROM drop_ids)
       |ORDER BY r.doc_id""".stripMargin) { (s, d) =>
-    Dedup.dedupCorpus(Tables.documents(s, d), "doc_id", "text", minJaccard = 0.5,
-      persistIntermediate = true) // reps/ds feed 3 consumers; footprint ~MBs
+    // no persistIntermediate: for a ONE-SHOT run, persist materializes reps
+    // serially before any consumer starts (measured ~3x slower cold); the
+    // knob pays off only when the dedup plan is executed repeatedly
+    Dedup.dedupCorpus(Tables.documents(s, d), "doc_id", "text", minJaccard = 0.5)
       .orderBy("doc_id")
   }
 
