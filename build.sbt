@@ -13,7 +13,6 @@ Test / fork := true
 run / fork := true
 // Forked `run` output must hit stdout raw (no sbt "[info]" prefix): the
 // driver parses graft.Bench's single JSON line from stdout.
-run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
