@@ -17,15 +17,29 @@ object Bench {
     spark.range(100000).selectExpr("sum(id % 7)").collect()
     var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // noop sink materializes every output column (a count() would let
       // Catalyst prune the projections being measured)
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        failed ::= name
-        System.err.println(s"[bench] $name: $e")
+      def once(): Option[Double] = {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          failed ::= name
+          System.err.println(s"[bench] $name: $e")
+          None
+        }
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      // best of 2 runs per query: sf0.1 per-query times are dominated by
+      // fixed stage latency, and a single GC/compilation stall on one run
+      // showed 2-5x swings round-to-round (BENCH_r02 h5=25s vs 5.5s rerun).
+      // min-of-2 keeps plan-level regressions visible (both runs pay them)
+      // while de-noising one-off stalls.
+      val t = once() match {
+        case Some(t1) => once().fold(t1)(math.min(t1, _))
+        case None     => 0.0
+      }
+      name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

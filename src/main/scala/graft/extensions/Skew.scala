@@ -18,17 +18,33 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Salted sum/count (two-stage aggregation packaged end-to-end): returns
-    * `keys..., sum_<valueCol>, count_rows` with the same values a plain
-    * groupBy would produce, but no single-reducer hot key.
+    * `keys..., sum_<valueCol>, count_rows` with no single-reducer hot key.
+    *
+    * Determinism: counts and integral/decimal sums are exactly those of a
+    * plain groupBy. A raw DOUBLE sum is equal only up to floating-point
+    * reassociation (the two-stage reduction folds in a different order) —
+    * for money columns pass `exactScale = Some(2)` to sum via DECIMAL(18,2)
+    * per [[Det.exactSum]], which is order-independent and therefore
+    * bit-identical to the plain groupBy and to other engines.
     */
   def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
-      buckets: Int = 32): DataFrame = {
+      buckets: Int = 32, exactScale: Option[Int] = None): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(buckets)))
+    val v = exactScale match {
+      case Some(s) => col(valueCol).cast(s"decimal(18,$s)")
+      case None    => col(valueCol)
+    }
+    val partial = df
+      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(buckets)))
       .groupBy((keys :+ "__salt").map(col): _*)
-      .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
+      .agg(sum(v).as("__psum"), count(lit(1)).as("__pcnt"))
       .groupBy(keys.map(col): _*)
-      .agg(sum(col("__psum")).as(s"sum_$valueCol"), sum(col("__pcnt")).as("count_rows"))
+      .agg(sum(col("__psum")).as("__sum"), sum(col("__pcnt")).as("count_rows"))
+    val outSum = exactScale match {
+      case Some(_) => col("__sum").cast("double")
+      case None    => col("__sum")
+    }
+    partial.select(keys.map(col) ++ Seq(outSum.as(s"sum_$valueCol"), col("count_rows")): _*)
   }
 
   /** Salted equi-join for a skewed probe side against a non-broadcastable

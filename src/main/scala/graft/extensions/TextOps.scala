@@ -20,11 +20,16 @@ object TextOps {
     * are interpreted (no doGenCode), and the HOF filter measured ~10× slower
     * at sf0.1. Semantics are identical — collapsing `\s+` runs to one space
     * and splitting on it yields exactly the non-empty tokens, in order; the
-    * empty/whitespace-only guard mirrors the HOF's empty-array result.
+    * empty/whitespace-only guard mirrors the HOF's empty-array result, and
+    * NULL text yields NULL (SQL null propagation, like the HOF form and the
+    * DuckDB oracles' string_split_regex — without the explicit first branch
+    * the `otherwise` would silently coerce NULL to an empty array).
     */
   def tokens(text: Column): Column = {
     val norm = trim(regexp_replace(lower(text), "\\s+", " "))
-    when(length(norm) > 0, split(norm, " ")).otherwise(array().cast("array<string>"))
+    when(text.isNull, lit(null).cast("array<string>"))
+      .when(length(norm) > 0, split(norm, " "))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Word k-shingles (k=3): `toks[i] ++ " " ++ toks[i+1] ++ " " ++ toks[i+2]`.

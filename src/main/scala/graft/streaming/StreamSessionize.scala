@@ -20,8 +20,15 @@ case class SessionOut(user_id: Long, session_n: Long, n_events: Long,
 /** One open (not yet watermark-closed) session as a mergeable aggregate:
   * exact [minUs, maxUs] span, event count, and value sum — everything the
   * SessionOut contract needs; raw events are never retained.
+  *
+  * `sumCents` is the value total as EXACT scaled-long cents: each event value
+  * is rounded to 2dp on ingest (the same double→DECIMAL(18,2) HALF_UP cast
+  * `Det.exactSum` applies per row in the batch operator), then summed in
+  * integer arithmetic — order-independent across merges and bit-identical to
+  * the batch path (a raw double fold would be merge-order dependent and would
+  * diverge from exactSum on >2dp inputs, e.g. 0.004+0.004).
   */
-case class OpenSession(minUs: Long, maxUs: Long, n: Long, sum: Double)
+case class OpenSession(minUs: Long, maxUs: Long, n: Long, sumCents: Long)
 
 /** Per-user state: number of sessions already emitted (numbering continues
   * across emissions) and the open-session aggregates, ascending by span.
@@ -60,13 +67,21 @@ object StreamSessionize {
   private def gapExceeded(aUs: Long, bUs: Long, gapSeconds: Long): Boolean =
     (bUs / 1000000L) - (aUs / 1000000L) > gapSeconds
 
+  /** Event value → exact cents, mirroring the per-row double→DECIMAL(18,2)
+    * HALF_UP rounding inside Det.exactSum (scala.math.BigDecimal(double) is
+    * the same DECIMAL128 construction Spark's Cast uses).
+    */
+  private[streaming] def toCents(value: Double): Long =
+    BigDecimal(value).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.unscaledValue.longValueExact
+
   /** Fold one event timestamp into the ordered open-session list: join an
     * overlapping-or-within-gap neighbor (merging neighbors that the new
     * event bridges) or insert a fresh singleton.
     */
   private[streaming] def addEvent(open: List[OpenSession], tsUs: Long,
-      value: Double, gapSeconds: Long): List[OpenSession] = {
-    val single = OpenSession(tsUs, tsUs, 1L, value)
+      valueCents: Long, gapSeconds: Long): List[OpenSession] = {
+    val single = OpenSession(tsUs, tsUs, 1L, valueCents)
     val (before, after) = open.partition(_.minUs <= tsUs)
     // candidates to merge: the last session starting at/before ts, and the
     // first session starting after ts
@@ -75,14 +90,15 @@ object StreamSessionize {
     var keepAfter = after
     before.lastOption.foreach { p =>
       if (tsUs <= p.maxUs || !gapExceeded(p.maxUs, tsUs, gapSeconds)) {
-        merged = OpenSession(p.minUs, math.max(p.maxUs, tsUs), p.n + 1, p.sum + value)
+        merged = OpenSession(p.minUs, math.max(p.maxUs, tsUs), p.n + 1,
+          p.sumCents + valueCents)
         keepBefore = before.init
       }
     }
     after.headOption.foreach { nx =>
       if (!gapExceeded(merged.maxUs, nx.minUs, gapSeconds)) {
         merged = OpenSession(merged.minUs, math.max(merged.maxUs, nx.maxUs),
-          merged.n + nx.n, merged.sum + nx.sum)
+          merged.n + nx.n, merged.sumCents + nx.sumCents)
         keepAfter = after.tail
       }
     }
@@ -92,7 +108,7 @@ object StreamSessionize {
   private def toOut(user: Long, s: OpenSession, num: Long, zone: String): SessionOut =
     SessionOut(user, num, s.n,
       fmtMicros(s.minUs, zone), fmtMicros(s.maxUs, zone),
-      BigDecimal(s.sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      BigDecimal(s.sumCents, 2).toDouble) // exact cents → double, like exactSum's final cast
 
   private def update(gapSeconds: Long, zone: String, streaming: Boolean)(
       user: Long, rows: Iterator[SessEvent],
@@ -100,7 +116,7 @@ object StreamSessionize {
     val prev = state.getOption.getOrElse(SessBuffer(0L, Nil))
     val withNew = rows.foldLeft(prev.open) { (acc, e) =>
       val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
-      addEvent(acc, us, e.value, gapSeconds)
+      addEvent(acc, us, toCents(e.value), gapSeconds)
     }
     // a session is final once the watermark passes max + gap; closure is
     // prefix-monotone (sessions are gap-separated in time). On a batch

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.extensions.Det
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -19,13 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object StreamWindows {
 
-  /** Tumbling event-time windows × event_type: count + summed value. */
+  /** Tumbling event-time windows × event_type: count + summed value.
+    * `total_value` uses [[Det.exactSum]] (order-independent decimal sum) —
+    * the same contract as every batch money aggregate, so results are
+    * identical across partitionings, engines, and the batch/stream boundary.
+    */
   def tumblingTypeStats(events: DataFrame, watermarkDelay: String = "10 minutes",
       width: String = "5 minutes"): DataFrame =
     events
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), width), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n_events"), Det.exactSum(col("value")).as("total_value"))
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
@@ -35,7 +40,7 @@ object StreamWindows {
     events
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), width, slide), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n_events"), Det.exactSum(col("value")).as("total_value"))
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
@@ -47,7 +52,7 @@ object StreamWindows {
     events
       .withWatermark("ts", watermarkDelay)
       .groupBy(col("user_id"), session_window(col("ts"), gap))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n_events"), Det.exactSum(col("value")).as("total_value"))
       .select(col("user_id"), col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("n_events"), col("total_value"))
 

@@ -14,11 +14,11 @@ class SessionStateSpec extends AnyFunSuite {
 
   private def build(tss: Seq[Long]): List[OpenSession] =
     tss.foldLeft(List.empty[OpenSession])((acc, t) =>
-      StreamSessionize.addEvent(acc, us(t), 1.0, gap))
+      StreamSessionize.addEvent(acc, us(t), 100L, gap))
 
   test("in-order events within gap form one aggregate") {
     val open = build(Seq(0L, 100L, 1900L))
-    assert(open === List(OpenSession(us(0), us(1900), 3L, 3.0)))
+    assert(open === List(OpenSession(us(0), us(1900), 3L, 300L)))
   }
 
   test("gap exceeded opens a second session") {
@@ -33,20 +33,20 @@ class SessionStateSpec extends AnyFunSuite {
 
   test("late interior event joins the covering session") {
     val open = build(Seq(0L, 2000L, 1000L)) // 0..1000..2000 chained by ≤gap
-    assert(open === List(OpenSession(us(0), us(2000), 3L, 3.0)))
+    assert(open === List(OpenSession(us(0), us(2000), 3L, 300L)))
   }
 
   test("late event bridges two open sessions into one") {
     val split = build(Seq(0L, 3000L)) // 3000-0 > gap → two sessions
     assert(split.size === 2)
     // 1500 is within the gap of both neighbours → all three merge
-    val merged = StreamSessionize.addEvent(split, us(1500), 1.0, gap)
-    assert(merged === List(OpenSession(us(0), us(3000), 3L, 3.0)))
+    val merged = StreamSessionize.addEvent(split, us(1500), 100L, gap)
+    assert(merged === List(OpenSession(us(0), us(3000), 3L, 300L)))
   }
 
   test("late event between sessions but outside both gaps stays its own session") {
     val split = build(Seq(0L, 4000L))
-    val merged = StreamSessionize.addEvent(split, us(2000), 1.0, gap)
+    val merged = StreamSessionize.addEvent(split, us(2000), 100L, gap)
     assert(merged.map(_.n) === List(1L, 1L, 1L)) // 2000 is >gap from both
   }
 
@@ -60,7 +60,7 @@ class SessionStateSpec extends AnyFunSuite {
     val a = us(1000) + 800000L
     val b = us(2800) + 900000L
     val open = StreamSessionize.addEvent(
-      StreamSessionize.addEvent(Nil, a, 1.0, gap), b, 1.0, gap)
+      StreamSessionize.addEvent(Nil, a, 100L, gap), b, 100L, gap)
     assert(open.size === 1)
   }
 }
