@@ -141,8 +141,8 @@ object Dedup {
     * the survivors; (3) candidates are VERIFIED with exact shingle-set
     * Jaccard (only candidate pairs pay the verify cost); (4) greedy keep
     * policy drops the larger id of every verified pair (deterministic,
-    * one-pass; full transitive clustering would need iterative connected
-    * components — see scaladoc note). Returns the kept doc ids.
+    * one-pass; [[dedupClusters]] is the full transitive-clustering
+    * alternative built on [[connectedComponents]]). Returns the kept doc ids.
     *
     * 100 TB shape: the `reps` survivor set feeds three consumers (signature
     * pass, verify-stage shingle set, final keep-list), so without reuse the
@@ -156,37 +156,141 @@ object Dedup {
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.5, numHashes: Int = 16, bands: Int = 4,
       persistIntermediate: Boolean = false): DataFrame = {
-    // (1) exact collapse
-    val reps0 = docs
+    // (1) exact collapse. Caller owns the cache lifecycle: persisted handles
+    // stay cached until the session ends (or spark.catalog.clearCache());
+    // appropriate for a one-shot dedup job, not for a long-lived session.
+    val reps0 = exactReps(docs, idCol, textCol)
+    val reps = if (persistIntermediate) reps0.persist() else reps0
+    // (2)+(3) LSH candidates among representatives, exact-Jaccard verified
+    val verified = verifiedNearDupPairs(reps, idCol, textCol, minJaccard,
+      numHashes, bands, persistShingles = persistIntermediate)
+    // (4) greedy keep: drop the larger id of each verified near-dup pair
+    reps.select(col(idCol))
+      .join(verified.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+  }
+
+  /** Step-1 exact collapse of [[dedupCorpus]]: one representative (min id)
+    * per normalized-content fingerprint, carrying its text.
+    */
+  def exactReps(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .select(col(idCol), md5(TextOps.normalized(col(textCol))).as("__fp"))
       .groupBy("__fp").agg(min(col(idCol)).as(idCol))
       .join(docs, idCol)
       .select(col(idCol), col(textCol))
-    // Caller owns the cache lifecycle: both handles stay persisted until the
-    // session ends (or spark.catalog.clearCache()); appropriate for a
-    // one-shot dedup job, not for a long-lived session running many corpora.
-    val reps = if (persistIntermediate) reps0.persist() else reps0
-    // (2) LSH candidates among representatives
+
+  /** Steps 2–3 of [[dedupCorpus]]: MinHash+LSH candidate pairs among `reps`,
+    * verified with exact shingle-set Jaccard (only candidate pairs pay the
+    * verify cost). Returns verified pairs with `id_a < id_b`.
+    */
+  def verifiedNearDupPairs(reps: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double, numHashes: Int = 16, bands: Int = 4,
+      persistShingles: Boolean = false): DataFrame = {
     val cand = lshCandidatePairs(reps, idCol, textCol, numHashes, bands)
-    // (3) exact Jaccard verify, restricted to candidate pairs
     val ds0 = reps
-      .select(col(idCol).as("doc"), explode(TextOps.shingles3(TextOps.tokens(col(textCol)))).as("sh"))
+      .select(col(idCol).as("doc"),
+        explode(TextOps.shingles3(TextOps.tokens(col(textCol)))).as("sh"))
       .select(col("doc"), xxhash64(col("sh")).as("sh"))
       .distinct()
-    val ds = if (persistIntermediate) ds0.persist() else ds0
+    val ds = if (persistShingles) ds0.persist() else ds0
     val sizes = ds.groupBy("doc").agg(count(lit(1)).as("n"))
     // equi-join on (id, shingle) both times → one row per common shingle
     val inter = cand
       .join(ds.toDF("id_a", "sh"), "id_a")
       .join(ds.toDF("id_b", "sh"), Seq("id_b", "sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
-    val verified = inter
+    inter
       .join(sizes.toDF("id_a", "na"), "id_a")
       .join(sizes.toDF("id_b", "nb"), "id_b")
       .filter(Det.floorRound(col("i") / (col("na") + col("nb") - col("i")), 4) >= minJaccard)
-    // (4) greedy keep: drop the larger id of each verified near-dup pair
-    reps.select(col(idCol))
-      .join(verified.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+      .select("id_a", "id_b")
+  }
+
+  /** Connected components over an undirected edge list — alternating
+    * large-star / small-star rounds (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", 2014): each round is two shuffle-bounded
+    * DataFrame passes over the edge set, and the edge set converges to
+    * min-rooted stars in O(log n) rounds (naive min-label propagation needs
+    * O(graph diameter) rounds — a chain of near-dup docs would serialize).
+    * Returns (id, comp) with comp = minimum node id of the component, for
+    * every node appearing in at least one edge.
+    *
+    * Driver involvement per round is one tiny aggregate (edge count + an
+    * order-independent xxhash64/bit_xor checksum) for the convergence test —
+    * edge data never leaves the executors. Each round localCheckpoints the
+    * edge list to truncate lineage (a long-lived 100 TB job would swap in
+    * reliable checkpointing; the shape is identical).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    // canonical (u > v) directed form; self-loops dropped
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    // large-star: connect every neighbor larger than u to the min of u's
+    // neighborhood (incl. u) — detaches big nodes from non-min centers
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    // small-star: connect every smaller neighbor (and u itself) to the min
+    // of u's smaller neighborhood — flattens chains into stars
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = canon(e)
+      val m = dir.groupBy("u").agg(min(col("v")).as("m"))
+      dir.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    // set-equality probe: count + order-independent checksum (bit_xor never
+    // overflows, unlike a long sum under ANSI mode)
+    def probe(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var edges = canon(pairs.select(col(aCol).as("u"), col(bCol).as("v"))).localCheckpoint()
+    var (n0, x0) = probe(edges)
+    var converged = n0 == 0
+    var it = 0
+    while (!converged && it < maxIter) {
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val (n1, x1) = probe(edges)
+      converged = n1 == n0 && x1 == x0
+      n0 = n1; x0 = x1; it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    // converged form is min-rooted stars: (child, root) edges
+    edges.select(col("u").as("id"), col("v").as("comp"))
+      .union(edges.select(col("v").as("id"), col("v").as("comp")))
+      .groupBy("id").agg(min(col("comp")).as("comp"))
+  }
+
+  /** Transitive near-dup clustering — the cluster-complete alternative to
+    * [[dedupCorpus]]'s greedy pairwise keep: exact collapse → LSH candidates
+    * → Jaccard verify → connected components over the verified pairs.
+    * Returns (idCol, cluster_rep) for every doc in at least one verified
+    * pair; cluster_rep = min doc id of the cluster. A cluster-based
+    * keep-list is `reps` minus rows where `idCol != cluster_rep` (docs in no
+    * pair are implicitly their own singleton cluster).
+    */
+  def dedupClusters(docs: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.5, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val reps = exactReps(docs, idCol, textCol)
+    val pairs = verifiedNearDupPairs(reps, idCol, textCol, minJaccard, numHashes, bands)
+    connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as(idCol), col("comp").as("cluster_rep"))
   }
 
   /** Embedding near-dup: pairs within a blocking key whose cosine similarity

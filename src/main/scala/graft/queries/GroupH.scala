@@ -663,7 +663,72 @@ object GroupH {
       .orderBy("doc_id")
   }
 
+  /** Transitive near-dup clustering: connected components (alternating
+    * large-star/small-star rounds) over the verified near-dup pairs of the
+    * h16 pipeline; every pair-involved doc labeled with its component's min
+    * id. The oracle reuses h16's CTE chain up to the verified pairs, then
+    * computes the same clusters with a recursive transitive closure —
+    * agreeing labels prove the log-round distributed algorithm implements
+    * true transitive connectivity.
+    */
+  val h23 = Q(
+    "h23_dedup_clusters",
+    """WITH RECURSIVE fp AS (
+      |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |reps AS (
+      |  SELECT d.doc_id, d.text
+      |  FROM documents d
+      |  JOIN (SELECT fp, min(doc_id) AS doc_id FROM fp GROUP BY fp) k
+      |    ON d.doc_id = k.doc_id),
+      |tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             t -> len(t) > 0) AS toks
+      |  FROM reps),
+      |base AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 3),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      |  FROM base),
+      |ks AS (SELECT unnest(generate_series(0, 15)) AS k),
+      |mh AS (
+      |  SELECT doc_id, k, min(md5(k::VARCHAR || ':' || shingle)) AS m
+      |  FROM sh CROSS JOIN ks GROUP BY doc_id, k),
+      |sig AS (
+      |  SELECT doc_id, k // 4 AS band, md5(string_agg(m, '' ORDER BY k)) AS bucket
+      |  FROM mh GROUP BY doc_id, k // 4),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sig a JOIN sig b ON a.band = b.band AND a.bucket = b.bucket
+      |    AND a.doc_id < b.doc_id),
+      |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.id_a, c.id_b, count(*) AS i
+      |  FROM cand c
+      |  JOIN ds x ON x.doc_id = c.id_a
+      |  JOIN ds y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+      |  GROUP BY c.id_a, c.id_b),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN sizes sa ON id_a = sa.doc_id
+      |  JOIN sizes sb ON id_b = sb.doc_id
+      |  WHERE floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000 + 0.5) / 10000 >= 0.5),
+      |edges AS (
+      |  SELECT id_a AS u, id_b AS v FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v WHERE e.v <> r.u)
+      |SELECT u AS doc_id, least(u, min(v)) AS cluster_rep
+      |FROM reach GROUP BY u
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Dedup.dedupClusters(Tables.documents(s, d), "doc_id", "text", minJaccard = 0.5)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(h1, h2, h3, h4, h5, h6, h7, h8, h9, h10, h11, h12, h13, h14, h15, h16,
-      h17, h18, h19, h20, h21, h22)
+      h17, h18, h19, h20, h21, h22, h23)
 }
