@@ -50,6 +50,14 @@ object Similarity {
 
   /** Exact top-k neighbours per query vector (excluding self-matches).
     * Output: (query_id, rank, neighbor_id, cos).
+    *
+    * The final `row_number <= k` filter is NOT a single-reducer funnel:
+    * Catalyst's InferWindowGroupLimit plans it as a map-side Partial
+    * WindowGroupLimit (each scan partition forwards ≤ k rows per query)
+    * before the query_id exchange, then a Final limit after — so the
+    * per-query reducer handles ≤ k·P candidate rows, not the whole scored
+    * corpus. PlanSpec pins this two-phase shape; the same final applies to
+    * [[ivfTopK]]/[[lshTopK]] (whose candidate sets are bucket-pruned anyway).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
@@ -72,29 +80,66 @@ object Similarity {
   private def planeComponent(table: Int, plane: Int, dim: Column): Column =
     (pmod(xxhash64(lit(table), lit(plane), dim), lit(1000000L)) / 1000000.0) - 0.5
 
-  /** IVF (inverted-file) ANN — the second scale path, complementary to LSH:
-    * a fixed set of `nCentroids` seed centroids (deterministically the
-    * vectors with id < nCentroids — a real deployment would k-means these;
-    * the partition/probe machinery is identical), every corpus vector
-    * assigned to its nearest centroid in ONE broadcast pass (map-side
-    * `max_by`, so the shuffle carries one row per vector), and each query
-    * probing only its `nProbe` nearest centroids' inverted lists before an
-    * exact re-rank. At 100 TB: candidate scans touch ~nProbe/nCentroids of
-    * the corpus, and the assignment can be written once and reused as a
-    * bucketed/partitioned layout keyed by `cid`.
+  /** Nearest-centroid assignment: ONE broadcast pass, map-side `max_by`
+    * argmax (ties to the smaller cid), so the shuffle carries one row per
+    * vector. `payload` columns ride along.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
-    val cent = corpus.filter(col(idCol) < nCentroids)
-      .select(col(idCol).as("cid"), col(vecCol).as("centroid"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    // nearest centroid per corpus vector: full-precision cosine, ties to the
-    // smaller cid (max_by over a (cos, -cid) struct = argmax with that tiebreak)
-    val assigned = c.join(broadcast(cent))
+  private def assignToCentroids(vectors: DataFrame, cent: DataFrame,
+      payload: Seq[String]): DataFrame = {
+    val aggs = max_by(col("cid"), struct(col("acos"), (-col("cid")).as("t"))).as("cid") +:
+      payload.map(p => first(col(p)).as(p))
+    vectors.join(broadcast(cent))
       .withColumn("acos", cosine(col("cv"), col("centroid")))
       .groupBy("neighbor_id")
-      .agg(max_by(col("cid"), struct(col("acos"), (-col("cid")).as("t"))).as("cid"),
-        first(col("cv")).as("cv"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Deterministic distributed k-means step, exact across engines and
+    * partitionings: each component is quantized to micro-units
+    * (`floor(x·10⁶ + 0.5)` as a long), per-cluster sums are exact integer
+    * arithmetic (order-independent, unlike a double fold), and the mean is
+    * ONE double division `sum / (n · 10⁶)` rendered to float — identical
+    * IEEE ops in every engine, so the DuckDB oracle reproduces the
+    * centroids bit-for-bit. Fixed-point accumulation is also the honest
+    * 100 TB shape: a doubles-mean k-means is partition-order dependent and
+    * unreproducible run-to-run.
+    */
+  private def kmeansStep(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("cv")))
+      .select(col("cid"), col("pos"),
+        floor(col("col").cast("double") * 1e6 + 0.5).cast("long").as("q"))
+      .groupBy("cid", "pos")
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .select(col("cid"), col("pos"),
+        (col("s").cast("double") / (col("n").cast("double") * 1e6))
+          .cast("float").as("comp"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
+        s => s.getField("comp")).as("centroid"))
+
+  /** IVF (inverted-file) ANN — the second scale path, complementary to LSH:
+    * `nCentroids` seed centroids (the nCentroids SMALLEST ids — rank-based,
+    * so sparse or non-zero-based id spaces still seed fully) refined by
+    * `kmeansIters` deterministic k-means iterations (each: broadcast
+    * centroids → map-side argmax assignment → exact fixed-point mean, see
+    * [[kmeansStep]]); every corpus vector assigned to its nearest final
+    * centroid in ONE broadcast pass, and each query probing only its
+    * `nProbe` nearest centroids' inverted lists before an exact re-rank.
+    * At 100 TB: candidate scans touch ~nProbe/nCentroids of the corpus,
+    * each k-means iteration is a linear scan + a tiny (k·dim) aggregate,
+    * and the assignment can be written once and reused as a bucketed
+    * layout keyed by `cid`.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 2,
+      kmeansIters: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    var cent = corpus.select(col(idCol).as("cid"), col(vecCol).as("centroid"))
+      .orderBy(col("cid")).limit(nCentroids)
+    for (_ <- 0 until kmeansIters)
+      cent = kmeansStep(assignToCentroids(c, cent, payload = Seq("cv")))
+    val assigned = assignToCentroids(c, cent, payload = Seq("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("acos").desc, col("cid"))

@@ -224,5 +224,69 @@ object GroupE {
       .orderBy("user_id")
   }
 
-  val all: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7)
+  /** TPC-H Q17-shape correlated scalar subquery, run through the delegated
+    * SQL surface (`spark.sql` over temp views — the reference's promise at
+    * `ReadMe.md:85-94` is full analytical SQL on the lakehouse tables).
+    * Catalyst decorrelates the per-part average into one grouped aggregate
+    * joined back (PlanSpec pins the rewrite: no per-row subquery node
+    * survives in the physical plan). Inner and outer money math follow the
+    * exact-decimal contract so both engines agree bit-for-bit.
+    */
+  val e8 = Q(
+    "e8_correlated_scalar_subquery",
+    """SELECT floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |        / 7.0 * 100 + 0.5) / 100 AS avg_yearly,
+      |  count(*) AS n_rows
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_size <= 15
+      |  AND l.l_quantity < (
+      |    SELECT CAST(0.2 AS DOUBLE) *
+      |      (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+      |    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.part(s, d).createOrReplaceTempView("part")
+    s.sql(
+      """SELECT floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |        / 7.0 * 100 + 0.5) / 100 AS avg_yearly,
+        |  count(*) AS n_rows
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_size <= 15
+        |  AND l.l_quantity < (
+        |    SELECT CAST(0.2 AS DOUBLE) *
+        |      (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+        |    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)""".stripMargin)
+  }
+
+  /** Nested IN-subqueries (orders ← customers ← nations): Catalyst plans
+    * them as left-semi joins (PlanSpec-pinned), never a per-row probe.
+    */
+  val e9 = Q(
+    "e9_in_subquery",
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |WHERE o_custkey IN (
+      |  SELECT c_custkey FROM customer
+      |  WHERE c_acctbal > 5000.0 AND c_nationkey IN (
+      |    SELECT n_nationkey FROM nation WHERE n_regionkey <= 2))
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |WHERE o_custkey IN (
+        |  SELECT c_custkey FROM customer
+        |  WHERE c_acctbal > 5000.0 AND c_nationkey IN (
+        |    SELECT n_nationkey FROM nation WHERE n_regionkey <= 2))
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9)
 }

@@ -68,6 +68,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("cosine_sim"), p)
   }
 
+  test("h2: top-k is two-phase — partial WindowGroupLimit before the shuffle") {
+    // InferWindowGroupLimit rewrites the row_number<=k filter into a map-side
+    // (Partial) group limit + reduce-side (Final) limit: each map partition
+    // forwards at most k rows per query, so the per-query reducer sorts
+    // ≤ k·P rows, never the whole scored corpus. This is the property that
+    // keeps brute-force scoring usable as an exact baseline at scale.
+    val p = planStr(qdf("h2_cosine_topk"))
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
+    assert(p.contains("Final"), p)
+  }
+
+  test("h15: IVF final re-rank also runs the two-phase group limit") {
+    val p = planStr(qdf("h15_ivf_ann_topk"))
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
+  }
+
+  test("e8: correlated scalar subquery is decorrelated (no per-row subquery)") {
+    val p = planStr(qdf("e8_correlated_scalar_subquery"))
+    // the rewrite turns the correlated aggregate into a grouped aggregate
+    // joined on l_partkey; a surviving scalar-subquery node would mean
+    // per-outer-row execution
+    assert(!p.contains("ScalarSubquery"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("e9: IN-subqueries become semi joins, not per-row probes") {
+    val p = planStr(qdf("e9_in_subquery"))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("InSubquery"), p)
+  }
+
   test("h5: minhash aggregate is partial (map-side) before the doc shuffle") {
     val p = planStr(qdf("h5_minhash_lsh_pairs"))
     // two HashAggregates per agg (partial, final) — 'partial_min' markers
