@@ -301,34 +301,49 @@ object GroupH {
       .orderBy("doc_id")
   }
 
-  /** Multimodal metadata extraction: documents adapted to opaque binary
-    * payloads (UTF-8 bytes, kind by id mod 3), decoded by the deterministic
-    * stub codec via iterator mapPartitions (see Multimodal's STUB BOUNDARY).
-    * The oracle mirrors the fake-codec formulas over byte lengths
-    * (DuckDB `strlen` = UTF-8 byte count), verifying the whole binary
-    * pipeline end-to-end.
+  /** Multimodal metadata extraction over a REAL binary parquet fixture:
+    * documents are adapted to opaque payloads (UTF-8 bytes, kind by id mod
+    * 3), written out as `(media_id, kind, payload binary)` parquet, read
+    * back, and decoded by the deterministic stub codec via iterator
+    * mapPartitions (see Multimodal's STUB BOUNDARY) — so binary-column
+    * parquet IO is exercised end-to-end, not just in-memory adaptation.
+    * The oracle rebuilds the same payloads with DuckDB's `encode` (VARCHAR →
+    * BLOB) and mirrors the fake-codec formulas over `octet_length` of the
+    * blob.
     */
   val h14 = Q(
     "h14_multimodal_meta",
-    """SELECT doc_id AS media_id,
-      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-      |       ELSE 'video' END AS kind,
-      |  CAST(strlen(text) AS BIGINT) AS n_bytes,
-      |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 16 + strlen(text) % 64 END AS BIGINT) AS width,
-      |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 16 + (strlen(text) * 7) % 64 END AS BIGINT) AS height,
-      |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 WHEN doc_id % 3 = 1 THEN 0
-      |       ELSE ceil(strlen(text) / 256.0) END AS BIGINT) AS n_frames
-      |FROM documents
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |         ELSE 'video' END AS kind,
+      |    octet_length(encode(text)) AS n_bytes
+      |  FROM documents)
+      |SELECT media_id, kind,
+      |  CAST(n_bytes AS BIGINT) AS n_bytes,
+      |  CAST(CASE WHEN kind = 'audio' THEN 0 ELSE 16 + n_bytes % 64 END AS BIGINT) AS width,
+      |  CAST(CASE WHEN kind = 'audio' THEN 0 ELSE 16 + (n_bytes * 7) % 64 END AS BIGINT) AS height,
+      |  CAST(CASE WHEN kind = 'image' THEN 1 WHEN kind = 'audio' THEN 0
+      |       ELSE ceil(n_bytes / 256.0) END AS BIGINT) AS n_frames
+      |FROM m
       |ORDER BY media_id""".stripMargin) { (s, d) =>
-    graft.extensions.Multimodal
-      .extractMeta(graft.extensions.Multimodal.toMedia(Tables.documents(s, d), "doc_id", "text"))
+    import graft.extensions.Multimodal
+    val media = Multimodal.toMedia(Tables.documents(s, d), "doc_id", "text")
+    // fixture path is per-sf so concurrent scales never clobber each other
+    val fixture = s"${System.getProperty("java.io.tmpdir")}/graft_media_fixture_" +
+      Integer.toHexString(d.hashCode)
+    Multimodal.extractMeta(Multimodal.roundTripParquet(media, fixture))
       .toDF()
       .orderBy("media_id")
   }
 
-  /** IVF ANN top-5 for 8 query vectors: 16 deterministic centroids, 2 probes,
-    * exact in-list re-rank — oracled in DuckDB with the same full-precision
-    * assignment/probe ranking.
+  /** IVF ANN top-5 for 8 query vectors: 16 rank-seeded centroids refined by
+    * 2 deterministic k-means iterations (fixed-point exact means — see
+    * Similarity.kmeansStep), 2 probes, exact in-list re-rank. The oracle
+    * replays both k-means iterations: quantize components to micro-unit
+    * longs, exact integer sums per (cluster, dim), one double division to
+    * a float component — bit-identical centroids in both engines, so the
+    * full assignment/probe/re-rank chain hash-matches.
     */
   val h15 = Q(
     "h15_ivf_ann_topk",
@@ -336,24 +351,70 @@ object GroupH {
       |  SELECT vec_id, embedding,
       |    sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')) AS nrm
       |  FROM embeddings),
-      |cent AS (SELECT vec_id AS cid, embedding AS centroid, nrm AS cnrm
-      |         FROM norms WHERE vec_id < 16),
-      |sim_all AS (
+      |cent0 AS (
+      |  SELECT vec_id AS cid, embedding AS centroid
+      |  FROM embeddings ORDER BY vec_id LIMIT 16),
+      |sim0 AS (
       |  SELECT n.vec_id, c.cid,
       |    list_aggregate(list_transform(generate_series(1, len(n.embedding)),
       |      i -> n.embedding[i]::DOUBLE * c.centroid[i]::DOUBLE), 'sum')
-      |      / (n.nrm * c.cnrm) AS acos
-      |  FROM norms n CROSS JOIN cent c),
+      |      / (n.nrm * sqrt(list_aggregate(list_transform(c.centroid,
+      |           x -> x::DOUBLE * x::DOUBLE), 'sum'))) AS acos
+      |  FROM norms n CROSS JOIN cent0 c),
+      |asg0 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY acos DESC, cid) AS rn
+      |    FROM sim0) WHERE rn = 1),
+      |cent1 AS (
+      |  SELECT cid, list(CAST(comp AS REAL) ORDER BY dim) AS centroid FROM (
+      |    SELECT a.cid, u.i AS dim,
+      |      CAST(sum(CAST(floor(v.embedding[u.i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+      |        / (CAST(count(*) AS DOUBLE) * 1000000.0) AS comp
+      |    FROM asg0 a
+      |    JOIN embeddings v ON v.vec_id = a.vec_id,
+      |    unnest(generate_series(1, len(v.embedding))) AS u(i)
+      |    GROUP BY a.cid, u.i)
+      |  GROUP BY cid),
+      |sim1 AS (
+      |  SELECT n.vec_id, c.cid,
+      |    list_aggregate(list_transform(generate_series(1, len(n.embedding)),
+      |      i -> n.embedding[i]::DOUBLE * c.centroid[i]::DOUBLE), 'sum')
+      |      / (n.nrm * sqrt(list_aggregate(list_transform(c.centroid,
+      |           x -> x::DOUBLE * x::DOUBLE), 'sum'))) AS acos
+      |  FROM norms n CROSS JOIN cent1 c),
+      |asg1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY acos DESC, cid) AS rn
+      |    FROM sim1) WHERE rn = 1),
+      |cent2 AS (
+      |  SELECT cid, list(CAST(comp AS REAL) ORDER BY dim) AS centroid FROM (
+      |    SELECT a.cid, u.i AS dim,
+      |      CAST(sum(CAST(floor(v.embedding[u.i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+      |        / (CAST(count(*) AS DOUBLE) * 1000000.0) AS comp
+      |    FROM asg1 a
+      |    JOIN embeddings v ON v.vec_id = a.vec_id,
+      |    unnest(generate_series(1, len(v.embedding))) AS u(i)
+      |    GROUP BY a.cid, u.i)
+      |  GROUP BY cid),
+      |simf AS (
+      |  SELECT n.vec_id, c.cid,
+      |    list_aggregate(list_transform(generate_series(1, len(n.embedding)),
+      |      i -> n.embedding[i]::DOUBLE * c.centroid[i]::DOUBLE), 'sum')
+      |      / (n.nrm * sqrt(list_aggregate(list_transform(c.centroid,
+      |           x -> x::DOUBLE * x::DOUBLE), 'sum'))) AS acos
+      |  FROM norms n CROSS JOIN cent2 c),
       |assigned AS (
       |  SELECT vec_id AS neighbor_id, cid FROM (
       |    SELECT vec_id, cid,
       |      row_number() OVER (PARTITION BY vec_id ORDER BY acos DESC, cid) AS rn
-      |    FROM sim_all) WHERE rn = 1),
+      |    FROM simf) WHERE rn = 1),
       |probes AS (
       |  SELECT vec_id AS query_id, cid FROM (
       |    SELECT vec_id, cid,
       |      row_number() OVER (PARTITION BY vec_id ORDER BY acos DESC, cid) AS rn
-      |    FROM sim_all WHERE vec_id < 8) WHERE rn <= 2),
+      |    FROM simf WHERE vec_id < 8) WHERE rn <= 2),
       |cand AS (
       |  SELECT p.query_id, a.neighbor_id
       |  FROM probes p JOIN assigned a ON p.cid = a.cid
@@ -374,7 +435,7 @@ object GroupH {
       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
     val embs = Tables.embeddings(s, d)
     Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 8), "vec_id", "embedding",
-      k = 5, nCentroids = 16, nProbe = 2)
+      k = 5, nCentroids = 16, nProbe = 2, kmeansIters = 2)
       .withColumn("rank", col("rank").cast("long"))
       .orderBy("query_id", "rank")
   }
@@ -728,7 +789,97 @@ object GroupH {
       .orderBy("doc_id")
   }
 
+  /** Tumbling event-time windows × event_type — the EXACT transform the
+    * streaming surface runs (graft.streaming.StreamWindows.tumblingTypeStats,
+    * MemoryStream-tested in StreamingSpec), executed here in batch mode so
+    * the windowed-aggregation semantics sit under the DuckDB hash gate.
+    * Spark's `window()` is epoch-aligned, mirrored by `time_bucket` (whose
+    * minute-granularity buckets sit on the same epoch grid).
+    */
+  val h24 = Q(
+    "h24_tumbling_window_stats",
+    """WITH w AS (
+      |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start,
+      |    event_type, value
+      |  FROM events)
+      |SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start_s,
+      |  strftime(w_start + INTERVAL '5 minutes', '%Y-%m-%d %H:%M:%S') AS w_end_s,
+      |  event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM w GROUP BY w_start, event_type
+      |ORDER BY w_start_s, event_type""".stripMargin) { (s, d) =>
+    graft.streaming.StreamWindows.tumblingTypeStats(Tables.events(s, d))
+      .select(
+        date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start_s"),
+        date_format(col("w_end"), "yyyy-MM-dd HH:mm:ss").as("w_end_s"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy("w_start_s", "event_type")
+  }
+
+  /** Sliding windows (10 min width / 5 min slide) × user — batch run of
+    * StreamWindows.slidingUserActivity; every event lands in exactly
+    * width/slide = 2 windows, emulated in the oracle by the two grid offsets.
+    */
+  val h25 = Q(
+    "h25_sliding_window_activity",
+    """WITH offs AS (
+      |  SELECT unnest([INTERVAL '0 minutes', INTERVAL '5 minutes']) AS off),
+      |w AS (
+      |  SELECT time_bucket(INTERVAL '5 minutes', ts) - off AS w_start,
+      |    user_id, value
+      |  FROM events CROSS JOIN offs)
+      |SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start_s,
+      |  strftime(w_start + INTERVAL '10 minutes', '%Y-%m-%d %H:%M:%S') AS w_end_s,
+      |  user_id, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM w GROUP BY w_start, user_id
+      |ORDER BY w_start_s, user_id""".stripMargin) { (s, d) =>
+    graft.streaming.StreamWindows.slidingUserActivity(Tables.events(s, d))
+      .select(
+        date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start_s"),
+        date_format(col("w_end"), "yyyy-MM-dd HH:mm:ss").as("w_end_s"),
+        col("user_id"), col("n_events"), col("total_value"))
+      .orderBy("w_start_s", "user_id")
+  }
+
+  /** Native session windows (30-min gap) per user — batch run of
+    * StreamWindows.sessionWindowStats. Spark merges sessions while the next
+    * event starts STRICTLY within gap of the previous (equal-boundary events
+    * open a new session), hence the `>=` in the oracle's session-break rule
+    * — subtly different from h4's `>`-rule Sessionize, whose gap test runs
+    * on second-truncated timestamps; session_window compares at full µs
+    * precision. s_end = last event + gap, unlike h4's s_end = last event.
+    */
+  val h26 = Q(
+    "h26_session_window_stats",
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+      |         WHEN ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1
+      |         ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_n
+      |  FROM g)
+      |SELECT user_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start_s,
+      |  strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS s_end_s,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM s GROUP BY user_id, session_n
+      |ORDER BY user_id, s_start_s""".stripMargin) { (s, d) =>
+    graft.streaming.StreamWindows.sessionWindowStats(Tables.events(s, d))
+      .select(col("user_id"),
+        date_format(col("s_start"), "yyyy-MM-dd HH:mm:ss").as("s_start_s"),
+        date_format(col("s_end"), "yyyy-MM-dd HH:mm:ss").as("s_end_s"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "s_start_s")
+  }
+
   val all: Seq[Q] =
     Seq(h1, h2, h3, h4, h5, h6, h7, h8, h9, h10, h11, h12, h13, h14, h15, h16,
-      h17, h18, h19, h20, h21, h22, h23)
+      h17, h18, h19, h20, h21, h22, h23, h24, h25, h26)
 }
