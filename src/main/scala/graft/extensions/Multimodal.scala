@@ -97,6 +97,18 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("payload")).as[MediaRow]
   }
 
+  /** Materialize a media table as real `(media_id, kind, payload binary)`
+    * parquet and read it back — the binary-column IO a production pipeline
+    * performs between acquisition and processing (parquet stores the payload
+    * as BYTE_ARRAY; the read-back is the fixture every downstream operator
+    * sees). Write + scan both stream; nothing driver-side.
+    */
+  def roundTripParquet(media: Dataset[MediaRow], path: String): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    media.toDF().write.mode("overwrite").parquet(path)
+    media.sparkSession.read.parquet(path).as[MediaRow]
+  }
+
   /** Decode pass: binary → typed metadata. Iterator-to-iterator (no partition
     * materialization); codec instantiated once per partition.
     */

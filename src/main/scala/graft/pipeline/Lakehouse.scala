@@ -26,11 +26,45 @@ object Lakehouse {
     val curatedProductDim = s"$workDir/curated/dim_product"
   }
 
-  /** O2 — idempotent zone DDL (reference `buckets.py:14-45`). */
+  /** O2 — idempotent zone DDL (reference `buckets.py:14-45`). Object-store
+    * roots (any `scheme://` other than `file`) need no directory DDL —
+    * object stores are flat keyspaces, the "zones" exist implicitly.
+    */
   def ensureZones(workDir: String): Zones = {
-    Files.createDirectories(Paths.get(s"$workDir/raw"))
-    Files.createDirectories(Paths.get(s"$workDir/curated"))
+    val scheme = workDir.indexOf("://") match {
+      case -1 => "file"
+      case i  => workDir.substring(0, i)
+    }
+    if (scheme == "file") {
+      val root = workDir.stripPrefix("file://")
+      Files.createDirectories(Paths.get(s"$root/raw"))
+      Files.createDirectories(Paths.get(s"$root/curated"))
+    }
     Zones(workDir)
+  }
+
+  /** O1 — object-store connection (reference `data_processing.py:12-28`
+    * builds a Spark session against MinIO; `flows.py:294-299` passes
+    * endpoint + keys). Maps the same four settings onto Hadoop's s3a
+    * connector so `Zones("s3a://bucket/...")` roots work everywhere a
+    * local path does. Path-style access is what MinIO and most on-prem
+    * stores require; TLS off mirrors the reference's http endpoint default.
+    */
+  final case class ObjectStore(
+      endpoint: String,
+      accessKey: String,
+      secretKey: String,
+      pathStyleAccess: Boolean = true,
+      sslEnabled: Boolean = false)
+
+  def configure(spark: SparkSession, store: ObjectStore): SparkSession = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.endpoint", store.endpoint)
+    hc.set("fs.s3a.access.key", store.accessKey)
+    hc.set("fs.s3a.secret.key", store.secretKey)
+    hc.set("fs.s3a.path.style.access", store.pathStyleAccess.toString)
+    hc.set("fs.s3a.connection.ssl.enabled", store.sslEnabled.toString)
+    configure(spark)
   }
 
   /** Session defaults for pipeline work. `partitionColumnTypeInference=false`

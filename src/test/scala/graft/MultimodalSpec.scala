@@ -29,6 +29,14 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(row.payload, "UTF-8") === doc0)
   }
 
+  test("parquet round-trip preserves binary payloads bit-for-bit") {
+    val back = Multimodal.roundTripParquet(media, "target/media_fixture_test")
+    assert(back.schema("payload").dataType.typeName === "binary")
+    val orig = media.collect().map(m => m.media_id -> m.payload.toSeq).toMap
+    val rt = back.collect().map(m => m.media_id -> m.payload.toSeq).toMap
+    assert(rt === orig)
+  }
+
   test("extractMeta matches the fake-codec formulas for every kind") {
     val metas = Multimodal.extractMeta(media).collect()
     assert(metas.length === media.count())
@@ -91,15 +99,32 @@ class MultimodalSpec extends SparkSpec {
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
-  test("ivfTopK: high recall vs brute force on real embeddings") {
+  test("ivfTopK: high recall vs brute force; k-means refinement never hurts") {
     val embs = Tables.embeddings(spark, sf)
-    val qs = embs.filter(col("vec_id") < 8)
+    // query vectors DISJOINT from the 16 seed ids: a seed query's nearest
+    // centroid is trivially itself, which would flatter the seed-only run
+    val qs = embs.filter(col("vec_id") >= 100 && col("vec_id") < 116)
     val exact = Similarity.bruteForceTopK(embs, qs, "vec_id", "embedding", 5)
       .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Similarity.ivfTopK(embs, qs, "vec_id", "embedding", 5)
-      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(ivf.size === exact.size)
-    val recall = (ivf intersect exact).size.toDouble / exact.size
-    assert(recall >= 0.5, s"IVF recall too low: $recall")
+    def recallAt(iters: Int): Double = {
+      val ivf = Similarity.ivfTopK(embs, qs, "vec_id", "embedding", 5,
+        nProbe = 4, kmeansIters = iters)
+        .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(ivf.size === exact.size)
+      (ivf intersect exact).size.toDouble / exact.size
+    }
+    val seedOnly = recallAt(0)
+    val refined = recallAt(2)
+    assert(refined >= 0.5, s"IVF recall too low: $refined")
+    assert(refined >= seedOnly, s"k-means refinement regressed recall: $seedOnly -> $refined")
+  }
+
+  test("ivfTopK: fixed-point k-means is invariant under partitioning") {
+    val embs = Tables.embeddings(spark, sf)
+    val qs = embs.filter(col("vec_id") < 8)
+    def run(parts: Int): Seq[String] =
+      Similarity.ivfTopK(embs.repartition(parts), qs, "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(run(1) === run(7))
   }
 }

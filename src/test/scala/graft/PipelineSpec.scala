@@ -145,4 +145,19 @@ class PipelineSpec extends SparkSpec {
     val after = spark.read.parquet(zones.curatedFact).count()
     assert(before === after)
   }
+
+  test("O1: object-store conf lands on s3a; zones accept s3a roots (no local DDL)") {
+    Lakehouse.configure(spark,
+      Lakehouse.ObjectStore("http://localhost:9000", "ak", "sk"))
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.s3a.endpoint") === "http://localhost:9000")
+    assert(hc.get("fs.s3a.access.key") === "ak")
+    assert(hc.get("fs.s3a.secret.key") === "sk")
+    assert(hc.get("fs.s3a.path.style.access") === "true")
+    assert(hc.get("fs.s3a.connection.ssl.enabled") === "false")
+    // an object-store root must not attempt local directory DDL
+    val z = Lakehouse.ensureZones("s3a://lake/acme")
+    assert(z.curatedFact === "s3a://lake/acme/curated/fact_customer_transactions")
+    assert(!Paths.get("s3a:").toFile.exists())
+  }
 }
