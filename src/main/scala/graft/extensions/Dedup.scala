@@ -258,12 +258,16 @@ object Dedup {
       val r = e.agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
-    var edges = canon(pairs.select(col(aCol).as("u"), col(bCol).as("v"))).localCheckpoint()
+    // eager=false: the convergence probe right below is the action that
+    // materializes each round's checkpoint — one job per round instead of
+    // a separate checkpoint job plus the probe
+    var edges = canon(pairs.select(col(aCol).as("u"), col(bCol).as("v")))
+      .localCheckpoint(eager = false)
     var (n0, x0) = probe(edges)
     var converged = n0 == 0
     var it = 0
     while (!converged && it < maxIter) {
-      edges = smallStar(largeStar(edges)).localCheckpoint()
+      edges = smallStar(largeStar(edges)).localCheckpoint(eager = false)
       val (n1, x1) = probe(edges)
       converged = n1 == n0 && x1 == x0
       n0 = n1; x0 = x1; it += 1

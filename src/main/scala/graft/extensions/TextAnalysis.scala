@@ -116,6 +116,40 @@ object TextAnalysis {
         col("quality_score"), col("keep"))
   }
 
+  /** TF-IDF top-k terms per document — the keyword-extraction pass a
+    * training-data pipeline uses for topic tagging and boilerplate
+    * detection. tf = term count / doc length; idf = ln(N / df); score is
+    * floor-rounded to 4 dp (`ln` over identical doubles agrees across
+    * engines — the same property h19's linear-counting estimate relies on).
+    *
+    * Shape: one token explode → (doc, term) counts (map-side partial), doc
+    * lengths and document frequencies both derive from that one aggregate,
+    * the corpus size joins in as a broadcast 1-row relation, and the final
+    * per-doc top-k is the two-phase WindowGroupLimit rank filter. Ranking
+    * uses the ROUNDED score (ties broken by term) so every engine ranks
+    * identically.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val tokRows = docs.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("term"))
+    val tf = tokRows.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("cnt"))
+    val docLen = tf.groupBy(col(idCol)).agg(sum(col("cnt")).as("len"))
+    val termDf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    tf.join(docLen, idCol)
+      .join(termDf, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("score", Det.floorRound(
+        (col("cnt").cast("double") / col("len").cast("double")) *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("score"))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash
     * every 3-gram shingle, slide a window of `w` consecutive hashes, keep
     * each window's minimum — the selected hash set is a position-robust

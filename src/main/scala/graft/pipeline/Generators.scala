@@ -86,6 +86,11 @@ object Generators {
         when(u(id, seed, "segnull", nullSegEvery) === 0, lit(null: String))
           .otherwise(seg)
       else seg
+    // sample-without-replacement via seeded-hash order + limit: plans as a
+    // TakeOrderedAndProject bounded heap (no global sort) — right for this
+    // ≤49k-id dim domain. Do NOT reuse the pattern to sample a LARGE table:
+    // limit(k) for huge k regresses to a single-reducer global sort; sample
+    // big tables with a pure hash predicate (xxhash64(id) % m < t) instead.
     spark.range(idLo, idHi + 1)
       .orderBy(xxhash64(id, lit(seed), lit("sample")))
       .limit(clamped.toInt)
@@ -116,6 +121,7 @@ object Generators {
       "Notebook", "Blender")
     val categories = Seq("Electronics", "Books", "Clothing", "Home Goods",
       "Groceries", "Outdoors", "Toys", "Beauty")
+    // bounded-heap sampling; see the note on customers() before reusing
     spark.range(idLo, idHi + 1)
       .orderBy(xxhash64(id, lit(seed), lit("psample")))
       .limit(clamped.toInt)

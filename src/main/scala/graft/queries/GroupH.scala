@@ -879,7 +879,41 @@ object GroupH {
       .orderBy("user_id", "s_start_s")
   }
 
+  /** TF-IDF top-3 terms per document. Ranking is over the ROUNDED score
+    * with the term as tiebreak, so both engines rank identically; `ln` on
+    * identical doubles is engine-portable (same property as h19).
+    */
+  val h27 = Q(
+    "h27_tfidf_top_terms",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                                    t -> len(t) > 0)) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, sum(cnt) AS len FROM tf GROUP BY doc_id),
+      |tdf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    floor((CAST(cnt AS DOUBLE) / CAST(len AS DOUBLE)) *
+      |          ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 10000 + 0.5) / 10000 AS score
+      |  FROM tf
+      |  JOIN dl ON dl.doc_id = tf.doc_id
+      |  JOIN tdf ON tdf.term = tf.term
+      |  CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, term, score,
+      |    CAST(row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, term) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT doc_id, rank, term, score FROM ranked WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+    TextAnalysis.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("doc_id", "rank")
+  }
+
   val all: Seq[Q] =
     Seq(h1, h2, h3, h4, h5, h6, h7, h8, h9, h10, h11, h12, h13, h14, h15, h16,
-      h17, h18, h19, h20, h21, h22, h23, h24, h25, h26)
+      h17, h18, h19, h20, h21, h22, h23, h24, h25, h26, h27)
 }
