@@ -297,6 +297,41 @@ object Dedup {
       .select(col("id").as(idCol), col("comp").as("cluster_rep"))
   }
 
+  /** Benchmark decontamination — the pass an LLM data pipeline runs before
+    * training: for every (benchmark doc, corpus doc) pair, the fraction of
+    * the benchmark doc's DISTINCT 3-gram shingles contained in the corpus
+    * doc (asymmetric containment, not Jaccard: a benchmark question pasted
+    * into a long web page is full contamination even though the page's
+    * Jaccard with it is tiny). Returns pairs at or above `minContainment`
+    * with the 4-dp-rounded score; training docs in the output are the ones
+    * to drop or flag.
+    *
+    * 100 TB posture: both sides fold shingles to xxhash64 longs scan-side
+    * and the pair discovery is an equi-join on the shingle hash — cost is
+    * proportional to SHARED shingle occurrences, never |bench|·|corpus|.
+    * The benchmark side is tiny in practice, so its shingle set broadcasts
+    * and the corpus side streams through one map-side join.
+    */
+  def contaminationPairs(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, minContainment: Double): DataFrame = {
+    def shingleSet(df: DataFrame, as: String): DataFrame = df
+      .select(col(idCol).as(as),
+        explode(TextOps.shingles3(TextOps.tokens(col(textCol)))).as("sh"))
+      .select(col(as), xxhash64(col("sh")).as("sh"))
+      .distinct()
+    val cs = shingleSet(corpus, "doc_id")
+    val bs = shingleSet(bench, "bench_id")
+    val sizes = bs.groupBy("bench_id").agg(count(lit(1)).as("nb"))
+    bs.join(cs, "sh")
+      .filter(col("bench_id") =!= col("doc_id"))
+      .groupBy("bench_id", "doc_id").agg(count(lit(1)).as("i"))
+      .join(sizes, "bench_id")
+      .withColumn("containment",
+        Det.floorRound(col("i").cast("double") / col("nb").cast("double"), 4))
+      .filter(col("containment") >= minContainment)
+      .select("bench_id", "doc_id", "containment")
+  }
+
   /** Embedding near-dup: pairs within a blocking key whose cosine similarity
     * (computed in double, sequential like the oracle) meets the threshold.
     */

@@ -913,7 +913,41 @@ object GroupH {
       .orderBy("doc_id", "rank")
   }
 
+  /** Benchmark decontamination: docs with `doc_id % 10 == 0` stand in for a
+    * benchmark set; asymmetric shingle containment flags corpus docs that
+    * contain ≥ half of a benchmark doc's distinct shingles.
+    */
+  val h28 = Q(
+    "h28_benchmark_decontamination",
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |base AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 3),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      |  FROM base),
+      |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      |bs AS (SELECT doc_id AS bench_id, shingle FROM ds WHERE doc_id % 10 = 0),
+      |nb AS (SELECT bench_id, count(*) AS nb FROM bs GROUP BY bench_id),
+      |inter AS (
+      |  SELECT b.bench_id, d.doc_id, count(*) AS i
+      |  FROM bs b JOIN ds d ON d.shingle = b.shingle
+      |  WHERE d.doc_id <> b.bench_id
+      |  GROUP BY b.bench_id, d.doc_id)
+      |SELECT bench_id, doc_id,
+      |  floor(CAST(i AS DOUBLE) / CAST(nb AS DOUBLE) * 10000 + 0.5) / 10000 AS containment
+      |FROM inter JOIN nb USING (bench_id)
+      |WHERE floor(CAST(i AS DOUBLE) / CAST(nb AS DOUBLE) * 10000 + 0.5) / 10000 >= 0.5
+      |ORDER BY bench_id, doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Dedup.contaminationPairs(docs, docs.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", minContainment = 0.5)
+      .orderBy("bench_id", "doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(h1, h2, h3, h4, h5, h6, h7, h8, h9, h10, h11, h12, h13, h14, h15, h16,
-      h17, h18, h19, h20, h21, h22, h23, h24, h25, h26, h27)
+      h17, h18, h19, h20, h21, h22, h23, h24, h25, h26, h27, h28)
 }
