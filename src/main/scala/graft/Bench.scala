@@ -25,7 +25,6 @@ object Bench {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
-          failed ::= name
           System.err.println(s"[bench] $name: $e")
           None
         }
@@ -34,20 +33,26 @@ object Bench {
       // fixed stage latency, and a single GC/compilation stall on one run
       // showed 2-5x swings round-to-round (BENCH_r02 h5=25s vs 5.5s rerun).
       // min-of-2 keeps plan-level regressions visible (both runs pay them)
-      // while de-noising one-off stalls.
-      val t = once() match {
-        case Some(t1) => once().fold(t1)(math.min(t1, _))
-        case None     => 0.0
-      }
-      name -> t
+      // while de-noising one-off stalls. A query enters `failed` only when
+      // BOTH attempts crash — a run-1 success with a run-2 crash still has a
+      // valid timing, and nothing is listed twice.
+      val times = List(once(), once()).flatten
+      if (times.isEmpty) failed ::= name
+      name -> times.sorted.headOption.getOrElse(0.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal (ms) precision: the driver locates this line in a bounded
+    // tail window of stdout — full double precision pushed the 66-query line
+    // past the window in round 3 (BENCH_r03 parsed:null). ms precision keeps
+    // the line well under the window at 100+ queries and loses nothing at
+    // the 0.1s+ timescales being compared.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // a crashed query records ~0s — surface failures in the JSON so a broken
     // round can never read as a performance win
     val errs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

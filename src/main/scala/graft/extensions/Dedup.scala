@@ -253,7 +253,14 @@ object Dedup {
         .distinct()
     }
     // set-equality probe: count + order-independent checksum (bit_xor never
-    // overflows, unlike a long sum under ANSI mode)
+    // overflows, unlike a long sum under ANSI mode). PROBABILISTIC: two
+    // consecutive DIFFERENT edge sets with equal counts would also need
+    // equal 64-bit xors to falsely terminate — probability ~2^-64 per round
+    // under xxhash64, i.e. negligible next to hardware fault rates; a
+    // deterministic `except().count()` check would cost an extra wide
+    // shuffle per round for no practical gain. Alternating star rounds
+    // also shrink-or-hold the edge count monotonically toward the rooted
+    // forest, so the count component alone rules out most non-fixpoints.
     def probe(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
       (r.getLong(0), r.getLong(1))

@@ -31,14 +31,20 @@ object Lakehouse {
     * object stores are flat keyspaces, the "zones" exist implicitly.
     */
   def ensureZones(workDir: String): Zones = {
-    val scheme = workDir.indexOf("://") match {
-      case -1 => "file"
-      case i  => workDir.substring(0, i)
+    // java.net.URI handles every Hadoop-accepted spelling — `/data`,
+    // `file:/data`, `file:///data`, `file://host/data`, `s3a://bucket/x` —
+    // where a naive indexOf("://") misreads single-slash `file:/data` as
+    // scheme-less and mkdirs a literal `file:` directory.
+    val uri = try new java.net.URI(workDir) catch {
+      case _: java.net.URISyntaxException => new java.net.URI(null, null, workDir, null)
     }
-    if (scheme == "file") {
-      val root = workDir.stripPrefix("file://")
-      Files.createDirectories(Paths.get(s"$root/raw"))
-      Files.createDirectories(Paths.get(s"$root/curated"))
+    val localRoot = uri.getScheme match {
+      case null | "file" => Some(Option(uri.getPath).filter(_.nonEmpty).getOrElse(workDir))
+      case _             => None // object store: flat keyspace, no DDL
+    }
+    localRoot.foreach { root =>
+      Files.createDirectories(Paths.get(root, "raw"))
+      Files.createDirectories(Paths.get(root, "curated"))
     }
     Zones(workDir)
   }

@@ -329,9 +329,13 @@ object GroupH {
       |ORDER BY media_id""".stripMargin) { (s, d) =>
     import graft.extensions.Multimodal
     val media = Multimodal.toMedia(Tables.documents(s, d), "doc_id", "text")
-    // fixture path is per-sf so concurrent scales never clobber each other
+    // fixture path embeds the full (sanitized) sf dir — not its hashCode,
+    // which can collide across dirs — plus this JVM's pid, so a bench and a
+    // verify process running the same sf concurrently never race
+    // overwrite-vs-read on one path. tmpdir-rooted, so the OS reclaims it.
+    val sfTag = d.replaceAll("[^A-Za-z0-9._-]", "_")
     val fixture = s"${System.getProperty("java.io.tmpdir")}/graft_media_fixture_" +
-      Integer.toHexString(d.hashCode)
+      s"${sfTag}_pid${ProcessHandle.current().pid()}"
     Multimodal.extractMeta(Multimodal.roundTripParquet(media, fixture))
       .toDF()
       .orderBy("media_id")
