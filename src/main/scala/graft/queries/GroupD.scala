@@ -121,5 +121,33 @@ object GroupD {
       .orderBy("r_name")
   }
 
-  val all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d6)
+  /** Full outer join of two aggregates with genuinely unmatched rows on
+    * BOTH sides: per-user event counts (user ids are a prefix of the
+    * customer key space) vs per-customer high-value order counts (a sparse
+    * subset of all customers). At scale this is one co-partitioned
+    * shuffle join of two pre-aggregated (already small) sides — the
+    * aggregation-before-join ordering is the point: joining raw fact
+    * tables first would shuffle every row.
+    */
+  val d7 = Q(
+    "d7_full_outer",
+    """WITH ev AS (
+      |  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+      |big AS (
+      |  SELECT o_custkey, count(*) AS n_big_orders FROM orders
+      |  WHERE o_totalprice > 400000 GROUP BY o_custkey)
+      |SELECT coalesce(ev.user_id, big.o_custkey) AS key, n_events, n_big_orders
+      |FROM ev FULL OUTER JOIN big ON ev.user_id = big.o_custkey
+      |ORDER BY key""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+    val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_big_orders"))
+    ev.join(big, col("user_id") === col("o_custkey"), "full_outer")
+      .select(coalesce(col("user_id"), col("o_custkey")).as("key"),
+        col("n_events"), col("n_big_orders"))
+      .orderBy("key")
+  }
+
+  val all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d6, d7)
 }

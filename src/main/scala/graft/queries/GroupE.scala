@@ -288,5 +288,24 @@ object GroupE {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9)
+  /** Explicit GROUPING SETS — the general form rollup (e3) and cube (e4)
+    * are sugar for: per-(segment, priority) cells, per-priority subtotals,
+    * and the grand total, in one Expand + single aggregation pass (no
+    * re-reading the fact per set).
+    */
+  val e10 = {
+    val sql =
+      """SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority), (o_orderpriority), ())
+        |ORDER BY c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+    Q("e10_grouping_sets", sql) { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      s.sql(sql)
+    }
+  }
+
+  val all: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10)
 }

@@ -1,0 +1,183 @@
+package graft.queries
+
+import graft.Tables
+import graft.extensions.{Det, Histograms, Repetition, Sampling, Scrub, Vectors}
+import org.apache.spark.sql.functions._
+
+/** Group H (continued) — training-data pipeline operators added in round 4:
+  * PII scrubbing, Gopher-style repetition metrics, deterministic stratified
+  * and per-group sampling, embedding quantization, histogram quantile
+  * sketches, and exact per-label centroids. Scale notes live on each
+  * extension object; every query here follows the Q determinism contract.
+  */
+object GroupH2 {
+
+  /** PII scrub + audit counts. The synthetic corpus carries no organic PII,
+    * so the contact blob is derived deterministically from customer columns
+    * (same adapt-the-fixture pattern as h14's binary payloads) — the
+    * OPERATOR under test is the engine-portable regex scrub, which both
+    * engines run over identical inputs.
+    */
+  val h29 = Q(
+    "h29_pii_scrub",
+    """WITH blob AS (
+      |  SELECT c_custkey,
+      |    c_name || ' contact: user' || CAST(c_custkey AS VARCHAR) ||
+      |    '@example.com or +1-555-' ||
+      |    lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+      |    ' seg ' || c_mktsegment AS t
+      |  FROM customer)
+      |SELECT c_custkey,
+      |  regexp_replace(
+      |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed,
+      |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+      |  CAST(len(regexp_extract_all(t, '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones
+      |FROM blob
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val blob = concat(col("c_name"), lit(" contact: user"),
+      col("c_custkey").cast("string"), lit("@example.com or +1-555-"),
+      lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0"),
+      lit(" seg "), col("c_mktsegment"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), blob.as("t"))
+      .select(col("c_custkey"), Scrub.scrubPii(col("t")).as("scrubbed"),
+        Scrub.emailCount(col("t")).as("n_emails"),
+        Scrub.phoneCount(col("t")).as("n_phones"))
+      .orderBy("c_custkey")
+  }
+
+  /** Gopher-style repetition quality metrics per document. */
+  val h30 = Q(
+    "h30_repetition_metrics",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |    t -> len(t) > 0) AS l
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(l) AS tok FROM toks),
+      |tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+      |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  count(*) AS n_types, max(c) AS top_count FROM tc GROUP BY doc_id),
+      |bg0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 1),
+      |  i -> l[i] || ' ' || l[i + 1])) AS bg FROM toks WHERE len(l) >= 2),
+      |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg0 GROUP BY doc_id, bg),
+      |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |  count(*) AS n_distinct_bigrams FROM bc GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(ts.n_tokens, 0) AS n_tokens,
+      |  coalesce(ts.n_types, 0) AS n_types,
+      |  floor(CAST(ts.n_types AS DOUBLE) / CAST(ts.n_tokens AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS ttr,
+      |  floor(CAST(ts.top_count AS DOUBLE) / CAST(ts.n_tokens AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS top_frac,
+      |  floor((1.0 - CAST(bs.n_distinct_bigrams AS DOUBLE) / CAST(bs.n_bigrams AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS dup_bigram_frac
+      |FROM documents d
+      |LEFT JOIN ts ON d.doc_id = ts.doc_id
+      |LEFT JOIN bs ON d.doc_id = bs.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    Repetition.metrics(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stratified sample of events: per-type keep rates as md5
+    * bucket cutoffs (purchase 100%, signup ~80%, click 50%, view 25%,
+    * error 12.5%) — the downsample-the-noise / keep-the-signal shape of a
+    * training-data pipeline, reproducible in any engine.
+    */
+  val h31 = Q(
+    "h31_stratified_sample",
+    """SELECT event_id, event_type FROM events
+      |WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 2) <
+      |  CASE event_type WHEN 'purchase' THEN 'zz' WHEN 'signup' THEN 'cd'
+      |       WHEN 'click' THEN '80' WHEN 'view' THEN '40'
+      |       WHEN 'error' THEN '20' ELSE '00' END
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    Sampling.stratified(Tables.events(s, d), "event_id", "event_type",
+      Seq("purchase" -> 256, "signup" -> 205, "click" -> 128,
+        "view" -> 64, "error" -> 32))
+      .select("event_id", "event_type")
+      .orderBy("event_id")
+  }
+
+  /** Exactly-50-per-type deterministic sample (md5 pseudorandom order,
+    * id tiebreak) — WindowGroupLimit keeps the per-group rank two-phase.
+    */
+  val h32 = Q(
+    "h32_group_sample_topk",
+    """SELECT event_type, rk, event_id FROM (
+      |  SELECT event_type, event_id,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+      |  FROM events) t
+      |WHERE rk <= 50
+      |ORDER BY event_type, rk""".stripMargin) { (s, d) =>
+    Sampling.groupTopK(Tables.events(s, d), "event_type", "event_id", 50)
+      .select(col("event_type"), col("rk").cast("long").as("rk"), col("event_id"))
+      .orderBy("event_type", "rk")
+  }
+
+  /** Global-range int8 scalar quantization of the embedding corpus,
+    * verified via per-vector code checksums.
+    */
+  val h33 = Q(
+    "h33_quantize_embeddings",
+    """WITH x AS (
+      |  SELECT vec_id, i AS pos, embedding[i]::DOUBLE AS v
+      |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+      |mm AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM x GROUP BY pos),
+      |codes AS (
+      |  SELECT vec_id,
+      |    CASE WHEN mx = mn THEN 0
+      |         ELSE CAST(floor((v - mn) * 255.0 / (mx - mn)) AS INT) END AS code
+      |  FROM x JOIN mm USING (pos))
+      |SELECT vec_id, CAST(sum(code) AS BIGINT) AS q_sum,
+      |  min(code) AS q_min, max(code) AS q_max
+      |FROM codes GROUP BY vec_id
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    Vectors.quantizeScalar(Tables.embeddings(s, d), "vec_id", "embedding")
+      .select(col("vid").as("vec_id"), col("q_sum"), col("q_min"), col("q_max"))
+      .orderBy("vec_id")
+  }
+
+  /** Histogram-sketch p50/p90 of event value per type (16-unit bins):
+    * the mergeable, engine-exact alternative to interpolated percentiles.
+    */
+  val h34 = Q(
+    "h34_histogram_quantiles",
+    """WITH b AS (
+      |  SELECT event_type, CAST(floor(value / 16.0) AS INT) AS b, count(*) AS c
+      |  FROM events GROUP BY event_type, b),
+      |cum AS (
+      |  SELECT event_type, b, c,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+      |    sum(c) OVER (PARTITION BY event_type) AS total
+      |  FROM b)
+      |SELECT event_type, CAST(max(total) AS BIGINT) AS n,
+      |  min(CASE WHEN cum * 2 >= total THEN b END) * CAST(16.0 AS DOUBLE) AS p50_lo,
+      |  min(CASE WHEN cum * 10 >= total * 9 THEN b END) * CAST(16.0 AS DOUBLE) AS p90_lo
+      |FROM cum GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    Histograms.quantileEstimates(Tables.events(s, d), "event_type", "value", 16.0)
+      .select(col("grp").as("event_type"), col("n"), col("p50_lo"), col("p90_lo"))
+      .orderBy("event_type")
+  }
+
+  /** Exact fixed-point per-label embedding centroids (class prototypes) —
+    * bit-identical across engines via micro-unit integer sums.
+    */
+  val h35 = Q(
+    "h35_label_centroids",
+    """WITH x AS (
+      |  SELECT label, CAST(i - 1 AS INT) AS pos,
+      |    CAST(floor(embedding[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS q
+      |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i))
+      |SELECT label, pos,
+      |  CAST(CAST(sum(q) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0) AS FLOAT) AS comp,
+      |  count(*) AS n
+      |FROM x GROUP BY label, pos
+      |ORDER BY label, pos""".stripMargin) { (s, d) =>
+    Vectors.groupCentroids(Tables.embeddings(s, d), "label", "embedding")
+      .select(col("grp").as("label"), col("pos"), col("comp"), col("n"))
+      .orderBy("label", "pos")
+  }
+
+  val all: Seq[Q] = Seq(h29, h30, h31, h32, h33, h34, h35)
+}
