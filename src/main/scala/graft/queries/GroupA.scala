@@ -186,5 +186,29 @@ object GroupABC {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, b1, c1)
+  /** JSON source/sink roundtrip: documents written as JSON lines, read
+    * back (schema-pinned read — schema inference is a second full pass at
+    * 100 TB), aggregated. The oracle recomputes from the parquet originals:
+    * equality proves the JSON hop is lossless for the projected columns.
+    */
+  val c2 = Q(
+    "c2_json_roundtrip",
+    """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    val scratch = s"/root/repo/target/scratch/c2_${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
+      s"_pid${ProcessHandle.current().pid()}"
+    Tables.documents(s, d)
+      .select("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").json(scratch)
+    s.read
+      .schema("doc_id BIGINT, lang STRING, n_chars BIGINT")
+      .json(scratch)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, b1, c1, c2)
 }

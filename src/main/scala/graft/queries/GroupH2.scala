@@ -179,5 +179,56 @@ object GroupH2 {
       .orderBy("label", "pos")
   }
 
-  val all: Seq[Q] = Seq(h29, h30, h31, h32, h33, h34, h35)
+  /** Stream-stream interval join (click→purchase attribution) run in batch
+    * under the hard gate — the same `StreamJoins.clickPurchaseAttribution`
+    * body the MemoryStream suite drives (watermarks are no-ops in batch).
+    * State posture in streaming: both sides expire once the watermark
+    * passes the attribution horizon, so join state is bounded.
+    */
+  val h36 = Q(
+    "h36_click_purchase_attribution",
+    """WITH c AS (
+      |  SELECT user_id, event_id AS c_event_id, ts AS c_ts FROM events
+      |  WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id AS p_user_id, event_id AS p_event_id, ts AS p_ts
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT user_id, c_event_id,
+      |  strftime(c_ts, '%Y-%m-%d %H:%M:%S') AS c_ts_s,
+      |  p_event_id,
+      |  strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS p_ts_s
+      |FROM c JOIN p ON user_id = p_user_id
+      |  AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL '30 minutes'
+      |ORDER BY user_id, c_event_id, p_event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    graft.streaming.StreamJoins.clickPurchaseAttribution(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+      .select(col("user_id"), col("c_event_id"),
+        date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("c_ts_s"),
+        col("p_event_id"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts_s"))
+      .orderBy("user_id", "c_event_id", "p_event_id")
+  }
+
+  /** Salted two-stage aggregation under the hard gate: the skew-mitigation
+    * shape (no single-reducer hot key) must be RESULT-identical to the
+    * plain groupBy — exact decimal sums make it bit-identical to the
+    * oracle's plain GROUP BY in any engine.
+    */
+  val h37 = Q(
+    "h37_salted_type_stats",
+    """SELECT event_type,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  count(*) AS count_rows
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    graft.extensions.Skew.saltedSumCount(Tables.events(s, d),
+      Seq("event_type"), "value", buckets = 32, exactScale = Some(2))
+      .select(col("event_type"), col("sum_value").as("sum_value"),
+        col("count_rows"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(h29, h30, h31, h32, h33, h34, h35, h36, h37)
 }
