@@ -15,15 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
-  /** Session intervals with FULL-precision timestamp bounds (µs) — the form
-    * downstream temporal operators (e.g. range joins) must consume; the
-    * formatted [[sessions]] view truncates bounds to seconds for display.
+  /** Events with their `session_n` label attached — the building block for
+    * session-scoped analytics (intervals below, funnel conversion in
+    * [[Funnel]]): lag + cumulative-sum over ONE (user, ts, id) sort; both
+    * window passes share the partitioning, so Catalyst plans a single
+    * exchange + sort.
     */
-  def sessionIntervals(events: DataFrame, userCol: String, tsCol: String,
-      gapSeconds: Long, eventIdCol: String = "event_id",
-      valueCol: String = "value"): DataFrame = {
+  def withSessionIds(events: DataFrame, userCol: String, tsCol: String,
+      gapSeconds: Long, eventIdCol: String = "event_id"): DataFrame = {
     val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col(eventIdCol))
-    val withStart = events
+    events
       .withColumn("__prev_ts", lag(col(tsCol), 1).over(byUser))
       .withColumn("__new_session",
         when(col("__prev_ts").isNull, 1)
@@ -31,14 +32,23 @@ object Sessionize {
           .otherwise(0))
       .withColumn("session_n",
         sum(col("__new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
-    withStart
+      .drop("__prev_ts", "__new_session")
+  }
+
+  /** Session intervals with FULL-precision timestamp bounds (µs) — the form
+    * downstream temporal operators (e.g. range joins) must consume; the
+    * formatted [[sessions]] view truncates bounds to seconds for display.
+    */
+  def sessionIntervals(events: DataFrame, userCol: String, tsCol: String,
+      gapSeconds: Long, eventIdCol: String = "event_id",
+      valueCol: String = "value"): DataFrame =
+    withSessionIds(events, userCol, tsCol, gapSeconds, eventIdCol)
       .groupBy(col(userCol), col("session_n"))
       .agg(
         count(lit(1)).as("n_events"),
         min(col(tsCol)).as("s_start"),
         max(col(tsCol)).as("s_end"),
         Det.exactSum(col(valueCol)).as("total_value"))
-  }
 
   def sessions(events: DataFrame, userCol: String, tsCol: String,
       gapSeconds: Long, eventIdCol: String = "event_id",

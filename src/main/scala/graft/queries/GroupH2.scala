@@ -230,5 +230,121 @@ object GroupH2 {
       .orderBy("event_type")
   }
 
-  val all: Seq[Q] = Seq(h29, h30, h31, h32, h33, h34, h35, h36, h37)
+  /** Data-quality column profile — the audit report step of a training
+    * pipeline: per column (over a normalized string projection so every
+    * type shares one metric space): row/non-null/distinct counts and
+    * lexicographic min/max. ONE scan: a `stack` generator reshapes the row
+    * into (col_name, value) pairs feeding a single partial-aggregated
+    * grouped aggregation — at 100 TB this beats one pass per column (6
+    * scans) and beats a single multi-DISTINCT aggregate (whose Expand
+    * replicates the whole scan ×columns for ALL metrics; here only the
+    * stacked pairs shuffle, combined map-side). Doubles are normalized
+    * through DECIMAL(18,2) before stringification — engine-portable repr,
+    * unlike raw double formatting; timestamps to second-precision strings
+    * (the profile is DEFINED over these normalized representations).
+    */
+  val h38 = Q(
+    "h38_column_profile",
+    """WITH s AS (
+      |  SELECT CAST(event_id AS VARCHAR) AS event_id,
+      |    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+      |    CAST(user_id AS VARCHAR) AS user_id, event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value, props
+      |  FROM events)
+      |SELECT * FROM (
+      |  SELECT 'event_id' AS col_name, count(*) AS n_rows,
+      |    count(event_id) AS n_nonnull, count(DISTINCT event_id) AS n_distinct,
+      |    min(event_id) AS min_s, max(event_id) AS max_s FROM s
+      |  UNION ALL SELECT 'ts', count(*), count(ts), count(DISTINCT ts),
+      |    min(ts), max(ts) FROM s
+      |  UNION ALL SELECT 'user_id', count(*), count(user_id),
+      |    count(DISTINCT user_id), min(user_id), max(user_id) FROM s
+      |  UNION ALL SELECT 'event_type', count(*), count(event_type),
+      |    count(DISTINCT event_type), min(event_type), max(event_type) FROM s
+      |  UNION ALL SELECT 'value', count(*), count(value),
+      |    count(DISTINCT value), min(value), max(value) FROM s
+      |  UNION ALL SELECT 'props', count(*), count(props),
+      |    count(DISTINCT props), min(props), max(props) FROM s) t
+      |ORDER BY col_name""".stripMargin) { (s, d) =>
+    val norm = Tables.events(s, d).select(
+      col("event_id").cast("string").as("event_id"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+      col("user_id").cast("string").as("user_id"),
+      col("event_type"),
+      col("value").cast("decimal(18,2)").cast("string").as("value"),
+      col("props"))
+    norm
+      .select(expr("""stack(6,
+        |'event_id', event_id, 'ts', ts, 'user_id', user_id,
+        |'event_type', event_type, 'value', value, 'props', props)
+        |AS (col_name, v)""".stripMargin))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_rows"), count(col("v")).as("n_nonnull"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(col("v")).as("min_s"), max(col("v")).as("max_s"))
+      .orderBy("col_name")
+  }
+
+  /** Corpus-trained unigram LM quality score per document (fixed-point
+    * exact sums; CCNet-style perplexity-proxy filtering).
+    */
+  val h39 = Q(
+    "h39_unigram_lm_score",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |    t -> len(t) > 0) AS l
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(l) AS tok FROM toks),
+      |dt AS (SELECT doc_id, tok, count(*) AS m FROM tok GROUP BY doc_id, tok),
+      |vc AS (SELECT tok, CAST(sum(m) AS BIGINT) AS c FROM dt GROUP BY tok),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM vc),
+      |lp AS (
+      |  SELECT tok,
+      |    CAST(floor(ln(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS q
+      |  FROM vc, tot)
+      |SELECT dt.doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+      |  CAST(sum(m * q) AS BIGINT) AS sum_q,
+      |  CAST(sum(m * q) AS DOUBLE) / (CAST(sum(m) AS DOUBLE) * 1000000.0) AS avg_logprob
+      |FROM dt JOIN lp USING (tok)
+      |GROUP BY dt.doc_id
+      |ORDER BY dt.doc_id""".stripMargin) { (s, d) =>
+    graft.extensions.LmScore.unigramScores(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Session-scoped funnel conversion (click → purchase within the same
+    * gap session, purchase at-or-after the first click).
+    */
+  val h40 = Q(
+    "h40_funnel_conversion",
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+      |         WHEN date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1
+      |         ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_n
+      |  FROM g),
+      |f AS (
+      |  SELECT user_id, session_n, ts, event_type,
+      |    min(CASE WHEN event_type = 'click' THEN ts END)
+      |      OVER (PARTITION BY user_id, session_n) AS first_click
+      |  FROM s)
+      |SELECT user_id, CAST(session_n AS BIGINT) AS session_n,
+      |  count(*) AS n_events,
+      |  CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS INT) AS has_from,
+      |  CAST(max(CASE WHEN event_type = 'purchase' AND ts >= first_click
+      |       THEN 1 ELSE 0 END) AS INT) AS converted
+      |FROM f GROUP BY user_id, session_n
+      |ORDER BY user_id, session_n""".stripMargin) { (s, d) =>
+    graft.extensions.Funnel.sessionConversion(Tables.events(s, d),
+      "user_id", "ts", "event_type", 1800L, "click", "purchase")
+      .orderBy("user_id", "session_n")
+  }
+
+  val all: Seq[Q] = Seq(h29, h30, h31, h32, h33, h34, h35, h36, h37, h38, h39, h40)
 }

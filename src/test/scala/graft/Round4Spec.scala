@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.extensions.{Histograms, Repetition, Sampling, Scrub, Vectors}
+import graft.extensions.{Funnel, Histograms, LmScore, Repetition, Sampling, Scrub, Vectors}
 
 /** Round-4 operators: deterministic sampling, PII scrub, repetition
   * metrics, embedding quantization, histogram quantiles, group centroids.
@@ -53,6 +53,18 @@ class Round4Spec extends SparkSpec {
     val p = Sampling.groupTopK(Tables.events(spark, sf), "event_type", "event_id", 5)
       .queryExecution.executedPlan.toString
     assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
+  }
+
+  test("stratified sample plans as a pure scan-stage filter (no exchange)") {
+    val p = Sampling.stratified(Tables.events(spark, sf), "event_id",
+      "event_type", Seq("purchase" -> 128)).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("quantizeScalar joins the per-dim min/max back by broadcast") {
+    val p = Vectors.quantizeScalar(Tables.embeddings(spark, sf), "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 
   // --- Scrub ------------------------------------------------------------
@@ -123,6 +135,50 @@ class Round4Spec extends SparkSpec {
     val dims = ev.select(size($"embedding")).as[Int].head()
     val labels = ev.select("label").distinct().count()
     assert(cents.count() === labels * dims) // |groups| · dims, not corpus-sized
+  }
+
+  // --- LmScore ----------------------------------------------------------
+
+  test("unigram LM scores match hand-computed fixed-point values") {
+    val docs = Seq((1L, "a a a"), (2L, "a z")).toDF("doc_id", "text")
+    def q(p: Double): Long = math.floor(math.log(p) * 1e6 + 0.5).toLong
+    val qa = q(4.0 / 5.0); val qz = q(1.0 / 5.0)
+    val out = LmScore.unigramScores(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(2) === 3 * qa)
+    assert(out(1).getLong(2) === qa + qz)
+    val (avg1, avg2) = (out(0).getDouble(3), out(1).getDouble(3))
+    assert(avg1 < 0 && avg2 < 0 && avg1 > avg2) // rare-token doc scores lower
+  }
+
+  // --- Funnel -----------------------------------------------------------
+
+  test("funnel conversion: purchase before first click does not convert") {
+    import java.sql.Timestamp
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val ev = Seq(
+      // user 1, one session: purchase BEFORE first click → not converted
+      (1L, t(0), "purchase", 1L), (1L, t(5), "click", 2L),
+      // user 2, one session: click then purchase → converted
+      (2L, t(0), "click", 3L), (2L, t(10), "purchase", 4L),
+      // user 2, second session (gap > 30 min): click only → not converted
+      (2L, t(50), "click", 5L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val out = Funnel.sessionConversion(ev, "user_id", "ts", "event_type",
+      1800L, "click", "purchase")
+      .orderBy("user_id", "session_n")
+      .select("user_id", "session_n", "n_events", "has_from", "converted")
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getInt(3), r.getInt(4))).toSeq === Seq(
+      (1L, 1L, 2L, 1, 0), (2L, 1L, 2L, 1, 1), (2L, 2L, 1L, 1, 0)))
+  }
+
+  test("funnel is one shuffle end-to-end (window + agg reuse the partitioning)") {
+    val p = Funnel.sessionConversion(Tables.events(spark, sf), "user_id", "ts",
+      "event_type", 1800L, "click", "purchase")
+      .queryExecution.executedPlan.toString
+    assert(p.split("Exchange").length - 1 === 1, p)
   }
 
   // --- Histograms -------------------------------------------------------
