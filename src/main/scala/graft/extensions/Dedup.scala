@@ -100,6 +100,47 @@ object Dedup {
           when(col(s"v$j") >= 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
+  /** SimHash near-dup candidate pairs: band the 16-bit signature into
+    * `bands` equal slices, bucket-join on (band, slice), verify candidates
+    * by exact Hamming distance ≤ `maxHamming`. Two signatures within
+    * Hamming distance `bands − 1` ALWAYS share at least one identical band
+    * (pigeonhole), so recall is exact for `maxHamming < bands` — the
+    * banding is a pure pruning step, not an approximation.
+    *
+    * Scale shape: like [[lshCandidatePairs]], only (id, band, slice) rows
+    * shuffle; pairs materialize per bucket, never all-pairs; `distinct`
+    * collapses multi-band collisions before the (cheap, codegen'd 16-term)
+    * Hamming verify. Bucket sizes are bounded by slice-width entropy —
+    * widen the signature/bands for finer pruning at corpus scale.
+    */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 2, bands: Int = 4): DataFrame = {
+    require(16 % bands == 0, "bands must divide the 16-bit signature")
+    require(maxHamming < bands,
+      "exact recall needs maxHamming < bands (pigeonhole)")
+    val w = 16 / bands
+    val sigs = simhashes(docs, idCol, textCol)
+    val bk = sigs.select(col(idCol).as("__id"), col("simhash").as("__sig"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          substring(col("simhash"), b * w + 1, w).as("key"))): _*)).as("__bk"))
+      .select(col("__id"), col("__sig"),
+        col("__bk.band").as("band"), col("__bk.key").as("key"))
+    val a = bk.select(col("__id").as("id_a"), col("__sig").as("sig_a"),
+      col("band"), col("key"))
+    val b = bk.select(col("__id").as("id_b"), col("__sig").as("sig_b"),
+      col("band"), col("key"))
+    val hamming = (1 to 16).map(j =>
+      when(substring(col("sig_a"), j, 1) =!= substring(col("sig_b"), j, 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Exact n-gram (3-shingle) Jaccard similarity for candidate pairs within
     * a blocking key (e.g. same source) — the verify stage after LSH, or a
     * standalone exact near-dup pass when a cheap blocking key exists.

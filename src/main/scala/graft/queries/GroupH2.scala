@@ -346,5 +346,47 @@ object GroupH2 {
       .orderBy("user_id", "session_n")
   }
 
-  val all: Seq[Q] = Seq(h29, h30, h31, h32, h33, h34, h35, h36, h37, h38, h39, h40)
+  /** SimHash-banded near-dup pairs — the pairing path over h7's signatures
+    * (banding is exact-recall pruning for hamming < bands by pigeonhole).
+    */
+  val h41 = {
+    val hammingSql = (1 to 16).map(j =>
+      s"CASE WHEN substr(sig_a, $j, 1) <> substr(sig_b, $j, 1) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    Q(
+      "h41_simhash_near_dup",
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+        |                                    t -> len(t) > 0)) AS t
+        |  FROM documents),
+        |js AS (SELECT unnest(generate_series(1, 16)) AS j),
+        |votes AS (
+        |  SELECT doc_id, j,
+        |    sum(CASE WHEN substr(md5(t), j, 1) IN ('8','9','a','b','c','d','e','f')
+        |        THEN 1 ELSE -1 END) AS v
+        |  FROM tok CROSS JOIN js GROUP BY doc_id, j),
+        |sig AS (
+        |  SELECT doc_id,
+        |    string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+        |  FROM votes GROUP BY doc_id),
+        |bk AS (
+        |  SELECT doc_id, simhash, b AS band, substr(simhash, b * 4 + 1, 4) AS key
+        |  FROM sig, UNNEST(generate_series(0, 3)) AS t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.simhash AS sig_a, b.simhash AS sig_b
+        |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+        |    AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST($hammingSql AS INT) AS hamming
+        |FROM cand
+        |WHERE $hammingSql <= 2
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      graft.extensions.Dedup.simhashNearDupPairs(
+        Tables.documents(s, d), "doc_id", "text", maxHamming = 2, bands = 4)
+        .orderBy("id_a", "id_b")
+    }
+  }
+
+  val all: Seq[Q] = Seq(h29, h30, h31, h32, h33, h34, h35, h36, h37, h38,
+    h39, h40, h41)
 }

@@ -89,6 +89,29 @@ class Round4Spec extends SparkSpec {
     assert(out(1).getString(0) === "call <PHONE> or <PHONE>")
   }
 
+  test("scrubPii is idempotent over realistic contact blobs") {
+    val blob = concat($"c_name", lit(" contact: user"),
+      $"c_custkey".cast("string"), lit("@example.com or +1-555-"),
+      lpad(pmod($"c_custkey", lit(10000)).cast("string"), 4, "0"))
+    val once = Tables.customer(spark, sf).select(Scrub.scrubPii(blob).as("s"))
+    val n = once.filter(Scrub.scrubPii($"s") =!= $"s").count()
+    assert(n === 0)
+  }
+
+  test("simhash banding finds EVERY pair within maxHamming (pigeonhole recall)") {
+    import graft.extensions.Dedup
+    val docs = Tables.documents(spark, sf)
+    val found = Dedup.simhashNearDupPairs(docs, "doc_id", "text", 2, 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sigs = Dedup.simhashes(docs, "doc_id", "text")
+      .as[(Long, String)].collect()
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      if sa.zip(sb).count { case (x, y) => x != y } <= 2
+    } yield (ia, ib)).toSet
+    assert(found === brute) // banding is pruning, not approximation
+  }
+
   // --- Repetition -------------------------------------------------------
 
   test("repetition metrics match hand-computed values") {
