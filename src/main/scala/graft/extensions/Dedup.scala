@@ -86,59 +86,99 @@ object Dedup {
     * aggregate per doc. (The column-per-bit HOF formulation re-hashed every
     * token 16× in interpreted lambdas — measured 25× slower at sf0.1.)
     */
-  def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashesN(docs, idCol, textCol, 16)
+
+  /** `bits`-bit SimHash signatures (votes from the first `bits` hex nibbles
+    * of each token's md5; md5 supplies up to 32). [[simhashes]] pins the
+    * 16-bit h7 surface; the near-dup pairing below uses 32 bits — on a
+    * topically uniform corpus most of a short signature is determined by
+    * the global token distribution, so extra bits are what separate
+    * documents (measured on the fixture: 500 docs → 292 distinct 16-bit
+    * sigs with 17k hamming≤2 pairs, but 475 distinct 32-bit sigs with
+    * 1.3k pairs).
+    */
+  def simhashesN(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 32, "md5 supplies at most 32 hex nibbles")
     val tokRows = docs
       .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__tok"))
       .withColumn("__h", md5(col("__tok")))
-    val voteCols = (1 to 16).map { j =>
+    val voteCols = (1 to bits).map { j =>
       sum(when(substring(col("__h"), j, 1)
         .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)).as(s"v$j")
     }
     tokRows.groupBy(col(idCol)).agg(voteCols.head, voteCols.tail: _*)
       .select(col(idCol),
-        concat((1 to 16).map(j =>
+        concat((1 to bits).map(j =>
           when(col(s"v$j") >= 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
-  /** SimHash near-dup candidate pairs: band the 16-bit signature into
-    * `bands` equal slices, bucket-join on (band, slice), verify candidates
-    * by exact Hamming distance ≤ `maxHamming`. Two signatures within
-    * Hamming distance `bands − 1` ALWAYS share at least one identical band
-    * (pigeonhole), so recall is exact for `maxHamming < bands` — the
-    * banding is a pure pruning step, not an approximation.
+  /** `bits`-bit SimHash signature as a LONG (bit `j` of [[simhashesN]]'s
+    * string ↔ weight `2^(bits−j)`): integer form makes banding a
+    * shift-and-mask and Hamming distance a single `bit_count(xor)` — one
+    * codegen'd ALU op per candidate pair instead of `bits` substring
+    * comparisons, and the identical integer expressions run in any engine.
+    */
+  def simhashLongs(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 32, "md5 supplies at most 32 hex nibbles")
+    val tokRows = docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__tok"))
+      .withColumn("__h", md5(col("__tok")))
+    val voteCols = (1 to bits).map { j =>
+      sum(when(substring(col("__h"), j, 1)
+        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)).as(s"v$j")
+    }
+    tokRows.groupBy(col(idCol)).agg(voteCols.head, voteCols.tail: _*)
+      .select(col(idCol),
+        (1 to bits).map(j =>
+          when(col(s"v$j") >= 0, lit(1L << (bits - j))).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+  }
+
+  /** SimHash near-dup candidate pairs: band the `sigBits`-bit signature
+    * into `bands` equal slices, bucket-join on (band, slice), verify
+    * candidates by exact Hamming distance ≤ `maxHamming`. Two signatures
+    * within Hamming distance `bands − 1` ALWAYS share at least one
+    * identical band (pigeonhole), so recall is exact for
+    * `maxHamming < bands` — banding is pure pruning, not approximation.
     *
     * Scale shape: like [[lshCandidatePairs]], only (id, band, slice) rows
-    * shuffle; pairs materialize per bucket, never all-pairs; `distinct`
-    * collapses multi-band collisions before the (cheap, codegen'd 16-term)
-    * Hamming verify. Bucket sizes are bounded by slice-width entropy —
-    * widen the signature/bands for finer pruning at corpus scale.
+    * shuffle; pairs materialize per bucket, never all-pairs. The Hamming
+    * verify — `bit_count(sig_a XOR sig_b)`, one codegen'd ALU op — runs on
+    * the JOIN STREAM before any distinct, so the only wide shuffle carries
+    * verified near-dup pairs. (The first formulation — 4-bit band keys,
+    * 32-term per-character Hamming, distinct before verify — ground
+    * through a 34M-row candidate stream for 65 s at sf0.1; this one holds
+    * 7.5M candidates and runs in ~2 s.) Band width trades bucket entropy
+    * against recall bound: width 8 / 4 bands covers hamming ≤ 3 with
+    * 256-way keys per band.
     */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 2, bands: Int = 4): DataFrame = {
-    require(16 % bands == 0, "bands must divide the 16-bit signature")
+      maxHamming: Int = 2, bands: Int = 4, sigBits: Int = 32): DataFrame = {
+    require(sigBits % bands == 0, "bands must divide the signature width")
     require(maxHamming < bands,
       "exact recall needs maxHamming < bands (pigeonhole)")
-    val w = 16 / bands
-    val sigs = simhashes(docs, idCol, textCol)
-    val bk = sigs.select(col(idCol).as("__id"), col("simhash").as("__sig"),
+    val w = sigBits / bands
+    val mask = (1L << w) - 1
+    val sigs = simhashLongs(docs, idCol, textCol, sigBits)
+    val bk = sigs.select(col(idCol).as("__id"), col("sig").as("__sig"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          substring(col("simhash"), b * w + 1, w).as("key"))): _*)).as("__bk"))
+          (shiftright(col("sig"), b * w).bitwiseAND(lit(mask))).as("key"))): _*))
+        .as("__bk"))
       .select(col("__id"), col("__sig"),
         col("__bk.band").as("band"), col("__bk.key").as("key"))
     val a = bk.select(col("__id").as("id_a"), col("__sig").as("sig_a"),
       col("band"), col("key"))
     val b = bk.select(col("__id").as("id_b"), col("__sig").as("sig_b"),
       col("band"), col("key"))
-    val hamming = (1 to 16).map(j =>
-      when(substring(col("sig_a"), j, 1) =!= substring(col("sig_b"), j, 1), 1)
-        .otherwise(0)).reduce(_ + _)
     a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
-      .withColumn("hamming", hamming)
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .select("id_a", "id_b", "hamming").distinct()
   }
 
   /** Exact n-gram (3-shingle) Jaccard similarity for candidate pairs within

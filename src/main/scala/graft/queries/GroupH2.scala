@@ -346,45 +346,45 @@ object GroupH2 {
       .orderBy("user_id", "session_n")
   }
 
-  /** SimHash-banded near-dup pairs — the pairing path over h7's signatures
-    * (banding is exact-recall pruning for hamming < bands by pigeonhole).
+  /** SimHash-banded near-dup pairs over 32-bit integer signatures (md5
+    * supplies 32 vote nibbles; 16 bits is near-degenerate on a topically
+    * uniform corpus — see Dedup.simhashLongs). Width-8 bands give 256-way
+    * bucket keys with exact recall for hamming ≤ 3 by pigeonhole; the
+    * Hamming verify is one `bit_count(xor)` on the join stream BEFORE the
+    * distinct, so only verified pairs shuffle.
     */
-  val h41 = {
-    val hammingSql = (1 to 16).map(j =>
-      s"CASE WHEN substr(sig_a, $j, 1) <> substr(sig_b, $j, 1) THEN 1 ELSE 0 END")
-      .mkString(" + ")
-    Q(
-      "h41_simhash_near_dup",
-      s"""WITH tok AS (
-        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
-        |                                    t -> len(t) > 0)) AS t
-        |  FROM documents),
-        |js AS (SELECT unnest(generate_series(1, 16)) AS j),
-        |votes AS (
-        |  SELECT doc_id, j,
-        |    sum(CASE WHEN substr(md5(t), j, 1) IN ('8','9','a','b','c','d','e','f')
-        |        THEN 1 ELSE -1 END) AS v
-        |  FROM tok CROSS JOIN js GROUP BY doc_id, j),
-        |sig AS (
-        |  SELECT doc_id,
-        |    string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
-        |  FROM votes GROUP BY doc_id),
-        |bk AS (
-        |  SELECT doc_id, simhash, b AS band, substr(simhash, b * 4 + 1, 4) AS key
-        |  FROM sig, UNNEST(generate_series(0, 3)) AS t(b)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    a.simhash AS sig_a, b.simhash AS sig_b
-        |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
-        |    AND a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, CAST($hammingSql AS INT) AS hamming
-        |FROM cand
-        |WHERE $hammingSql <= 2
-        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-      graft.extensions.Dedup.simhashNearDupPairs(
-        Tables.documents(s, d), "doc_id", "text", maxHamming = 2, bands = 4)
-        .orderBy("id_a", "id_b")
-    }
+  val h41 = Q(
+    "h41_simhash_near_dup",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                                    t -> len(t) > 0)) AS t
+      |  FROM documents),
+      |js AS (SELECT unnest(generate_series(1, 32)) AS j),
+      |votes AS (
+      |  SELECT doc_id, j,
+      |    sum(CASE WHEN substr(md5(t), j, 1) IN ('8','9','a','b','c','d','e','f')
+      |        THEN 1 ELSE -1 END) AS v
+      |  FROM tok CROSS JOIN js GROUP BY doc_id, j),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << (32 - j))
+      |             ELSE 0 END) AS BIGINT) AS sig
+      |  FROM votes GROUP BY doc_id),
+      |bk AS (
+      |  SELECT doc_id, sig, b AS band, (sig >> (b * 8)) & 255 AS key
+      |  FROM sig, UNNEST(generate_series(0, 3)) AS t(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+      |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+      |    AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.sig, b.sig)) <= 2)
+      |SELECT id_a, id_b, hamming FROM cand
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    graft.extensions.Dedup.simhashNearDupPairs(
+      Tables.documents(s, d), "doc_id", "text",
+      maxHamming = 2, bands = 4, sigBits = 32)
+      .orderBy("id_a", "id_b")
   }
 
   val all: Seq[Q] = Seq(h29, h30, h31, h32, h33, h34, h35, h36, h37, h38,

@@ -101,15 +101,22 @@ class Round4Spec extends SparkSpec {
   test("simhash banding finds EVERY pair within maxHamming (pigeonhole recall)") {
     import graft.extensions.Dedup
     val docs = Tables.documents(spark, sf)
-    val found = Dedup.simhashNearDupPairs(docs, "doc_id", "text", 2, 4)
+    val found = Dedup.simhashNearDupPairs(docs, "doc_id", "text", 2, 4, 32)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val sigs = Dedup.simhashes(docs, "doc_id", "text")
-      .as[(Long, String)].collect()
+    val sigs = Dedup.simhashLongs(docs, "doc_id", "text", 32)
+      .as[(Long, Long)].collect()
     val brute = (for {
       (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
-      if sa.zip(sb).count { case (x, y) => x != y } <= 2
+      if java.lang.Long.bitCount(sa ^ sb) <= 2
     } yield (ia, ib)).toSet
     assert(found === brute) // banding is pruning, not approximation
+    // integer signature bits ↔ string signature characters
+    val strSigs = Dedup.simhashesN(docs, "doc_id", "text", 32)
+      .as[(Long, String)].collect().toMap
+    sigs.take(50).foreach { case (id, s) =>
+      assert(java.lang.Long.toBinaryString(s).reverse.padTo(32, '0').reverse
+        === strSigs(id), s"sig mismatch for doc $id")
+    }
   }
 
   // --- Repetition -------------------------------------------------------
