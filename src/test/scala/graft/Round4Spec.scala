@@ -119,6 +119,17 @@ class Round4Spec extends SparkSpec {
     }
   }
 
+  test("simhash pairing verifies BEFORE the distinct (only verified pairs shuffle)") {
+    import graft.extensions.Dedup
+    val p = Dedup.simhashNearDupPairs(Tables.documents(spark, sf),
+      "doc_id", "text", 2, 4, 32).queryExecution.executedPlan.toString
+    // the dedup aggregate groups the verified projection (id_a, id_b,
+    // hamming) — a distinct over raw candidate rows (with sig columns)
+    // would key on sig_a/sig_b instead, the 65s-at-sf0.1 shape
+    assert("keys=\\[[^\\]]*hamming".r.findFirstIn(p).isDefined, p)
+    assert(!"keys=\\[[^\\]]*sig_a".r.findFirstIn(p).isDefined, p)
+  }
+
   // --- Repetition -------------------------------------------------------
 
   test("repetition metrics match hand-computed values") {
