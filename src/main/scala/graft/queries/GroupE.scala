@@ -307,5 +307,87 @@ object GroupE {
     }
   }
 
-  val all: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10)
+  /** Pearson correlation from EXACT sums — the determinism-contract answer
+    * to `corr()` (whose running-moment doubles are aggregation-order
+    * dependent and engine-internal): all six moments are exact integer/
+    * decimal aggregates (order-independent), the correlation is one final
+    * double formula over them — identical IEEE ops in identical order in
+    * every engine (sqrt is correctly rounded per IEEE-754). At 100 TB this
+    * is also the mergeable form: partial moment sums combine exactly.
+    */
+  val e11 = Q(
+    "e11_exact_corr",
+    """WITH a AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(CAST(hour(ts) AS BIGINT)) AS BIGINT) AS sx,
+      |    CAST(sum(CAST(hour(ts) AS BIGINT) * CAST(hour(ts) AS BIGINT)) AS BIGINT) AS sxx,
+      |    sum(CAST(value AS DECIMAL(18,2))) AS sy,
+      |    sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS syy,
+      |    sum(CAST(value AS DECIMAL(18,2)) * CAST(hour(ts) AS DECIMAL(10,0))) AS sxy
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, n,
+      |  floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |    * 1000000.0 + 0.5) / 1000000.0 AS corr_hour_value
+      |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
+    val x = hour(col("ts")).cast("long")
+    val y = col("value").cast("decimal(18,2)")
+    val a = Tables.events(s, d).groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"),
+      sum(x * x).as("sxx"),
+      sum(y).as("sy"),
+      sum(y * y).as("syy"),
+      sum(y * hour(col("ts")).cast("decimal(10,0)")).as("sxy"))
+    def dbl(c: String) = col(c).cast("double")
+    val num = dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy")
+    val den = sqrt((dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")) *
+      (dbl("n") * dbl("syy") - dbl("sy") * dbl("sy")))
+    a.select(col("event_type"), col("n"),
+      Det.floorRound(num / den, 6).as("corr_hour_value"))
+      .orderBy("event_type")
+  }
+
+  /** Z-score tail detection from exact moment sums: per-type mean/sd are
+    * double formulas over exact decimal aggregates (deterministic, unlike
+    * stddev's running doubles), broadcast-joined back, and rows beyond
+    * +2.5σ emitted with their score. The value distribution is
+    * exponential-shaped, so only the high tail exists.
+    */
+  val e12 = Q(
+    "e12_zscore_outliers",
+    """WITH s AS (
+      |  SELECT event_type, count(*) AS n,
+      |    sum(CAST(value AS DECIMAL(18,2))) AS sy,
+      |    sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS syy
+      |  FROM events GROUP BY event_type),
+      |st AS (
+      |  SELECT event_type,
+      |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |    sqrt(CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+      |       - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) AS sd
+      |  FROM s)
+      |SELECT e.event_id, e.event_type, round(e.value, 2) AS value,
+      |  floor((CAST(e.value AS DOUBLE) - st.mean) / st.sd * 10000 + 0.5) / 10000 AS z
+      |FROM events e JOIN st ON e.event_type = st.event_type
+      |WHERE (CAST(e.value AS DOUBLE) - st.mean) / st.sd > 2.5
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val y = col("value").cast("decimal(18,2)")
+    val stats = Tables.events(s, d).groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum(y).as("sy"), sum(y * y).as("syy"))
+    def dbl(c: String) = col(c).cast("double")
+    val mean = (dbl("sy") / dbl("n")).as("mean")
+    val sd = sqrt(dbl("syy") / dbl("n") -
+      (dbl("sy") / dbl("n")) * (dbl("sy") / dbl("n"))).as("sd")
+    val st = stats.select(col("event_type"), mean, sd)
+    val z = (col("value").cast("double") - col("mean")) / col("sd")
+    Tables.events(s, d).join(broadcast(st), "event_type")
+      .filter(z > 2.5)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"), Det.floorRound(z, 4).as("z"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12)
 }
