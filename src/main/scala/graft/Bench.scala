@@ -46,8 +46,13 @@ object Bench {
     // the line well under the window at 100+ queries and loses nothing at
     // the 0.1s+ timescales being compared.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
+    // Per-query keys are the short id prefix ("h41", not
+    // "h41_simhash_near_dup") — ids are unique by construction (Registry
+    // would collide otherwise) and the short form keeps the line ~1.3 KB at
+    // 100+ queries, far inside the driver's tail window.
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f3(v)
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // a crashed query records ~0s — surface failures in the JSON so a broken
     // round can never read as a performance win

@@ -1,0 +1,139 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Context-window chunking, sequence packing, and span-level deduplication —
+  * the "turn a document corpus into fixed-budget training examples" stage of
+  * an LLM data pipeline.
+  *
+  * Scale notes (100 TB posture):
+  *   - [[chunks]] is scan-side only: tokenize → `sequence`/`explode` →
+  *     codegen'd `slice`/`array_join` projections, no shuffle at all. Output
+  *     amplification is the chunk-count factor (~n/stride per doc), the same
+  *     data a downstream writer must materialize anyway.
+  *   - [[packBins]] never builds a global order (a global `row_number` would
+  *     funnel the corpus through one reducer). Documents are sharded by an
+  *     md5 hex digit — 16 balanced, engine-portable shards; in production the
+  *     shard count is the write parallelism — and the cumulative-token window
+  *     runs per shard. Each shard's packing is an independent sort, so the
+  *     stage parallelizes to the shard count and each bin maps to one
+  *     training-file row group.
+  *   - [[spanDedup]] shuffles once on the span fingerprint for the winner
+  *     aggregate and once on the doc id for reassembly. The winner pass is a
+  *     `groupBy(fp).agg(min(struct(id, idx)))` — partial-aggregatable
+  *     (map-side combine), unlike a `row_number` window which must
+  *     materialize every duplicate in one partition (same reasoning as the
+  *     pipeline's X1 dedup, Curate.scala). At 100 TB the shuffled payload is
+  *     (fp128, id, idx) per span plus the span text needed for reassembly;
+  *     a thinner two-pass variant (ship fingerprints only, re-chunk on the
+  *     reassembly side) trades a second tokenize pass for ~10× less shuffle
+  *     volume and composes from the same pieces.
+  */
+object Chunking {
+
+  /** Overlapping fixed-size token windows per document.
+    *
+    * Chunk `i` (0-based) covers tokens `[i·stride+1, i·stride+window]` of
+    * the whitespace tokenization ([[TextOps.tokens]] contract), for
+    * `i = 0 .. floor((n-1)/stride)` — every token belongs to ≥1 chunk,
+    * consecutive chunks overlap by `window - stride` tokens, and trailing
+    * chunks may be shorter than `window`. Empty/whitespace-only/null docs
+    * produce no chunks.
+    *
+    * Output: `idCol, chunk_idx:int, n_toks:int, chunk_text`.
+    */
+  def chunks(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0), expr(s"int((__n - 1) div $stride)")))
+          .as("chunk_idx"))
+      .select(
+        col(idCol),
+        col("chunk_idx").cast("int").as("chunk_idx"),
+        least(lit(window), col("__n") - col("chunk_idx") * stride)
+          .cast("int").as("n_toks"),
+        array_join(
+          slice(col("__toks"), col("chunk_idx") * stride + 1, lit(window)),
+          " ").as("chunk_text"))
+  }
+
+  /** Deterministic sequence packing: assign each document to a training bin
+    * of ~`budget` tokens.
+    *
+    * Shard = first md5 hex digit of the id (16 engine-portable shards);
+    * within a shard documents take the pseudorandom total order
+    * `(md5(id), id)` (same construction as [[Sampling.groupTopK]]), and a
+    * document lands in the bin where its cumulative token count ends:
+    * `bin = (cumsum - 1) div budget`. This is concat-and-split-at-document-
+    * boundaries — the scalable deterministic variant of greedy first-fit
+    * packing (which is an inherently sequential recurrence): bins average
+    * exactly `budget` tokens, a straddling document overflows its bin by at
+    * most its own length, and the assignment is a pure function of the ids
+    * and token counts present (stable under repartitioning and engine).
+    *
+    * Output: `idCol, shard, pos:int, n_toks:int, bin:int` — `pos` is the
+    * document's packing position within its shard.
+    */
+  def packBins(docs: DataFrame, idCol: String, textCol: String,
+      budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val h = md5(col(idCol).cast("string"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    val cum = sum(col("n_toks")).over(
+      w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    docs
+      .select(col(idCol),
+        size(TextOps.tokens(col(textCol))).cast("int").as("n_toks"),
+        substring(h, 1, 1).as("shard"), h.as("__h"))
+      .filter(col("n_toks") > 0)
+      .withColumn("pos", row_number().over(w))
+      .withColumn("__cum", cum)
+      // `div` = exact integer division (Column./ is double division, which
+      // truncates toward zero after an inexact double detour)
+      .withColumn("bin", expr(s"int((__cum - 1) div $budget)"))
+      .select(idCol, "shard", "pos", "n_toks", "bin")
+  }
+
+  /** Span-level (paragraph-style) exact deduplication with reassembly:
+    * split each document into non-overlapping `spanTokens`-token spans,
+    * keep only the corpus-wide FIRST occurrence of each distinct span text
+    * (first = smallest `(id, span index)`), and rebuild each document from
+    * its surviving spans.
+    *
+    * Output: `idCol, n_spans:long, n_kept:long, text_clean` (`text_clean`
+    * is null when every span of the document was dropped).
+    */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int): DataFrame = {
+    val spans = chunks(docs, idCol, textCol, spanTokens, spanTokens)
+      .withColumn("__fp", md5(col("chunk_text")))
+    val winners = spans
+      .groupBy(col("__fp"))
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("__win"))
+    val keep = col("__win") === struct(col(idCol), col("chunk_idx"))
+    spans
+      .join(winners, "__fp")
+      .withColumn("__keep", keep)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("__keep").cast("long")).as("n_kept"),
+        // collect_list skips nulls, so only kept spans enter the array;
+        // array_sort on (chunk_idx, text) structs restores document order.
+        transform(
+          array_sort(collect_list(
+            when(col("__keep"), struct(col("chunk_idx"), col("chunk_text"))))),
+          s => s.getField("chunk_text")).as("__kept"))
+      .select(col(idCol), col("n_spans"), col("n_kept"),
+        when(col("n_kept") > 0, array_join(col("__kept"), " "))
+          .as("text_clean"))
+  }
+}

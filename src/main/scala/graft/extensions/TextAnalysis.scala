@@ -178,4 +178,30 @@ object TextAnalysis {
       .select(col(idCol), col("__winmin").as("fp"))
       .distinct()
   }
+
+  /** Vocabulary build (the tokenizer-training precursor): corpus-wide token
+    * counts and document frequencies, a `minCount` cutoff, and contiguous
+    * frequency-ranked ids (`count desc, token` — fully deterministic).
+    *
+    * Scale shape: one explode → partial-aggregated shuffle on token for the
+    * (count, df) aggregate — df via count(distinct doc) rides the same
+    * grouping as a two-level expand, still map-side combined. The final
+    * `row_number` over a global order is a single-reducer step by design:
+    * it runs on the POST-CUTOFF vocabulary, which is bounded (≤ a few
+    * hundred thousand rows for any real tokenizer) regardless of corpus
+    * size — the classic "aggregate to a small table, then order it" shape.
+    */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long): DataFrame = {
+    val counts = docs
+      .select(col(idCol).as("__doc"),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_total"), count_distinct(col("__doc")).as("n_docs"))
+      .filter(col("n_total") >= minCount)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_total").desc, col("token"))
+    counts.withColumn("vocab_id", row_number().over(w).cast("int"))
+      .select("vocab_id", "token", "n_total", "n_docs")
+  }
 }

@@ -60,4 +60,33 @@ object Vectors {
         (col("s").cast("double") / (col("n").cast("double") * 1e6))
           .cast("float").as("comp"),
         col("n"))
+
+  /** [[groupCentroids]] reassembled as one `array<float>` row per group
+    * (position-sorted), the shape joins and the native cosine kernel want.
+    */
+  def centroidVectors(emb: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    groupCentroids(emb, groupCol, vecCol)
+      .groupBy(col("grp"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
+        s => s.getField("comp")).as("centroid"))
+
+  /** Centroid-distance outlier flagging (the CLIP-style "drop vectors far
+    * from their class prototype" curation filter): cosine of each vector
+    * against its group's exact centroid, flagged when below `threshold`.
+    *
+    * Scale shape: the centroid table is |groups| rows — broadcast to the
+    * corpus scan, so the scoring pass is map-only (centroid build is the one
+    * tiny [[groupCentroids]] shuffle). Cosine is the native codegen'd
+    * kernel; a degenerate (zero-norm) vector scores null and flags null
+    * rather than poisoning the filter (see CosineSimilarity scaladoc).
+    */
+  def labelOutliers(emb: DataFrame, idCol: String, groupCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    val cent = centroidVectors(emb, groupCol, vecCol)
+    emb.join(broadcast(cent), emb(groupCol) === cent("grp"))
+      .withColumn("cos_c",
+        Det.floorRound(Similarity.cosine(col(vecCol), col("centroid")), 4))
+      .select(col(idCol), col(groupCol), col("cos_c"),
+        (col("cos_c") < threshold).as("is_outlier"))
+  }
 }

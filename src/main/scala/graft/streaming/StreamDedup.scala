@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming deduplication: at most one event per (user, event type,
+  * minute) — the event-firehose throttle/dedup every ingest pipeline runs
+  * before fan-out.
+  *
+  * State posture: `dropDuplicates` on the key WITH a watermark lets Spark
+  * expire seen-keys state once the watermark passes the key's minute — state
+  * is bounded by (watermark horizon × active key cardinality), the only
+  * formulation that survives an unbounded stream. Without the watermark the
+  * seen-set grows forever.
+  *
+  * Batch↔stream semantics: the streaming form keeps each key's FIRST
+  * ARRIVAL, which is arrival-order dependent; the batch form ([[firstPerKeyBatch]])
+  * keeps the deterministic minimum (ts, event_id) — they coincide exactly
+  * when events arrive in (ts, event_id) order, which StreamingSpec feeds.
+  * The hard correctness gate runs the batch form; the streaming form is the
+  * production entry point.
+  */
+object StreamDedup {
+
+  private def keyed(events: DataFrame): DataFrame =
+    events.withColumn("minute", date_trunc("minute", col("ts")))
+
+  /** Streaming: first arrival per (user_id, event_type, minute); seen-key
+    * state expires `watermarkDelay` past each minute.
+    */
+  def firstPerKeyStream(events: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    keyed(events.withWatermark("ts", watermarkDelay))
+      .dropDuplicates("user_id", "event_type", "minute")
+      .select("user_id", "event_type", "minute", "event_id", "ts", "value")
+
+  /** Batch: deterministic min-(ts, event_id) representative per key — the
+    * same groupBy-min shape as the pipeline's X1 dedup (partial-aggregatable,
+    * no window materialization of duplicate groups).
+    */
+  def firstPerKeyBatch(events: DataFrame): DataFrame =
+    keyed(events)
+      .groupBy(col("user_id"), col("event_type"), col("minute"))
+      .agg(min(struct(col("ts"), col("event_id"), col("value"))).as("__first"))
+      .select(col("user_id"), col("event_type"), col("minute"),
+        col("__first.event_id").as("event_id"),
+        col("__first.ts").as("ts"),
+        col("__first.value").as("value"))
+}
