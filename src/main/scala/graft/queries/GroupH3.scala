@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.Tables
+import graft.extensions.Chunking
+import org.apache.spark.sql.functions._
+
+/** Group H (continued) — round-5 queries: the context-chunking / sequence-
+  * packing / span-dedup stage ([[graft.extensions.Chunking]]) that turns a
+  * document corpus into fixed-budget training examples. Scale notes live on
+  * the extension object; every query follows the Q determinism contract
+  * (integer/string outputs only — no doubles anywhere in this group).
+  *
+  * Oracle tokenization mirrors the repo-wide contract (TextOps.tokens):
+  * lowercase, split on `\s+`, drop empties.
+  */
+object GroupH3 {
+
+  private val dTok =
+    """list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)"""
+
+  /** Overlapping fixed-window context chunks (window=32, stride=24). */
+  val h42 = Q(
+    "h42_context_chunks",
+    s"""WITH toks AS (
+      |  SELECT doc_id, $dTok AS l FROM documents),
+      |n AS (SELECT doc_id, l, len(l) AS n FROM toks WHERE len(l) > 0),
+      |c AS (SELECT doc_id, l, n, unnest(generate_series(0, (n - 1) // 24)) AS i
+      |  FROM n)
+      |SELECT doc_id,
+      |  CAST(i AS INT) AS chunk_idx,
+      |  CAST(least(32, n - i * 24) AS INT) AS n_toks,
+      |  array_to_string(list_slice(l, i * 24 + 1, i * 24 + 32), ' ') AS chunk_text
+      |FROM c
+      |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    Chunking.chunks(Tables.documents(s, d), "doc_id", "text",
+        window = 32, stride = 24)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Deterministic sequence packing into ~256-token bins (md5-sharded —
+    * no global order; see Chunking.packBins scale notes).
+    */
+  val h43 = Q(
+    "h43_sequence_packing",
+    s"""WITH t AS (
+      |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+      |    CAST(len($dTok) AS INT) AS n_toks
+      |  FROM documents),
+      |f AS (SELECT doc_id, substring(h, 1, 1) AS shard, h, n_toks
+      |  FROM t WHERE n_toks > 0),
+      |w AS (SELECT doc_id, shard, n_toks,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos,
+      |  sum(n_toks) OVER (PARTITION BY shard ORDER BY h, doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM f)
+      |SELECT doc_id, shard, pos, n_toks, CAST((cum - 1) // 256 AS INT) AS bin
+      |FROM w
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Chunking.packBins(Tables.documents(s, d), "doc_id", "text", budget = 256)
+      .orderBy("doc_id")
+  }
+
+  /** Span-level exact dedup (16-token spans) with document reassembly. */
+  val h44 = Q(
+    "h44_span_dedup",
+    s"""WITH toks AS (
+      |  SELECT doc_id, $dTok AS l FROM documents),
+      |n AS (SELECT doc_id, l, len(l) AS n FROM toks WHERE len(l) > 0),
+      |spans AS (
+      |  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+      |    array_to_string(list_slice(l, i * 16 + 1, i * 16 + 16), ' ') AS chunk_text
+      |  FROM (SELECT doc_id, l, n, unnest(generate_series(0, (n - 1) // 16)) AS i
+      |        FROM n)),
+      |w AS (SELECT doc_id, chunk_idx, chunk_text,
+      |  row_number() OVER (PARTITION BY md5(chunk_text)
+      |    ORDER BY doc_id, chunk_idx) AS rn
+      |  FROM spans),
+      |agg AS (
+      |  SELECT doc_id,
+      |    count(*) AS n_spans,
+      |    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |    array_to_string(
+      |      list(chunk_text ORDER BY chunk_idx) FILTER (WHERE rn = 1),
+      |      ' ') AS txt
+      |  FROM w GROUP BY doc_id)
+      |SELECT doc_id, n_spans, n_kept,
+      |  CASE WHEN n_kept > 0 THEN txt ELSE NULL END AS text_clean
+      |FROM agg
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Chunking.spanDedup(Tables.documents(s, d), "doc_id", "text",
+        spanTokens = 16)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(h42, h43, h44)
+}

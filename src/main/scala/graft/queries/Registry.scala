@@ -4,5 +4,5 @@ package graft.queries
 object Registry {
   def all: Seq[Q] =
     GroupABC.all ++ GroupD.all ++ GroupE.all ++ GroupF.all ++ GroupG.all ++
-      GroupH.all ++ GroupH2.all
+      GroupH.all ++ GroupH2.all ++ GroupH3.all
 }

@@ -1,0 +1,152 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.extensions.{Chunking, TextOps}
+
+/** Round-5 operators: context chunking, sequence packing, span dedup
+  * (queries h42–h44; oracle parity is the driver gate, these are the
+  * property/edge-case tests).
+  */
+class ChunkingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sf)
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  // --- chunks -----------------------------------------------------------
+
+  test("chunks: non-overlapping chunks reconstruct the normalized text") {
+    val rebuilt = Chunking.chunks(docs, "doc_id", "text", window = 7, stride = 7)
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct($"chunk_idx", $"chunk_text"))),
+          s => s.getField("chunk_text")),
+        " ").as("rebuilt"))
+    val orig = docs
+      .select($"doc_id", TextOps.normalized($"text").as("norm"))
+      .filter(length($"norm") > 0)
+    val joined = orig.join(rebuilt, "doc_id")
+    assert(joined.count() === orig.count()) // every non-empty doc chunked
+    assert(joined.filter($"norm" =!= $"rebuilt").count() === 0)
+  }
+
+  test("chunks: overlapping windows cover every token exactly as specified") {
+    val window = 5; val stride = 3
+    val nToks = docs
+      .select($"doc_id", size(TextOps.tokens($"text")).as("n"))
+      .filter($"n" > 0)
+      .as[(Long, Int)].collect().toMap
+    val chunks = Chunking.chunks(docs, "doc_id", "text", window, stride)
+      .select($"doc_id", $"chunk_idx", $"n_toks")
+      .as[(Long, Int, Int)].collect()
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc.keySet === nToks.keySet)
+    for ((id, cs) <- byDoc) {
+      val n = nToks(id)
+      val idxs = cs.map(_._2).sorted
+      assert(idxs.toSeq === (0 to (n - 1) / stride), s"doc $id indices")
+      for ((_, i, len) <- cs) // exact per-chunk length, incl. short tail
+        assert(len === math.min(window, n - i * stride), s"doc $id chunk $i")
+      // 1-based token positions covered by some chunk = 1..n exactly
+      val covered = cs.flatMap { case (_, i, len) =>
+        (i * stride + 1) to (i * stride + len) }.toSet
+      assert(covered === (1 to n).toSet, s"doc $id coverage")
+    }
+  }
+
+  test("chunks: rejects invalid window/stride") {
+    intercept[IllegalArgumentException](
+      Chunking.chunks(docs, "doc_id", "text", window = 4, stride = 5))
+    intercept[IllegalArgumentException](
+      Chunking.chunks(docs, "doc_id", "text", window = 4, stride = 0))
+  }
+
+  // --- packBins ---------------------------------------------------------
+
+  test("packBins: independent recomputation of shard/pos/bin from first principles") {
+    val budget = 256
+    val out = Chunking.packBins(docs, "doc_id", "text", budget)
+      .select($"doc_id", $"shard", $"pos", $"n_toks", $"bin")
+      .as[(Long, String, Int, Int, Int)].collect()
+    // expected n_toks from the tokenizer, independently of packBins
+    val nToks = docs
+      .select($"doc_id", size(TextOps.tokens($"text")).as("n"))
+      .filter($"n" > 0).as[(Long, Int)].collect().toMap
+    assert(out.map(_._1).toSet === nToks.keySet)
+    // plain-Scala replay of the contract: shard = first md5 hex digit,
+    // order by (md5, id) within shard, bin = (cumsum - 1) / budget
+    val expected = nToks.toSeq
+      .map { case (id, n) => (id, md5hex(id.toString), n) }
+      .groupBy(_._2.take(1))
+      .flatMap { case (shard, rows) =>
+        val sorted = rows.sortBy { case (id, h, _) => (h, id) }
+        var cum = 0
+        sorted.zipWithIndex.map { case ((id, _, n), i) =>
+          cum += n
+          id -> ((shard, i + 1, n, (cum - 1) / budget))
+        }
+      }
+    for ((id, shard, pos, n, bin) <- out)
+      assert(expected(id) === ((shard, pos, n, bin)), s"doc $id")
+  }
+
+  test("packBins: pure function of content — stable under repartitioning") {
+    val a = Chunking.packBins(docs, "doc_id", "text", 256).collect().toSet
+    val b = Chunking.packBins(docs.repartition(7), "doc_id", "text", 256)
+      .collect().toSet
+    assert(a === b)
+  }
+
+  // --- spanDedup --------------------------------------------------------
+
+  test("spanDedup: exact-duplicate doc is dropped whole, first occurrence wins") {
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"), // exact dup of doc 1
+      (3L, "x y z a b c") // last span duplicates doc 1's first span
+    ).toDF("doc_id", "text")
+    val out = Chunking.spanDedup(df, "doc_id", "text", spanTokens = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) === ((1L, 2L, 2L, "a b c d e f")))
+    assert(out(1)._3 === 0L) // doc 2: every span lost to doc 1
+    assert(out(1)._4 === null)
+    assert(out(2) === ((3L, 2L, 1L, "x y z")))
+  }
+
+  test("spanDedup: conservation — kept spans corpus-wide = distinct span texts") {
+    val spans = Chunking.chunks(docs, "doc_id", "text", 16, 16)
+    val distinctSpans = spans.select("chunk_text").distinct().count()
+    val out = Chunking.spanDedup(docs, "doc_id", "text", spanTokens = 16)
+    assert(out.agg(sum($"n_kept")).as[Long].head() === distinctSpans)
+    assert(out.agg(sum($"n_spans")).as[Long].head() === spans.count())
+    assert(out.filter($"n_kept" > $"n_spans").count() === 0)
+  }
+
+  test("spanDedup: idempotent — a second pass over the cleaned corpus keeps everything") {
+    val once = Chunking.spanDedup(docs, "doc_id", "text", spanTokens = 16)
+    // pass 1 made all surviving spans globally unique; docs whose spans all
+    // survived re-chunk to the same spans, so pass 2 must keep all of them
+    val fixed = once.filter($"n_kept" === $"n_spans")
+      .select($"doc_id", $"text_clean".as("text"))
+    assert(fixed.count() > 0)
+    val twice = Chunking.spanDedup(fixed, "doc_id", "text", spanTokens = 16)
+    assert(twice.filter($"n_kept" =!= $"n_spans").count() === 0)
+    assert(twice.select($"doc_id", $"text_clean").join(fixed, "doc_id")
+      .filter($"text_clean" =!= $"text").count() === 0)
+  }
+
+  test("spanDedup: stable under repartitioning") {
+    val a = Chunking.spanDedup(docs, "doc_id", "text", 16).collect().toSet
+    val b = Chunking.spanDedup(docs.repartition(5), "doc_id", "text", 16)
+      .collect().toSet
+    assert(a === b)
+  }
+}

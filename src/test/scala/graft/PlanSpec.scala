@@ -121,4 +121,29 @@ class PlanSpec extends SparkSpec {
     val p = planStr(Tables.events(spark, sf))
     assert(p.contains("Batched: true"), p)
   }
+
+  test("h42 chunking is scan-side: explode stays in the scan stage, no agg/join shuffle") {
+    val p = planStr(qdf("h42_context_chunks"))
+    assert(p.contains("Generate"), p) // sequence+explode in the scan stage
+    // the only exchange is the contract ORDER BY's range partitioning —
+    // a hash exchange would mean chunking itself started shuffling
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"), p)
+  }
+
+  test("h43 packing has no global-order window: partitioned by shard, never SinglePartition") {
+    // the scale property of packBins: a row_number over a global ORDER BY
+    // would plan Exchange SinglePartition and funnel the corpus through one
+    // reducer; the md5 shard keeps the window partitioned
+    val p = planStr(qdf("h43_sequence_packing"))
+    assert(p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(shard"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("h44 span dedup: winner aggregate is partial (map-side combine), no cross product") {
+    val p = planStr(qdf("h44_span_dedup"))
+    assert(p.contains("partial_min") || p.contains("Partial"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
