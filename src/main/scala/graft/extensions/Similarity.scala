@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   *     cosine, take per-query top-k with a window. Cost O(|Q|·|corpus|) but
   *     fully distributed and shuffle-free until the final tiny top-k.
   *   - `lshTopK` — scale path: random-hyperplane LSH. Each vector gets a
-  *     `nPlanes`-bit signature computed scan-side from deterministic,
-  *     seed-derived hyperplanes; candidates = same-bucket vectors, re-ranked
-  *     exactly. At 100 TB the bucket join replaces the full cross product
-  *     with collision groups (tunable recall via nPlanes/nTables).
+  *     `nPlanes`-bit signature computed scan-side from deterministic
+  *     md5-derived ±1 hyperplanes (engine-portable, DuckDB-oracled);
+  *     candidates = same-bucket vectors, re-ranked exactly. At 100 TB the
+  *     bucket join replaces the full cross product with collision groups
+  *     (tunable recall via nPlanes/nTables).
   */
 object Similarity {
 
@@ -72,13 +73,6 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
   }
-
-  /** Deterministic pseudo-random hyperplane component for (table, plane,
-    * dim): a seeded hash folded into [-0.5, 0.5). Same construction at every
-    * executor — no driver-side randomness, no broadcast of plane matrices.
-    */
-  private def planeComponent(table: Int, plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(table), lit(plane), dim), lit(1000000L)) / 1000000.0) - 0.5
 
   /** Nearest-centroid assignment: ONE broadcast pass, map-side `max_by`
     * argmax (ties to the smaller cid), so the shuffle carries one row per
@@ -161,6 +155,11 @@ object Similarity {
   /** `nPlanes`-bit signature of a vector under one LSH table — the native
     * codegen'd graft.functions.HyperplaneSignature (bit-compatible with
     * [[lshSignatureHof]], asserted in SimilaritySpec).
+    *
+    * Hyperplanes are md5-derived ±1 Rademacher components and the dots are
+    * exact fixed-point integer sums (see the expression's scaladoc), so the
+    * whole construction is engine-portable — h9's DuckDB oracle replays it
+    * bit-for-bit in SQL.
     */
   def lshSignature(vec: Column, table: Int, nPlanes: Int): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
@@ -168,15 +167,20 @@ object Similarity {
         org.apache.spark.sql.GraftColumnBridge.expression(vec), table, nPlanes))
 
   /** Reference HOF formulation of [[lshSignature]] (kept for the parity
-    * test; nPlanes interpreted aggregates per row).
+    * test; nPlanes interpreted aggregates per row). The lambda touches only
+    * its own zipped variable — no captured-expression recompute.
     */
   def lshSignatureHof(vec: Column, table: Int, nPlanes: Int): Column = {
-    val vd = transform(vec, x => x.cast("double"))
+    val q = zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
+      struct(floor(x.cast("double") * 1e6 + 0.5).cast("long").as("q"),
+        i.as("d")))
+    val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
     val bits = (0 until nPlanes).map { p =>
-      val dot = aggregate(
-        zip_with(vd, sequence(lit(0), size(vd) - 1),
-          (x, i) => x * planeComponent(table, p, i)),
-        lit(0.0), (acc, v) => acc + v)
+      val dot = aggregate(q, lit(0L), (acc, s) =>
+        acc + when(
+          substring(md5(concat(lit(s"$table:$p:"),
+            s.getField("d").cast("string"))), 1, 1).isin(hi: _*),
+          s.getField("q")).otherwise(-s.getField("q")))
       when(dot >= 0, "1").otherwise("0")
     }
     concat(bits: _*)

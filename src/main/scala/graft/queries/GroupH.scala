@@ -11,9 +11,9 @@ import org.apache.spark.sql.functions._
   * Every oracle mirrors the Spark implementation *relationally* (same
   * tokenization `lower`+`\s+`, same md5-based hashes, same double math in
   * the same order) so the DuckDB hash gate verifies real semantics, not a
-  * weaker rows-only check. Only h9 (hyperplane LSH ANN) has no oracle — its
-  * seeded hyperplanes use Spark's xxhash64, which DuckDB lacks; it is
-  * instead recall-tested against brute force in ScalaTest.
+  * weaker rows-only check — including h9, whose md5-derived ±1 hyperplanes
+  * and fixed-point dots exist precisely so DuckDB can replay the LSH
+  * bucketing bit-for-bit.
   */
 object GroupH {
 
@@ -200,11 +200,58 @@ object GroupH {
       .orderBy("id_a", "id_b")
   }
 
-  /** Hyperplane-LSH ANN — the scale path. No DuckDB oracle (the seeded
-    * hyperplanes derive from Spark's xxhash64); recall vs. h2's brute force
-    * is asserted in SimilaritySpec, and the driver records a rows-only check.
+  /** Hyperplane-LSH ANN — the scale path. The oracle replays the full
+    * construction: ±1 Rademacher hyperplanes from md5("t:p:d") nibble high
+    * bits, exact fixed-point (micro-unit) integer dots for the sign bits,
+    * bucket join per table, exact cosine re-rank of the candidates. Recall
+    * vs. h2's brute force is additionally asserted in SimilaritySpec.
     */
-  val h9 = Q("h9_lsh_ann_topk", None) { (s, d) =>
+  val h9 = Q(
+    "h9_lsh_ann_topk",
+    """WITH signs AS (
+      |  SELECT t, p, d,
+      |    CASE WHEN substring(md5(CAST(t AS VARCHAR) || ':' || CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)
+      |         IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS s
+      |  FROM (SELECT unnest(generate_series(0, 3)) AS t),
+      |       (SELECT unnest(generate_series(0, 5)) AS p),
+      |       (SELECT unnest(generate_series(0,
+      |          (SELECT max(len(embedding)) FROM embeddings) - 1)) AS d)),
+      |qcomp AS (
+      |  SELECT vec_id, u.i - 1 AS d,
+      |    CAST(floor(embedding[u.i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS q
+      |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+      |sigs AS (
+      |  SELECT vec_id, t,
+      |    string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+      |  FROM (
+      |    SELECT vec_id, t, p, CAST(sum(s * q) AS BIGINT) AS dot
+      |    FROM qcomp JOIN signs USING (d)
+      |    GROUP BY vec_id, t, p)
+      |  GROUP BY vec_id, t),
+      |cand AS (
+      |  SELECT DISTINCT qs.vec_id AS query_id, cs.vec_id AS neighbor_id
+      |  FROM sigs qs JOIN sigs cs ON qs.t = cs.t AND qs.bucket = cs.bucket
+      |  WHERE qs.vec_id < 8 AND cs.vec_id <> qs.vec_id),
+      |norms AS (
+      |  SELECT vec_id,
+      |    sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')) AS nrm
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    floor(list_aggregate(
+      |      list_transform(generate_series(1, len(a.embedding)), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE),
+      |      'sum') / (na.nrm * nb.nrm) * 10000 + 0.5) / 10000 AS cos
+      |  FROM cand
+      |  JOIN embeddings a ON a.vec_id = query_id
+      |  JOIN embeddings b ON b.vec_id = neighbor_id
+      |  JOIN norms na ON na.vec_id = query_id
+      |  JOIN norms nb ON nb.vec_id = neighbor_id),
+      |ranked AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
     val embs = Tables.embeddings(s, d)
     Similarity.lshTopK(embs, embs.filter(col("vec_id") < 8), "vec_id", "embedding",
       k = 5, nPlanes = 6, nTables = 4)
