@@ -47,9 +47,14 @@ object Bench {
     // the 0.1s+ timescales being compared.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // Per-query keys are the short id prefix ("h41", not
-    // "h41_simhash_near_dup") — ids are unique by construction (Registry
-    // would collide otherwise) and the short form keeps the line ~1.3 KB at
-    // 100+ queries, far inside the driver's tail window.
+    // "h41_simhash_near_dup") — the short form keeps the line ~1.3 KB at
+    // 100+ queries, far inside the driver's tail window. Nothing else
+    // enforces prefix uniqueness (SparkEntry.queries is a Map, so even
+    // full-name duplicates would be silently dropped upstream), so fail
+    // loudly here rather than emit duplicate JSON keys that lose a timing.
+    val prefixes = results.keys.toSeq.map(_.takeWhile(_ != '_'))
+    require(prefixes.distinct.size == prefixes.size,
+      s"duplicate bench key prefixes: ${prefixes.diff(prefixes.distinct).distinct.mkString(",")}")
     val qs = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + f3(v)
     }.mkString("{", ",", "}")

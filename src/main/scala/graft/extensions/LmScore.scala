@@ -18,11 +18,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: ONE (doc, token) partial-aggregated explode bounds all
   * downstream cardinality by per-doc vocabulary; the vocabulary table
-  * (with its 1-row total crossed in) is broadcast back — no reshuffle of
-  * the token stream; the final per-doc aggregation partial-aggregates
-  * map-side. For web-scale vocabularies the broadcast falls back to a
-  * shuffle join on token — same plan Catalyst picks when the build side
-  * exceeds the broadcast threshold.
+  * (with its 1-row total crossed in) joins back WITHOUT an explicit
+  * broadcast() hint on the vocab side — a hint is honored regardless of
+  * build-side size and would force an oversized broadcast at web-scale
+  * vocabularies, whereas leaving the choice to Catalyst/AQE broadcasts
+  * under the threshold and degrades to a shuffle join on token above it.
+  * (The 1-row total keeps its hint: it can never outgrow the threshold.)
+  * The final per-doc aggregation partial-aggregates map-side.
   */
 object LmScore {
 
@@ -39,7 +41,7 @@ object LmScore {
       .select(col("tok"),
         floor(log(col("c").cast("double") / col("n_total").cast("double")) * 1e6 + 0.5)
           .cast("long").as("q"))
-    docTok.join(broadcast(lp), "tok")
+    docTok.join(lp, "tok")
       .groupBy("doc_id")
       .agg(sum(col("m")).as("n_tokens"), sum(col("m") * col("q")).as("sum_q"))
       .select(col("doc_id"), col("n_tokens"), col("sum_q"),

@@ -48,9 +48,15 @@ object TextAnalysis {
       .select(col(idCol), col(textCol).as("__text"), toks.as("__toks"))
       .withColumn("n_tokens", size(col("__toks")).cast("long"))
       .withColumn("n_chars", length(col("__text")).cast("long"))
+      // Σ len(token) without the interpreted HOF fold: tokens are the
+      // single-space split of the normalized text, so total token chars =
+      // len(normalized) − (n_tokens − 1) separators — one codegen'd
+      // projection, bit-identical to the aggregate() it replaces
       .withColumn("mean_tok_len",
-        Det.floorRound(aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t)) /
-          greatest(col("n_tokens"), lit(1L)).cast("double"), 4))
+        Det.floorRound(
+          when(col("n_tokens") === 0, lit(0.0)).otherwise(
+            (length(TextOps.normalized(col("__text"))) - (col("n_tokens") - 1)) /
+              col("n_tokens").cast("double")), 4))
       .withColumn("stopword_ratio",
         Det.floorRound(TextOps.markerHits(col("__toks"), TextOps.enStopwords) /
           greatest(col("n_tokens"), lit(1L)).cast("double"), 4))

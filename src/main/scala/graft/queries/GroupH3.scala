@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.extensions.Chunking
+import graft.extensions.{Chunking, TextAnalysis}
+import graft.streaming.StreamDedup
 import org.apache.spark.sql.functions._
 
 /** Group H (continued) — round-5 queries: the context-chunking / sequence-
@@ -92,5 +93,56 @@ object GroupH3 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(h42, h43, h44)
+  /** Event-firehose throttle: first event per (user, type, minute) — the
+    * batch twin of StreamDedup.firstPerKeyStream (StreamingSpec asserts the
+    * stream form matches this under ordered arrival).
+    */
+  val h45 = Q(
+    "h45_stream_dedup_throttle",
+    """WITH k AS (
+      |  SELECT user_id, event_type, date_trunc('minute', ts) AS minute,
+      |    event_id, ts, value
+      |  FROM events),
+      |w AS (SELECT *, row_number() OVER (
+      |    PARTITION BY user_id, event_type, minute
+      |    ORDER BY ts, event_id) AS rn
+      |  FROM k)
+      |SELECT user_id, event_type,
+      |  strftime(minute, '%Y-%m-%d %H:%M:%S') AS minute_s,
+      |  event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value
+      |FROM w WHERE rn = 1
+      |ORDER BY user_id, event_type, minute_s""".stripMargin) { (s, d) =>
+    StreamDedup.firstPerKeyBatch(Tables.events(s, d))
+      .select(col("user_id"), col("event_type"),
+        date_format(col("minute"), "yyyy-MM-dd HH:mm:ss").as("minute_s"),
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("value"))
+      .orderBy("user_id", "event_type", "minute_s")
+  }
+
+  /** Corpus vocabulary table (count-ordered ids, min frequency 5) — the
+    * tokenizer-training precursor. The global row_number window runs over
+    * the already-aggregated vocabulary (cardinality ≪ corpus), so its
+    * single-partition sort is bounded by vocab size, not data size.
+    */
+  val h46 = Q(
+    "h46_vocabulary",
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                       t -> len(t) > 0)) AS token
+      |  FROM documents),
+      |c AS (
+      |  SELECT token, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
+      |  FROM tok GROUP BY token HAVING count(*) >= 5)
+      |SELECT CAST(row_number() OVER (ORDER BY n_total DESC, token) AS INT) AS vocab_id,
+      |  token, n_total, n_docs
+      |FROM c
+      |ORDER BY vocab_id""".stripMargin) { (s, d) =>
+    TextAnalysis.vocabulary(Tables.documents(s, d), "doc_id", "text", 5)
+      .orderBy("vocab_id")
+  }
+
+  val all: Seq[Q] = Seq(h42, h43, h44, h45, h46)
 }

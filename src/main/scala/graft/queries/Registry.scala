@@ -2,7 +2,14 @@ package graft.queries
 
 /** Single place that collects every declared query (SURVEY.md §2.4). */
 object Registry {
-  def all: Seq[Q] =
-    GroupABC.all ++ GroupD.all ++ GroupE.all ++ GroupF.all ++ GroupG.all ++
-      GroupH.all ++ GroupH2.all ++ GroupH3.all
+  def all: Seq[Q] = {
+    val qs = GroupABC.all ++ GroupD.all ++ GroupE.all ++ GroupF.all ++
+      GroupG.all ++ GroupH.all ++ GroupH2.all ++ GroupH3.all
+    // SparkEntry.queries folds this into a Map — a duplicate name would be
+    // silently dropped there, so fail loudly at the source instead
+    val names = qs.map(_.name)
+    require(names.distinct.size == names.size,
+      s"duplicate query names: ${names.diff(names.distinct).distinct.mkString(",")}")
+    qs
+  }
 }

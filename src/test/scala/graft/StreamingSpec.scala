@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.extensions.Sessionize
-import graft.streaming.{SessEvent, StreamSessionize, StreamWindows}
+import graft.streaming.{SessEvent, StreamDedup, StreamSessionize, StreamWindows}
 
 /** Structured Streaming suites: MemoryStream-driven micro-batches, asserting
   * (a) watermark/window semantics and (b) batch↔stream output-contract
@@ -254,6 +254,37 @@ class StreamingSpec extends SparkSpec {
           r.getString(4), r.getDouble(5))).toSet
       assert(streamed === batch)
       assert(streamed.size === 3)
+    } finally q.stop()
+  }
+
+  test("keyed stream throttle: first per (user,type,minute) matches batch twin under ordered arrival") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, Long, Long, String, Double)]
+    val df = mem.toDF.toDF("ts", "event_id", "user_id", "event_type", "value")
+    val q = StreamDedup.firstPerKeyStream(df)
+      .writeStream.format("memory").queryName("throttle").outputMode("append").start()
+    // (ts, event_id)-ordered arrival — the regime where the stream's
+    // first-arrival keep coincides with the batch min-(ts, event_id) keep
+    val data = Seq(
+      (ts(10, 0, 5), 1L, 1L, "click", 1.0),
+      (ts(10, 0, 30), 2L, 1L, "click", 2.0), // same key+minute: throttled
+      (ts(10, 0, 40), 3L, 2L, "click", 3.0),
+      (ts(10, 1, 0), 4L, 1L, "click", 4.0), // next minute: kept
+      (ts(10, 1, 10), 5L, 1L, "view", 5.0))
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select("user_id", "event_type", "minute", "event_id", "value")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      val streamed = key(spark.table("throttle"))
+      val batch = key(StreamDedup.firstPerKeyBatch(
+        data.toDF("ts", "event_id", "user_id", "event_type", "value")))
+      assert(streamed === batch)
+      assert(streamed.size === 4) // event 2 throttled, all other keys unique
     } finally q.stop()
   }
 }
