@@ -29,13 +29,16 @@ case class MediaFeature(media_id: Long, kind: String, feature: Array[Float])
   * instance per partition, streamed row batches, typed output schema.
   *
   * ── STUB BOUNDARY ──────────────────────────────────────────────────────
-  * This container has no image/audio codecs, so `FakeCodec` below is a
-  * DETERMINISTIC FAKE: it derives plausible metadata/frames/features from
-  * the payload bytes alone (documented formulas, mirrored by the DuckDB
-  * oracle). A production deployment swaps `FakeCodec` for a real codec
-  * (e.g. javax.imageio / ffmpeg bindings) behind the same `MediaCodec`
-  * trait — every Spark-side shape (schemas, partitioning, lazy iterator
-  * batching, per-partition codec lifecycle) is real and tested.
+  * This container has no image/audio codec libraries, so `FakeCodec` below
+  * is a DETERMINISTIC FAKE: it derives plausible metadata/frames/features
+  * from the payload bytes alone (documented formulas, mirrored by the
+  * DuckDB oracle). A production deployment swaps `FakeCodec` for a real
+  * codec (e.g. javax.imageio / ffmpeg bindings) behind the same
+  * `MediaCodec` trait — every Spark-side shape (schemas, partitioning,
+  * lazy iterator batching, per-partition codec lifecycle) is real and
+  * tested. [[WavCodec]] demonstrates the boundary with a real format: it
+  * parses actual RIFF/WAVE bytes (no library needed) through the identical
+  * trait, and MultimodalSpec decodes a genuine PCM fixture with it.
   * ───────────────────────────────────────────────────────────────────────
   */
 object Multimodal {
@@ -77,6 +80,75 @@ object Multimodal {
       while (i < m.payload.length) {
         acc(i % dim) += (m.payload(i) & 0xff).toDouble
         i += 1
+      }
+      val nrm = math.sqrt(acc.map(x => x * x).sum) max 1e-12
+      acc.map(x => (x / nrm).toFloat)
+    }
+  }
+
+  /** A REAL decoder behind the same trait — proof the stub boundary holds
+    * for genuine media bytes: parses RIFF/WAVE headers (PCM) with no codec
+    * library. Field mapping for [[MediaMeta]] on audio:
+    * `width` := sample rate (Hz), `height` := channel count,
+    * `n_frames` := PCM sample frames (data bytes / block align).
+    * `frames` slices the data section in block-align-preserving chunks;
+    * `feature` folds the 16-bit little-endian samples (normalized to
+    * [-1, 1]) over `dim` strides, then L2-normalizes. Malformed bytes
+    * throw — a codec's contract is real media in, not silent zeros.
+    */
+  object WavCodec extends MediaCodec {
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "US-ASCII")
+
+    /** (sampleRate, channels, blockAlign, dataOffset, dataSize). */
+    private def parse(b: Array[Byte]): (Int, Int, Int, Int, Int) = {
+      require(b.length >= 44 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE",
+        "not a RIFF/WAVE payload")
+      var o = 12
+      var rate = -1; var ch = -1; var align = -1
+      var dOff = -1; var dLen = -1
+      while (o + 8 <= b.length) {
+        val id = tag(b, o); val len = u32(b, o + 4).toInt
+        if (id == "fmt " && o + 24 <= b.length) {
+          ch = u16(b, o + 10); rate = u32(b, o + 12).toInt; align = u16(b, o + 20)
+        } else if (id == "data") { dOff = o + 8; dLen = math.min(len, b.length - dOff) }
+        o += 8 + len + (len & 1) // RIFF chunks are word-aligned
+      }
+      require(rate > 0 && ch > 0 && align > 0 && dOff >= 0,
+        "WAVE payload missing fmt/data chunks")
+      (rate, ch, align, dOff, dLen)
+    }
+
+    def decode(m: MediaRow): MediaMeta = {
+      val (rate, ch, align, _, dLen) = parse(m.payload)
+      MediaMeta(m.media_id, m.kind, m.payload.length.toLong,
+        rate.toLong, ch.toLong, dLen.toLong / align)
+    }
+
+    def frames(m: MediaRow, everyNBytes: Int): Iterator[MediaFrame] = {
+      val (_, _, align, dOff, dLen) = parse(m.payload)
+      val step = math.max(align, everyNBytes / align * align) // whole frames
+      Iterator.range(0, dLen, step).zipWithIndex.map { case (start, i) =>
+        val end = math.min(start + step, dLen)
+        MediaFrame(m.media_id, i.toLong,
+          java.util.Arrays.copyOfRange(m.payload, dOff + start, dOff + end))
+      }
+    }
+
+    def feature(m: MediaRow, dim: Int): Array[Float] = {
+      val (_, _, _, dOff, dLen) = parse(m.payload)
+      val acc = new Array[Double](dim)
+      var i = 0
+      var s = 0
+      while (i + 1 < dLen) {
+        val sample = (u16(m.payload, dOff + i) << 16) >> 16 // sign-extend
+        acc(s % dim) += sample / 32768.0
+        i += 2; s += 1
       }
       val nrm = math.sqrt(acc.map(x => x * x).sum) max 1e-12
       acc.map(x => (x / nrm).toFloat)

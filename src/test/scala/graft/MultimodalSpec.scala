@@ -127,4 +127,60 @@ class MultimodalSpec extends SparkSpec {
         .orderBy("query_id", "rank").collect().map(_.toString).toSeq
     assert(run(1) === run(7))
   }
+
+  // --- WavCodec: real RIFF/WAVE bytes through the same codec trait --------
+
+  /** Genuine PCM WAV bytes (canonical 44-byte header + 16-bit LE samples). */
+  private def wavBytes(sampleRate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    val blockAlign = channels * 2
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1).putShort(channels.toShort).putInt(sampleRate)
+    bb.putInt(sampleRate * blockAlign).putShort(blockAlign.toShort).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("WavCodec decodes real RIFF/WAVE fixtures through the distributed pipeline") {
+    import spark.implicits._
+    val mono = (0 until 1000).map(i =>
+      (math.sin(i * 0.1) * 20000).toShort).toArray
+    val stereo = (0 until 800).map(i =>
+      (math.cos(i * 0.05) * 15000).toShort).toArray // 400 frames × 2 channels
+    val rows = Seq(
+      graft.extensions.MediaRow(1L, "audio", wavBytes(8000, 1, mono)),
+      graft.extensions.MediaRow(2L, "audio", wavBytes(44100, 2, stereo)))
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[graft.extensions.MediaRow])
+    val meta = Multimodal.extractMeta(ds, codec = Multimodal.WavCodec)
+      .collect().map(m => m.media_id -> m).toMap
+    // width := sample rate, height := channels, n_frames := PCM frames
+    assert(meta(1L).width === 8000L && meta(1L).height === 1L &&
+      meta(1L).n_frames === 1000L)
+    assert(meta(2L).width === 44100L && meta(2L).height === 2L &&
+      meta(2L).n_frames === 400L)
+    // frame chunks cover the data section exactly and preserve block align
+    val frames = Multimodal.frameSample(ds, everyNBytes = 256,
+      codec = Multimodal.WavCodec).collect()
+    val rebuilt = frames.filter(_.media_id == 1L).sortBy(_.frame_idx)
+      .flatMap(_.frame_bytes)
+    assert(rebuilt.toSeq === wavBytes(8000, 1, mono).drop(44).toSeq)
+    assert(frames.filter(_.media_id == 2L).forall(_.frame_bytes.length % 4 == 0))
+    // features: L2-normalized, deterministic
+    val f = Multimodal.extractFeatures(ds, dim = 4, codec = Multimodal.WavCodec)
+      .collect().map(m => m.media_id -> m.feature).toMap
+    assert(math.abs(f(1L).map(x => x.toDouble * x).sum - 1.0) < 1e-5)
+    assert(f(1L).toSeq === Multimodal.extractFeatures(ds, dim = 4,
+      codec = Multimodal.WavCodec).collect()
+      .find(_.media_id == 1L).get.feature.toSeq)
+    // malformed bytes are rejected, not silently zeroed
+    intercept[Exception](Multimodal.WavCodec.decode(
+      graft.extensions.MediaRow(3L, "audio", "not a wav at all".getBytes)))
+  }
 }

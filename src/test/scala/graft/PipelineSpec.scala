@@ -160,4 +160,26 @@ class PipelineSpec extends SparkSpec {
     assert(z.curatedFact === "s3a://lake/acme/curated/fact_customer_transactions")
     assert(!Paths.get("s3a:").toFile.exists())
   }
+
+  test("O1 e2e: master flow runs through a non-file object-store scheme") {
+    // a registered mock FileSystem (local bytes, object-store semantics at
+    // the API) forces every write/read through Hadoop scheme resolution and
+    // the commit protocol, the way an s3a:// root would
+    val fileRun = zones // force the file:// run first (also writes the CSVs)
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.mockfs.impl", classOf[graft.tools.MockObjectStoreFS].getName)
+    val local = java.nio.file.Files.createTempDirectory("graft-mockfs").toString
+    val z = Lakehouse.masterFlow(spark,
+      s"$work/csv/transactions", s"$work/csv/customers", s"$work/csv/products",
+      s"mockfs://lake$local/acme")
+    assert(z.curatedFact.startsWith("mockfs://lake"))
+    val fact = spark.read.parquet(z.curatedFact)
+    assert(fact.count() > 0)
+    assert(fact.schema("transaction_date").dataType.typeName === "string")
+    // the curated zone physically landed behind the mock scheme
+    assert(Paths.get(local, "acme/curated/fact_customer_transactions")
+      .toFile.exists())
+    // same row count as the file:// run of the identical inputs
+    assert(fact.count() === spark.read.parquet(fileRun.curatedFact).count())
+  }
 }
