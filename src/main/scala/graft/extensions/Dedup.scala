@@ -310,7 +310,16 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct()
     // large-star: connect every neighbor larger than u to the min of u's
-    // neighborhood (incl. u) — detaches big nodes from non-min centers
+    // neighborhood (incl. u) — detaches big nodes from non-min centers.
+    // Output is directed-by-construction (emitted (v, m) has v > u ≥ m) but
+    // NOT deduplicated: the round's only full dedup shuffle is small-star's
+    // final distinct. Duplicates between here and there are harmless — the
+    // min aggregate and distinct both partial-aggregate map-side, so the
+    // extra shuffle volume is bounded by per-partition duplicate
+    // multiplicity, and dropping the intermediate distinct removes one
+    // full exchange+aggregate stage from every round (the rounds are
+    // stage-latency-bound at small SF and shuffle-bound at 100 TB — this
+    // wins on both).
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
@@ -320,12 +329,13 @@ object Dedup {
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
     }
     // small-star: connect every smaller neighbor (and u itself) to the min
-    // of u's smaller neighborhood — flattens chains into stars
-    def smallStar(e: DataFrame): DataFrame = {
-      val dir = canon(e)
+    // of u's smaller neighborhood — flattens chains into stars.
+    // PRECONDITION: input edges already directed (u > v, no self-loops) —
+    // exactly largeStar's output form — so the old re-canonicalization
+    // (greatest/least + distinct, a full extra shuffle per round) is gone.
+    def smallStar(dir: DataFrame): DataFrame = {
       val m = dir.groupBy("u").agg(min(col("v")).as("m"))
       dir.join(m, "u")
         .select(col("v").as("u"), col("m").as("v"))

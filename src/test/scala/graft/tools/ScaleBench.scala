@@ -1,0 +1,86 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-validation harness (dev tool): times the dedup/ANN headliners on
+  * sf0.1 and on a 10× blow-up of it, to check the 100 TB posture claims
+  * empirically — near-linear growth, no super-linear candidate explosion
+  * (the failure mode the pre-fix h41 had).
+  *
+  * The blow-up keeps the workload distribution honest: each of the 10
+  * document copies gets a per-copy token prefix, so copy vocabularies are
+  * DISJOINT — near-dup structure within a copy mirrors the original corpus
+  * and no artificial cross-copy duplicates exist (a verbatim 10× copy would
+  * make every doc a 10-way duplicate and measure the combinatorics of the
+  * fixture, not the engine). Embeddings are rotated per copy for the same
+  * reason. Usage: Test/runMain graft.tools.ScaleBench [sfDir]
+  */
+object ScaleBench {
+
+  private val scaleDir = "/root/repo/target/scale10"
+
+  private def build10x(spark: SparkSession, sfDir: String): Unit = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docs10 = (0 until 10).map { k =>
+      val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      docs.select(
+        (col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+        concat(lit(s"c$k"), regexp_replace(norm, " ", s" c$k")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+    docs10.repartition(32).write.mode("overwrite")
+      .parquet(s"$scaleDir/documents.parquet")
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dim = embs.select(size(col("embedding"))).head().getInt(0)
+    val embs10 = (0 until 10).map { k =>
+      embs.select(
+        (col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+        concat(slice(col("embedding"), k + 1, dim - k),
+          slice(col("embedding"), 1, k)).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+    embs10.repartition(8).write.mode("overwrite")
+      .parquet(s"$scaleDir/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!new java.io.File(s"$scaleDir/documents.parquet").exists())
+      build10x(spark, sfDir)
+    spark.read.parquet(s"$scaleDir/documents.parquet").selectExpr("count(*)").collect()
+    spark.range(100000).selectExpr("sum(id % 7)").collect()
+
+    val names = Seq("h5_minhash_lsh_pairs", "h6_ngram_jaccard",
+      "h16_dedup_corpus_keep", "h23_dedup_clusters", "h41_simhash_near_dup",
+      "h15_ivf_ann_topk")
+    def time(name: String, dir: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val rows = names.map { n =>
+      val t1 = time(n, sfDir)
+      val t10 = time(n, scaleDir)
+      println(s"[scale] $n sf0.1=${f3(t1)}s 10x=${f3(t10)}s ratio=${f3(t10 / t1)}")
+      (n, t1, t10)
+    }
+    val js = rows.map { case (n, t1, t10) =>
+      s""""${n.takeWhile(_ != '_')}":{"base":${f3(t1)},"x10":${f3(t10)},"ratio":${f3(t10 / t1)}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale10","queries":$js}""")
+    spark.stop()
+  }
+}
