@@ -48,4 +48,37 @@ object LmScore {
         (col("sum_q").cast("double") / (col("n_tokens").cast("double") * 1e6))
           .as("avg_logprob"))
   }
+
+  /** Bigram conditional LM scoring over the same corpus-trained scheme:
+    * score(doc) = Σ m(b)·ln(c(b) / c(first(b)·)) over its bigram
+    * occurrences — the MLE P(w₂|w₁) with no smoothing needed because every
+    * scored bigram came from the training corpus itself (self-scoring; an
+    * external-corpus variant would add a backoff to [[unigramScores]]'s
+    * table, same shapes). Bigrams are built with the zipped-slice shingle
+    * form (codegen'd, no captured-expr recompute); the left-word
+    * denominator c(w₁·) is derived FROM the bigram table (group by first
+    * word), so the whole model is two partial-aggregated passes over one
+    * (doc, bigram) explode. Fixed-point micro-unit sums as in
+    * [[unigramScores]]; joins back without broadcast hints for the same
+    * web-scale reason. Docs with < 2 tokens have no bigrams and are absent.
+    */
+  def bigramScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docBg = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.shingles2(TextOps.tokens(col(textCol)))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("m"))
+    val cb = docBg.groupBy("bg").agg(sum(col("m")).as("c_bg"))
+    val cw = cb.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c_bg")).as("c_w"))
+    val lp = cb.join(cw, substring_index(cb("bg"), " ", 1) === cw("w1"))
+      .select(col("bg"),
+        floor(log(col("c_bg").cast("double") / col("c_w").cast("double")) * 1e6 + 0.5)
+          .cast("long").as("q"))
+    docBg.join(lp, "bg")
+      .groupBy("doc_id")
+      .agg(sum(col("m")).as("n_bigrams"), sum(col("m") * col("q")).as("sum_q"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_q"),
+        (col("sum_q").cast("double") / (col("n_bigrams").cast("double") * 1e6))
+          .as("avg_logprob"))
+  }
 }

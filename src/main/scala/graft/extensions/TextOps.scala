@@ -52,6 +52,18 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Word 2-shingles (bigrams): `toks[i] ++ " " ++ toks[i+1]`. Empty array
+    * when fewer than 2 tokens. Same zipped-slice form as [[shingles3]] (the
+    * lambda touches only its own variable — no captured-expr recompute).
+    */
+  def shingles2(toks: Column): Column = {
+    val n2 = size(toks) - 1
+    val zipped = arrays_zip(slice(toks, lit(1), n2), slice(toks, lit(2), n2))
+    when(size(toks) >= 2,
+      transform(zipped, s => concat_ws(" ", s.getField("0"), s.getField("1"))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Whitespace-normalized lowercase text (for content fingerprints). */
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))

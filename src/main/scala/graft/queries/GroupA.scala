@@ -210,5 +210,33 @@ object GroupABC {
       .orderBy("lang")
   }
 
-  val all: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, b1, c1, c2)
+  /** ORC sink/scan roundtrip — the third columnar hop after parquet (c1)
+    * and JSON lines (c2): write a projection as ORC, read it back, and
+    * aggregate; the oracle aggregates the parquet originals directly
+    * (DuckDB reads no ORC), so value equality proves the ORC hop is
+    * lossless — types, nulls, and row multiplicity survive both the ORC
+    * writer and the vectorized ORC reader. Scale posture: ORC is a
+    * splittable columnar format with predicate pushdown, same scan
+    * properties as the parquet path.
+    */
+  val c3 = Q(
+    "c3_orc_roundtrip",
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val scratch = s"/root/repo/target/scratch/c3_${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
+      s"_pid${ProcessHandle.current().pid()}"
+    Tables.events(s, d)
+      .select("event_id", "event_type", "value")
+      .write.mode("overwrite").orc(scratch)
+    s.read.orc(scratch)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, b1, c1, c2, c3)
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.extensions.{Chunking, TextAnalysis}
+import graft.extensions.{Chunking, LmScore, TextAnalysis}
 import graft.streaming.StreamDedup
 import org.apache.spark.sql.functions._
 
@@ -144,5 +144,39 @@ object GroupH3 {
       .orderBy("vocab_id")
   }
 
-  val all: Seq[Q] = Seq(h42, h43, h44, h45, h46)
+  /** Bigram conditional LM score per doc (MLE P(w2|w1), self-scored corpus
+    * — no unseen bigrams by construction). Same fixed-point determinism
+    * scheme as h39: ln of an identical int/int double quotient, micro-unit
+    * integer sums, one final double division.
+    */
+  val h47 = Q(
+    "h47_bigram_lm_score",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             t -> len(t) > 0) AS l
+      |  FROM documents),
+      |bg0 AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 1),
+      |    i -> l[i] || ' ' || l[i + 1])) AS bg
+      |  FROM toks WHERE len(l) >= 2),
+      |dbg AS (SELECT doc_id, bg, count(*) AS m FROM bg0 GROUP BY doc_id, bg),
+      |cb AS (SELECT bg, CAST(sum(m) AS BIGINT) AS c_bg FROM dbg GROUP BY bg),
+      |cw AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c_bg) AS BIGINT) AS c_w
+      |  FROM cb GROUP BY 1),
+      |lp AS (
+      |  SELECT cb.bg,
+      |    CAST(floor(ln(CAST(c_bg AS DOUBLE) / CAST(c_w AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS q
+      |  FROM cb JOIN cw ON split_part(cb.bg, ' ', 1) = cw.w1)
+      |SELECT doc_id,
+      |  CAST(sum(m) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(m * q) AS BIGINT) AS sum_q,
+      |  CAST(sum(m * q) AS DOUBLE) / (CAST(sum(m) AS DOUBLE) * 1000000.0) AS avg_logprob
+      |FROM dbg JOIN lp USING (bg)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    LmScore.bigramScores(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(h42, h43, h44, h45, h46, h47)
 }

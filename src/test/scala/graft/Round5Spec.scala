@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.extensions.{LmScore, TextOps}
+
+/** Round-5 operator tests beyond ChunkingSpec: bigram LM scoring and the
+  * shingle-2 primitive it builds on.
+  */
+class Round5Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sf)
+
+  test("shingles2 matches the naive bigram construction") {
+    val toks = TextOps.tokens($"text")
+    val naive = expr(
+      "transform(sequence(1, greatest(size(__t) - 1, 0)), " +
+        "i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))")
+    val both = docs.select($"doc_id", toks.as("__t"))
+      .filter(size($"__t") >= 2)
+      .select($"doc_id", TextOps.shingles2($"__t").as("fast"), naive.as("slow"))
+    assert(both.filter($"fast" =!= $"slow").count() === 0)
+    // < 2 tokens → empty array, not null
+    val tiny = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    val r = tiny.select(TextOps.shingles2(TextOps.tokens($"text")).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(r.forall(_.isEmpty))
+  }
+
+  test("bigram LM: hand-checked MLE conditionals on a tiny corpus") {
+    val tiny = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = LmScore.bigramScores(tiny, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    // corpus: c(a b)=2, c(b a)=1, c(a c)=1 → c(a·)=3, c(b·)=1
+    def q(p: Double): Long = math.floor(math.log(p) * 1e6 + 0.5).toLong
+    val qAB = q(2.0 / 3.0); val qBA = q(1.0); val qAC = q(1.0 / 3.0)
+    assert(out(0) === ((1L, 3L, 2 * qAB + qBA,
+      (2 * qAB + qBA).toDouble / (3 * 1e6))))
+    assert(out(1) === ((2L, 1L, qAC, qAC.toDouble / 1e6)))
+  }
+
+  test("bigram LM: every multi-token doc scored, scores non-positive, partition-stable") {
+    val nDocs = docs
+      .filter(size(TextOps.tokens($"text")) >= 2).count()
+    val out = LmScore.bigramScores(docs, "doc_id", "text")
+    assert(out.count() === nDocs)
+    assert(out.filter($"avg_logprob" > 0).count() === 0)
+    assert(out.filter($"n_bigrams" <= 0).count() === 0)
+    val a = out.collect().toSet
+    val b = LmScore.bigramScores(docs.repartition(7), "doc_id", "text")
+      .collect().toSet
+    assert(a === b)
+  }
+}
