@@ -210,4 +210,75 @@ object TextAnalysis {
     counts.withColumn("vocab_id", row_number().over(w).cast("int"))
       .select("vocab_id", "token", "n_total", "n_docs")
   }
+
+  /** Per-document token-distribution entropy (nats) — the information-
+    * density quality signal (low entropy = repetitive/template text,
+    * complementary to the Gopher repetition ratios):
+    * H(doc) = −Σ_t (m_t/n)·ln(m_t/n) over its distinct tokens.
+    *
+    * Determinism: each distinct token contributes m·q with
+    * q = floor(ln(m/n)·10⁶ + 0.5) (ln of an identical int/int double
+    * quotient — cross-engine safe, the h19/h27/h39 property); the per-doc
+    * sum is exact integer arithmetic, and the entropy is ONE double
+    * division, so results are order-independent and engine-identical.
+    *
+    * Shape: one (doc, token) explode → partial-aggregated counts; doc
+    * lengths derive from the same aggregate (co-partitioned join, exchange
+    * reused); final per-doc sum partial-aggregates map-side.
+    */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("m"))
+    val n = tok.groupBy("doc_id").agg(sum(col("m")).as("n"))
+    tok.join(n, "doc_id")
+      .select(col("doc_id"), col("m"), col("n"),
+        floor(log(col("m").cast("double") / col("n").cast("double")) * 1e6 + 0.5)
+          .cast("long").as("q"))
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("n_tokens"), sum(col("m") * col("q")).as("sum_q"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_q"),
+        (-col("sum_q").cast("double") / (col("n_tokens").cast("double") * 1e6))
+          .as("entropy"))
+  }
+
+  /** Corpus-level PMI collocations — the classic collocation-extraction
+    * pass (Church & Hanks 1990): for bigrams with count ≥ `minCount`,
+    * PMI = ln( p(w₁w₂) / (p(w₁)·p(w₂)) ) with p from corpus unigram/bigram
+    * frequencies; top-`k` by (count desc, bigram) with the PMI displayed
+    * floor-rounded (integer-count ranking keeps ordering engine-exact).
+    *
+    * The double formula is evaluated with the SAME operation tree in both
+    * engines — (c_bg/N_bg) / ((c₁/N_t)·(c₂/N_t)) — per the Q contract's
+    * identical-IEEE-ops rule. Shape: two scan-side explodes (tokens,
+    * bigrams) → partial-aggregated counts; the two 1-row totals broadcast;
+    * the unigram-count joins hash on token with the bigram table as the
+    * (small, post-cutoff) build side; final top-k is TakeOrderedAndProject.
+    */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5L, k: Int = 30): DataFrame = {
+    val toksCol = TextOps.tokens(col(textCol))
+    val ct = docs.select(explode(toksCol).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val nt = ct.agg(sum(col("c")).as("n_tok"))
+    val bg0 = docs.select(explode(TextOps.shingles2(toksCol)).as("bg"))
+    val nb = bg0.agg(count(lit(1)).as("n_bg"))
+    val cb = bg0.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+      .filter(col("c_bg") >= minCount)
+    val w1 = element_at(split(col("bg"), " "), 1)
+    val w2 = element_at(split(col("bg"), " "), 2)
+    val c1 = ct.select(col("tok").as("__t1"), col("c").as("c1"))
+    val c2 = ct.select(col("tok").as("__t2"), col("c").as("c2"))
+    cb.join(c1, w1 === col("__t1")).join(c2, w2 === col("__t2"))
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nb))
+      .select(col("bg"), col("c_bg"),
+        Det.floorRound(log(
+          (col("c_bg").cast("double") / col("n_bg").cast("double")) /
+            ((col("c1").cast("double") / col("n_tok").cast("double")) *
+              (col("c2").cast("double") / col("n_tok").cast("double")))), 4)
+          .as("pmi"))
+      .orderBy(col("c_bg").desc, col("bg"))
+      .limit(k)
+  }
 }

@@ -178,5 +178,61 @@ object GroupH3 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(h42, h43, h44, h45, h46, h47)
+  /** PMI collocations, top-30 by count (integer-exact ranking; PMI
+    * displayed floor-rounded, identical op tree in both engines).
+    */
+  val h48 = Q(
+    "h48_pmi_collocations",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             t -> len(t) > 0) AS l
+      |  FROM documents),
+      |t AS (SELECT unnest(l) AS tok FROM toks),
+      |ct AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+      |nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM ct),
+      |bg0 AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+      |    i -> l[i] || ' ' || l[i + 1])) AS bg
+      |  FROM toks WHERE len(l) >= 2),
+      |nb AS (SELECT count(*) AS n_bg FROM bg0),
+      |cb AS (SELECT bg, count(*) AS c_bg FROM bg0 GROUP BY bg
+      |  HAVING count(*) >= 5)
+      |SELECT cb.bg, cb.c_bg,
+      |  floor(ln(
+      |    (CAST(c_bg AS DOUBLE) / CAST(n_bg AS DOUBLE)) /
+      |      ((CAST(c1.c AS DOUBLE) / CAST(n_tok AS DOUBLE)) *
+      |        (CAST(c2.c AS DOUBLE) / CAST(n_tok AS DOUBLE)))) * 10000 + 0.5)
+      |    / 10000 AS pmi
+      |FROM cb
+      |CROSS JOIN nt CROSS JOIN nb
+      |JOIN ct c1 ON split_part(cb.bg, ' ', 1) = c1.tok
+      |JOIN ct c2 ON split_part(cb.bg, ' ', 2) = c2.tok
+      |ORDER BY c_bg DESC, bg LIMIT 30""".stripMargin) { (s, d) =>
+    TextAnalysis.pmiCollocations(Tables.documents(s, d), "doc_id", "text",
+      minCount = 5L, k = 30)
+  }
+
+  /** Per-doc token-distribution entropy (fixed-point exact). */
+  val h49 = Q(
+    "h49_token_entropy",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                                    t -> len(t) > 0)) AS tok
+      |  FROM documents),
+      |tc AS (SELECT doc_id, tok, count(*) AS m FROM toks GROUP BY doc_id, tok),
+      |n AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n FROM tc GROUP BY doc_id),
+      |q AS (
+      |  SELECT tc.doc_id, tc.m, n.n,
+      |    CAST(floor(ln(CAST(m AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS q
+      |  FROM tc JOIN n USING (doc_id))
+      |SELECT doc_id, max(n) AS n_tokens,
+      |  CAST(sum(m * q) AS BIGINT) AS sum_q,
+      |  -CAST(sum(m * q) AS DOUBLE) / (CAST(max(n) AS DOUBLE) * 1000000.0) AS entropy
+      |FROM q GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.tokenEntropy(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(h42, h43, h44, h45, h46, h47, h48, h49)
 }

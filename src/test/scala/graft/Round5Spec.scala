@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.extensions.{LmScore, TextOps}
+import graft.extensions.{LmScore, TextAnalysis, TextOps}
 
 /** Round-5 operator tests beyond ChunkingSpec: bigram LM scoring and the
   * shingle-2 primitive it builds on.
@@ -52,5 +52,34 @@ class Round5Spec extends SparkSpec {
     val b = LmScore.bigramScores(docs.repartition(7), "doc_id", "text")
       .collect().toSet
     assert(a === b)
+  }
+
+  test("token entropy: hand-checked nats on known distributions") {
+    val tiny = Seq(
+      (1L, "a a b b"), // uniform over 2 → ln 2
+      (2L, "a b c d"), // uniform over 4 → ln 4
+      (3L, "a a a")    // degenerate → 0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(tiny, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "entropy").as[(Long, Double)].collect().toMap
+    assert(math.abs(out(1L) - math.log(2)) < 1e-5)
+    assert(math.abs(out(2L) - math.log(4)) < 1e-5)
+    assert(out(3L) === 0.0)
+    // corpus-wide: entropy bounded by ln(n_distinct) ≤ ln(n_tokens);
+    // the per-term micro-unit rounding can overshoot by ≤ 0.5e-6 weighted,
+    // hence the 1e-6 tolerance (1e-9 tripped on real docs)
+    val bad = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .filter($"entropy" < 0 ||
+        $"entropy" > log($"n_tokens".cast("double")) + 1e-6)
+    assert(bad.count() === 0)
+  }
+
+  test("PMI collocations: perfectly-associated pair scores ln(4) on the 2-token corpus") {
+    val tiny = (1L to 5L).map(i => (i, "x y")).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(tiny, "doc_id", "text",
+      minCount = 5L, k = 10).as[(String, Long, Double)].collect()
+    // p(xy)=1, p(x)=p(y)=1/2 → PMI = ln 4, floor-rounded to 4 dp
+    assert(out.toSeq === Seq(("x y", 5L, math.floor(math.log(4) * 1e4 + 0.5) / 1e4)))
   }
 }
