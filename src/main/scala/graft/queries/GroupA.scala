@@ -238,5 +238,34 @@ object GroupABC {
       .orderBy("event_type")
   }
 
-  val all: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, b1, c1, c2, c3)
+  /** CSV sink/scan roundtrip — completes the source/sink matrix (parquet
+    * c1, JSON lines c2, ORC c3, CSV here; the ingest pipeline S1–S3 reads
+    * reference-shape CSVs, this closes the loop on the write side). Read
+    * back schema-pinned (inference is a second full pass at 100 TB) with
+    * header; `value` is exact-2-dp data, so the text roundtrip is lossless
+    * and the decimal sum proves it.
+    */
+  val c4 = Q(
+    "c4_csv_roundtrip",
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val scratch = s"/root/repo/target/scratch/c4_${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
+      s"_pid${ProcessHandle.current().pid()}"
+    Tables.events(s, d)
+      .select("event_id", "event_type", "value")
+      .write.mode("overwrite").option("header", "true").csv(scratch)
+    s.read
+      .schema("event_id BIGINT, event_type STRING, value DOUBLE")
+      .option("header", "true")
+      .csv(scratch)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(a1, a2, a3, a4, a5, a6, a7, a8, b1, c1, c2, c3, c4)
 }

@@ -146,4 +146,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min") || p.contains("Partial"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("h47/h49 LM and entropy: partial aggregation, no cross products beyond 1-row totals") {
+    for (q <- Seq("h47_bigram_lm_score", "h49_token_entropy")) {
+      val p = planStr(qdf(q))
+      assert(p.contains("partial_sum") || p.contains("partial_count"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(p.contains("Generate"), s"$q:\n$p") // explode stayed scan-side
+    }
+  }
+
+  test("partitioned write + partition filter prunes at the scan (no full-data read)") {
+    // the layout property the curated zone relies on at 100 TB: a filter on
+    // the partition column must become PartitionFilters on the scan, not a
+    // post-scan Filter over every partition
+    val scratch = "target/scratch/planspec_prune"
+    Tables.events(spark, sf)
+      .select("event_id", "event_type", "value")
+      .write.mode("overwrite").partitionBy("event_type").parquet(scratch)
+    val df = spark.read.parquet(scratch)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val p = planStr(df)
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"), p)
+    assert(p.contains("event_type#") && p.contains("= click"), p)
+  }
 }
