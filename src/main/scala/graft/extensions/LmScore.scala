@@ -56,11 +56,16 @@ object LmScore {
     * external-corpus variant would add a backoff to [[unigramScores]]'s
     * table, same shapes). Bigrams are built with the zipped-slice shingle
     * form (codegen'd, no captured-expr recompute); the left-word
-    * denominator c(w₁·) is derived FROM the bigram table (group by first
-    * word), so the whole model is two partial-aggregated passes over one
-    * (doc, bigram) explode. Fixed-point micro-unit sums as in
-    * [[unigramScores]]; joins back without broadcast hints for the same
-    * web-scale reason. Docs with < 2 tokens have no bigrams and are absent.
+    * denominator c(w₁·) derives FROM the bigram table (group by first
+    * word), never from a second tokenize. Note the honest plan shape: the
+    * (doc, bigram) explode is recomputed per consumer (Spark plans no
+    * exchange reuse across the three aggregate chains) — the same
+    * measured recompute-over-persist tradeoff as Dedup.dedupCorpus; at
+    * real scale, materialize the (doc, bigram, m) aggregate once as a
+    * bucketed table keyed by bigram and both count tables become cheap
+    * re-reads. Fixed-point micro-unit sums as in [[unigramScores]]; joins
+    * back without broadcast hints for the same web-scale reason. Docs
+    * with < 2 tokens have no bigrams and are absent.
     */
   def bigramScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val docBg = docs
