@@ -156,6 +156,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("h45 throttle: groupBy-min keep, no window materialization of duplicate groups") {
+    val p = planStr(qdf("h45_stream_dedup_throttle"))
+    assert(p.contains("partial_min"), p) // map-side combine on the keep
+    assert(!p.contains("WindowGroupLimit") && !p.contains("row_number"), p)
+  }
+
+  test("h48 PMI: unigram count table broadcasts and is REUSED across both word joins") {
+    val p = planStr(qdf("h48_pmi_collocations"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("ReusedExchange"), p) // c1/c2 share one broadcast
+    assert(p.contains("TakeOrderedAndProject"), p) // top-k, no global sort
+  }
+
   test("partitioned write + partition filter prunes at the scan (no full-data read)") {
     // the layout property the curated zone relies on at 100 TB: a filter on
     // the partition column must become PartitionFilters on the scan, not a
