@@ -125,4 +125,59 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("chunks: generated window/stride — coverage, overlap, reconstruction (vs driver reference)") {
+    val caseGen = for {
+      window <- Gen.choose(1, 9)
+      stride <- Gen.choose(1, window)
+      texts <- Gen.listOfN(12, textGen)
+    } yield (window, stride, texts)
+    check(Prop.forAll(caseGen) { case (window, stride, texts) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.extensions.Chunking
+        .chunks(docs, "doc_id", "text", window, stride)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+        .groupBy(_._1)
+      val want = texts.zipWithIndex.flatMap { case (t, i) =>
+        val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        if (toks.isEmpty) Nil
+        else (0 to (toks.size - 1) / stride).map { c =>
+          val piece = toks.slice(c * stride, c * stride + window)
+          (i.toLong, c, piece.size, piece.mkString(" "))
+        }
+      }.groupBy(_._1)
+      got.keySet == want.keySet &&
+        got.forall { case (id, cs) =>
+          cs.sortBy(_._2).toSeq == want(id).sortBy(_._2)
+        }
+    })
+  }
+
+  test("packBins: generated budgets — cumulative boundary law, monotone bins, dense pos") {
+    val caseGen = for {
+      budget <- Gen.choose(3, 60)
+      texts <- Gen.listOfN(15, textGen)
+    } yield (budget, texts)
+    check(Prop.forAll(caseGen) { case (budget, texts) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = graft.extensions.Chunking
+        .packBins(docs, "doc_id", "text", budget)
+        .collect()
+        .map(r => (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      out.groupBy(_._1).forall { case (_, rows) =>
+        val sorted = rows.sortBy(_._2) // by pos
+        val cums = sorted.scanLeft(0) { case (c, (_, _, n, _)) => c + n }.tail
+        val binsOk = sorted.zip(cums).forall { case ((_, _, _, bin), cum) =>
+          bin == (cum - 1) / budget // the packing law, re-derived
+        }
+        // bins are monotone along the pack order (NOT contiguous: a doc
+        // longer than the budget legitimately skips bin numbers)
+        val monotone = sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq
+        binsOk && monotone && sorted.map(_._2).toSeq == (1 to sorted.size)
+      }
+    })
+  }
 }
