@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.extensions.{Chunking, LmScore, TextAnalysis}
+import graft.extensions.{Chunking, Det, LmScore, Skew, TextAnalysis}
 import graft.streaming.StreamDedup
 import org.apache.spark.sql.functions._
 
@@ -234,5 +234,27 @@ object GroupH3 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(h42, h43, h44, h45, h46, h47, h48, h49)
+  /** Salted skew-safe equi-join under the gate (companion to h37's salted
+    * aggregation): lineitem⋈part through Skew.saltedJoin — probe rows
+    * salted, build side replicated per salt, join on (key, salt) — must be
+    * row-for-row identical to the plain join the oracle runs. This is the
+    * 100 TB answer when a hot-key side is too big to broadcast and AQE's
+    * skew handling doesn't reach the join shape.
+    */
+  val h50 = Q(
+    "h50_salted_join",
+    """SELECT p.p_brand, count(*) AS n,
+      |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |GROUP BY p.p_brand
+      |ORDER BY p.p_brand""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).select(col("l_partkey").as("pk"), col("l_quantity"))
+    val pt = Tables.part(s, d).select(col("p_partkey").as("pk"), col("p_brand"))
+    Skew.saltedJoin(li, pt, Seq("pk"), buckets = 8)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), Det.exactSum(col("l_quantity")).as("total_qty"))
+      .orderBy("p_brand")
+  }
+
+  val all: Seq[Q] = Seq(h42, h43, h44, h45, h46, h47, h48, h49, h50)
 }
