@@ -389,5 +389,29 @@ object GroupE {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12)
+  /** EXISTS + NOT EXISTS correlated subqueries through the delegated SQL
+    * surface — the remaining decorrelation shapes next to e8's scalar and
+    * e9's IN forms. Catalyst plans EXISTS as a left-semi and NOT EXISTS as
+    * a left-anti join (PlanSpec pins both; no per-row probe survives):
+    * customers holding an urgent order but no high-value one.
+    */
+  val e13 = {
+    val sql =
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        |FROM customer c
+        |WHERE EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o2
+        |    WHERE o2.o_custkey = c.c_custkey AND o2.o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin
+    Q("e13_exists_subquery", sql) { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(sql)
+    }
+  }
+
+  val all: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13)
 }

@@ -166,5 +166,35 @@ object GroupF {
       .orderBy("o_custkey", "rnk", "o_orderkey")
   }
 
-  val all: Seq[Q] = Seq(f1, f2, f3, f4, f5, f6, f7, f8)
+  /** RANGE-frame window (value-based frame, the semantics a ROWS frame
+    * cannot express): per user, the trailing-10-minute event count and
+    * value sum at each event. Frame membership is by ORDER-key distance
+    * (epoch seconds), so tied timestamps are peers and contribute to each
+    * other's frames in both engines. One shuffle on user_id, one sort, all
+    * aggregates in a single window pass; sums are exact decimals
+    * (order-independent) per the Q contract.
+    */
+  val f9 = Q(
+    "f9_range_frame",
+    """SELECT user_id, event_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+      |  CAST(count(*) OVER w AS BIGINT) AS trail_n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trail_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+      |  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").cast("long"))
+      .rangeBetween(-600, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        count(lit(1)).over(w).as("trail_n"),
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
+          .as("trail_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val all: Seq[Q] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9)
 }

@@ -119,5 +119,26 @@ object GroupG {
       .orderBy("p_partkey")
   }
 
-  val all: Seq[Q] = Seq(g1, g2, g3, g4, g5)
+  /** Regex scalar pair — capture-group extraction + boolean match — on the
+    * raw JSON props string, restricted to the Java↔RE2-identical regex
+    * subset (same posture as the h29 scrubber: character classes,
+    * quantifiers, one capture group; no lookaround or backrefs, which RE2
+    * engines reject and Java accepts). `regexp_extract` of a failed match
+    * is the empty string in both engines.
+    */
+  val g6 = Q(
+    "g6_regex_extract",
+    """SELECT event_id,
+      |  regexp_extract(props, '"k":\s*([0-9]+)', 1) AS k_digits,
+      |  CASE WHEN regexp_matches(props, '[0-9]{2,}') THEN 1 ELSE 0 END AS has_multidigit
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        regexp_extract(col("props"), "\"k\":\\s*([0-9]+)", 1).as("k_digits"),
+        when(col("props").rlike("[0-9]{2,}"), 1).otherwise(0).as("has_multidigit"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(g1, g2, g3, g4, g5, g6)
 }

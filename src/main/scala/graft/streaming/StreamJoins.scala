@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{broadcast, col, expr}
 
 /** Stream-stream joins over event time. Both sides carry watermarks and the
   * join condition bounds the time skew, so Spark can expire join state: each
@@ -35,4 +35,22 @@ object StreamJoins {
               |p_ts <= c_ts + interval $attributionWindow""".stripMargin))
       .select("user_id", "c_event_id", "c_ts", "p_event_id", "p_ts")
   }
+
+  /** Stream-static enrichment: the event stream inner-joined with a slowly-
+    * changing dimension snapshot (events.user_id → customer.c_custkey). The
+    * OTHER streaming-join pattern next to [[clickPurchaseAttribution]]'s
+    * stream-stream form: STATELESS — no watermark, no join state, because
+    * the static side is a bounded relation Spark re-resolves per micro-batch
+    * and (with the explicit hint honored in both modes) broadcasts to the
+    * stream's executors. At 100 TB of stream this is the only join shape
+    * whose cost is independent of stream history; the dim just has to fit
+    * the broadcast budget — a bigger dim drops the hint and bucket-joins.
+    * The same function runs on a batch events frame (h53 oracles it).
+    */
+  def enrichWithCustomer(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+        broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        events("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("value"), col("c_mktsegment"))
 }

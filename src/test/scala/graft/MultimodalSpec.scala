@@ -183,4 +183,62 @@ class MultimodalSpec extends SparkSpec {
     intercept[Exception](Multimodal.WavCodec.decode(
       graft.extensions.MediaRow(3L, "audio", "not a wav at all".getBytes)))
   }
+
+  test("BmpCodec: encode/parse round-trip recovers dims and exact pixel bytes") {
+    // width 5 → row stride 16 with 1 padding byte: exercises the alignment
+    // logic that a naive 3*w stride would get wrong
+    val px = Array.tabulate(5 * 4 * 3)(j => ((j * 11 + 3) % 256).toByte)
+    val bmp = Multimodal.Bmp.encode(5, 4, px(_))
+    assert(Multimodal.Bmp.parseHeader(bmp) === ((5, 4, 54)))
+    assert(bmp.length === 54 + 16 * 4)
+    assert(Multimodal.Bmp.pixels(bmp).toSeq === px.toSeq)
+    // malformed bytes throw (same contract as WavCodec)
+    intercept[Exception](Multimodal.Bmp.parseHeader("PNGnope".getBytes))
+  }
+
+  test("BmpCodec decodes real BMP fixtures through the distributed pipeline") {
+    import graft.extensions.{MediaRow, Multimodal => M}
+    val ds = M.toBmpMedia(Tables.documents(spark, sf), "doc_id")
+    val meta = M.extractMeta(ds, codec = M.BmpCodec).collect()
+    assert(meta.nonEmpty)
+    meta.foreach { m =>
+      assert(m.width === 4 + m.media_id % 5)
+      assert(m.height === 3 + m.media_id % 4)
+      assert(m.n_frames === 1L)
+    }
+    // imageStats sums match the generating arithmetic (the h52 oracle's view)
+    val stats = M.imageStats(ds).collect()
+    stats.foreach { s =>
+      val expect = (0L until 3L * s.width * s.height)
+        .map(j => (s.media_id * 31 + j * 7) % 256).sum
+      assert(s.sum_bytes === expect, s"media ${s.media_id}")
+    }
+    // features are L2-normalized and padding-invariant (recompute from pixels)
+    val feats = M.extractFeatures(ds, dim = 4, codec = M.BmpCodec).collect()
+    feats.foreach(f =>
+      assert(math.abs(f.feature.map(x => x.toDouble * x).sum - 1.0) < 1e-5))
+  }
+
+  test("resizeImages: real nearest-neighbor resample produces decodable BMPs") {
+    import graft.extensions.{Multimodal => M}
+    val ds = M.toBmpMedia(Tables.documents(spark, sf), "doc_id")
+    val resized = M.resizeImages(ds, targetW = 3, targetH = 2)
+    val meta = M.extractMeta(resized, codec = M.BmpCodec).collect()
+    assert(meta.nonEmpty)
+    meta.foreach(m => assert(m.width === 3L && m.height === 2L))
+    // identity resize (same dims) is a pixel-exact no-op
+    val one = ds.filter(_.media_id == 5L) // 5 → w=4+0=4? (5%5=0 → w=4, 5%4=1 → h=4)
+    val src = one.collect().head
+    val (w, h, _) = M.Bmp.parseHeader(src.payload)
+    val same = M.resizeImages(one, w, h).collect().head
+    assert(M.Bmp.pixels(same.payload).toSeq === M.Bmp.pixels(src.payload).toSeq)
+    // nearest-neighbor content check on a hand-built 2x2 → 1x1 resize: the
+    // surviving pixel is source (0,0)
+    val px22 = Array.tabulate(2 * 2 * 3)(j => (10 * (j / 3) + j % 3).toByte)
+    val small = M.Bmp.encode(2, 2, px22(_))
+    val row = spark.createDataset(Seq(graft.extensions.MediaRow(9L, "image", small)))(
+      org.apache.spark.sql.Encoders.product[graft.extensions.MediaRow])
+    val shrunk = M.resizeImages(row, 1, 1).collect().head
+    assert(M.Bmp.pixels(shrunk.payload).toSeq === px22.take(3).toSeq)
+  }
 }

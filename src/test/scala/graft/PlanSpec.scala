@@ -186,4 +186,87 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PartitionFilters: [isnotnull(event_type"), p)
     assert(p.contains("event_type#") && p.contains("= click"), p)
   }
+
+  test("h51 BM25: postings agg is partial, df/stats broadcast, top-k is TakeOrderedAndProject") {
+    val p = planStr(qdf("h51_bm25_topk"))
+    assert(p.contains("TakeOrderedAndProject"), p) // never a global sort for top-k
+    assert(p.contains("BroadcastHashJoin"), p)     // |queryTerms|-row df table broadcasts
+    assert(!p.contains("CartesianProduct"), p)     // (1-row stats joins via BNLJ broadcast — fine)
+    assert(p.contains("Generate"), p)              // explode stays scan-side
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+  }
+
+  test("f9 range frame: a real RangeFrame window, one pass, no cross product") {
+    val p = planStr(qdf("f9_range_frame"))
+    assert(p.contains("RangeFrame"), p)
+    assert(p.contains("hashpartitioning(user_id"), p) // window shuffles on user, not global
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("e13: EXISTS becomes a semi join, NOT EXISTS an anti join — no per-row probes") {
+    val p = planStr(qdf("e13_exists_subquery"))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("h53 stream-static enrich: dim side is a BroadcastHashJoin build") {
+    val p = planStr(qdf("h53_stream_static_enrich"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    // the second half of the partition-pruning story at 100 TB: when the
+    // partition predicate only exists on the DIM side of a join, DPP must
+    // push a runtime IN-filter into the fact scan's PartitionFilters —
+    // otherwise every date partition of the fact is read to join 1 day
+    val scratch = "target/scratch/planspec_dpp"
+    val dimPath = "target/scratch/planspec_dpp_dim"
+    Tables.events(spark, sf)
+      .select("event_id", "event_type", "value")
+      .write.mode("overwrite").partitionBy("event_type").parquet(scratch)
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // the dim-side predicate must be one DPP's isLikelySelective heuristic
+    // recognizes (equality/IN/comparison on a column — a bare boolean
+    // attribute is NOT considered selective and suppresses the rewrite)
+    spark.createDataFrame(Seq(("click", 1), ("view", 2), ("purchase", 3)))
+      .toDF("event_type", "grp")
+      .write.mode("overwrite").parquet(dimPath)
+    val joined = spark.read.parquet(scratch)
+      .join(spark.read.parquet(dimPath).filter(col("grp") === 1), "event_type")
+      .agg(count(lit(1)).as("n"))
+    val p = planStr(joined)
+    assert(p.contains("dynamicpruning"), p)
+  }
+
+  test("runtime bloom filter: shuffle join injects a probe-side bloom semi-filter") {
+    // when neither side broadcasts, Spark 4's InjectRuntimeFilter can still
+    // cut the probe-side shuffle with a bloom filter built from the filtered
+    // build side — the conf-gated behavior verified here with test-sized
+    // thresholds (production keeps the defaults; the assert is that our
+    // query shapes don't break the rewrite)
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1")
+      import org.apache.spark.sql.functions.col
+      val li = Tables.lineitem(spark, sf)
+      val pt = Tables.part(spark, sf).filter(col("p_size") <= 10)
+      val p = planStr(li.join(pt, li("l_partkey") === pt("p_partkey"))
+        .select("l_orderkey", "p_name"))
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"), p)
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None)    => c.unset(k)
+    }
+  }
 }

@@ -82,4 +82,41 @@ class Round5Spec extends SparkSpec {
     // p(xy)=1, p(x)=p(y)=1/2 → PMI = ln 4, floor-rounded to 4 dp
     assert(out.toSeq === Seq(("x y", 5L, math.floor(math.log(4) * 1e4 + 0.5) / 1e4)))
   }
+
+  test("BM25: hand-checked scores on a 3-doc corpus") {
+    // corpus: d1 = "cat dog", d2 = "cat cat cat fish", d3 = "fish fish"
+    // query {cat}: df=2, N=3, avglen = 8/3
+    val tiny = Seq((1L, "cat dog"), (2L, "cat cat cat fish"), (3L, "fish fish"))
+      .toDF("doc_id", "text")
+    val out = graft.extensions.Retrieval
+      .bm25TopK(tiny, "doc_id", "text", Seq("cat"), k = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    def bm25(tf: Long, len: Long, df: Long, n: Long, avg: Double): Double = {
+      val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+      val q = math.floor(
+        idf * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len / avg))) * 1e6 + 0.5)
+      q / 1e6
+    }
+    val avg = 8.0 / 3.0
+    assert(out.keySet === Set(1L, 2L))          // fish-only doc never scored
+    assert(math.abs(out(1L) - bm25(1, 2, 2, 3, avg)) < 1e-9)
+    assert(math.abs(out(2L) - bm25(3, 4, 2, 3, avg)) < 1e-9)
+    assert(out(2L) > out(1L))                   // higher tf wins at similar len
+  }
+
+  test("BM25: rare term outranks common term; k truncates; result partition-stable") {
+    // 20 docs contain 'common'; 2 also contain 'rare'
+    val docsDf = (1L to 20L)
+      .map(i => (i, if (i <= 2) "rare common pad" else "common pad pad"))
+      .toDF("doc_id", "text")
+    val top = graft.extensions.Retrieval
+      .bm25TopK(docsDf, "doc_id", "text", Seq("rare", "common"), k = 5)
+      .select("doc_id").as[Long].collect()
+    assert(top.length === 5)
+    assert(top.take(2).toSet === Set(1L, 2L))   // rare-term docs lead
+    val repart = graft.extensions.Retrieval
+      .bm25TopK(docsDf.repartition(7), "doc_id", "text", Seq("rare", "common"), k = 5)
+      .select("doc_id").as[Long].collect()
+    assert(repart.toSeq === top.toSeq)
+  }
 }

@@ -203,6 +203,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: stateless dim join, matches batch twin") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    val dim = Seq((1L, "BUILDING", 0.0), (2L, "MACHINERY", 0.0))
+      .toDF("c_custkey", "c_mktsegment", "c_acctbal")
+    val enriched = graft.streaming.StreamJoins.enrichWithCustomer(
+      mem.toDF.toDF("event_id", "user_id", "ts", "event_type", "value"), dim)
+    val q = enriched.writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+    try {
+      val batch1 = Seq((100L, 1L, ts(10, 0), "click", 1.5),
+        (101L, 2L, ts(10, 5), "view", 2.5),
+        (102L, 9L, ts(10, 9), "click", 9.0)) // user 9: no dim row → dropped
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      // second micro-batch joins against the SAME static snapshot
+      mem.addData((103L, 1L, ts(11, 0), "purchase", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("enrich")
+        .select("event_id", "c_mktsegment")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows === Set((100L, "BUILDING"), (101L, "MACHINERY"),
+        (103L, "BUILDING")))
+      // the identical function on a batch frame agrees
+      val batch = graft.streaming.StreamJoins.enrichWithCustomer(
+        (batch1 :+ ((103L, 1L, ts(11, 0), "purchase", 4.0)))
+          .toDF("event_id", "user_id", "ts", "event_type", "value"), dim)
+        .select("event_id", "c_mktsegment")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(batch === rows)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer runs on a BATCH Dataset and matches batch Sessionize") {
     import spark.implicits._
     val events = Seq(

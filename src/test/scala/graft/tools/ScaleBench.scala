@@ -77,7 +77,27 @@ object ScaleBench {
       println(s"[scale] $n sf0.1=${f3(t1)}s 10x=${f3(t10)}s ratio=${f3(t10 / t1)}")
       (n, t1, t10)
     }
-    val js = rows.map { case (n, t1, t10) =>
+    // BM25 separately: the 10× blow-up prefixes every token with its copy
+    // tag (c0…c9), so the declared query's terms match nothing there —
+    // time the operator with per-copy-prefixed query terms instead (same
+    // per-term df as the base corpus, drawn from three different copies)
+    def bm25(dir: String, terms: Seq[String]): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.extensions.Retrieval.bm25TopK(
+            spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+            terms, k = 20)
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    val b1 = bm25(sfDir, Seq("spark", "join", "window"))
+    val b10 = bm25(scaleDir, Seq("c3spark", "c5join", "c7window"))
+    println(s"[scale] h51_bm25_topk sf0.1=${f3(b1)}s 10x=${f3(b10)}s ratio=${f3(b10 / b1)}")
+
+    val all = rows :+ (("h51_bm25_topk", b1, b10))
+    val js = all.map { case (n, t1, t10) =>
       s""""${n.takeWhile(_ != '_')}":{"base":${f3(t1)},"x10":${f3(t10)},"ratio":${f3(t10 / t1)}}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale10","queries":$js}""")
