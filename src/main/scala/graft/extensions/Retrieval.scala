@@ -1,6 +1,7 @@
 package graft.extensions
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Keyword retrieval over the corpus — BM25 scoring (Robertson & Walker's
@@ -82,6 +83,47 @@ object Retrieval {
       .select(col("doc").as("doc_id"), col("n_terms"), col("score_q"),
         (col("score_q").cast("double") / 1e6).as("score"))
       .orderBy(col("score_q").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Hybrid retrieval by reciprocal-rank fusion (Cormack, Clarke & Buettcher
+    * 2009): fuse the sparse BM25 ranking with a dense cosine-ANN ranking of
+    * the same id space — `score(d) = Σ_retrievers 1/(kRrf + rank_r(d))`,
+    * the standard score-free fusion modern retrieval stacks run.
+    *
+    * 100 TB shape: each retriever independently produces its own BOUNDED
+    * top-`poolSize` candidate list (BM25 = postings-bounded +
+    * TakeOrderedAndProject; dense = [[Similarity.bruteForceTopK]]'s
+    * two-phase per-partition group limit, or any ANN variant with the same
+    * output contract) — fusion then joins two ≤poolSize-row relations:
+    * trivially broadcastable, cost independent of corpus size. The
+    * rank-over-candidates windows run on poolSize rows, never the corpus.
+    *
+    * Determinism: ranks are exact integers (BM25 ranks on integer score_q;
+    * dense ranks on the 4-dp floor-rounded cosine with id tiebreaks — the
+    * h2-proven machinery), each contribution is `floor(10⁹/(kRrf+rank)+0.5)`
+    * as a BIGINT, the fused score an integer sum — engine-identical, with
+    * one display division.
+    */
+  def hybridRrfTopK(docs: DataFrame, embs: DataFrame,
+      queryTerms: Seq[String], queryVecId: Long, k: Int,
+      poolSize: Int = 100, kRrf: Int = 60): DataFrame = {
+    // ranks within each bounded candidate pool (windows over ≤poolSize rows)
+    val sparse = bm25TopK(docs, "doc_id", "text", queryTerms, poolSize)
+      .select(col("doc_id").as("id"),
+        row_number().over(Window.orderBy(col("score_q").desc, col("doc_id")))
+          .cast("long").as("r_sparse"))
+    val dense = Similarity.bruteForceTopK(
+        embs, embs.filter(col("vec_id") === queryVecId),
+        "vec_id", "embedding", poolSize)
+      .select(col("neighbor_id").as("id"), col("rank").cast("long").as("r_dense"))
+    def contrib(r: org.apache.spark.sql.Column) =
+      coalesce(floor(lit(1e9) / (lit(kRrf.toDouble) + r) + 0.5).cast("long"), lit(0L))
+    sparse.join(dense, Seq("id"), "full_outer")
+      .select(col("id"), col("r_sparse"), col("r_dense"),
+        (contrib(col("r_sparse")) + contrib(col("r_dense"))).as("rrf_q"))
+      .withColumn("rrf", col("rrf_q").cast("double") / 1e9)
+      .orderBy(col("rrf_q").desc, col("id"))
       .limit(k)
   }
 }

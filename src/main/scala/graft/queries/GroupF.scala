@@ -196,5 +196,30 @@ object GroupF {
       .orderBy("user_id", "event_id")
   }
 
-  val all: Seq[Q] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9)
+  /** IGNORE NULLS fill-forward (the gap-fill window idiom): at every event,
+    * the user's most recent purchase amount — `last_value` over a sparse
+    * CASE projection with nulls skipped. One shuffle on user_id, one sort;
+    * the carried value is a raw 2-dp column (round is identity).
+    */
+  val f10 = Q(
+    "f10_fill_forward",
+    """SELECT user_id, event_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+      |  round(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS last_purchase_value
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        round(last(when(col("event_type") === "purchase", col("value")),
+          ignoreNulls = true).over(w), 2).as("last_purchase_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val all: Seq[Q] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10)
 }

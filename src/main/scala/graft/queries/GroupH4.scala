@@ -100,5 +100,68 @@ object GroupH4 {
       .orderBy("c_mktsegment", "event_type")
   }
 
-  val all: Seq[Q] = Seq(h51, h52, h53)
+  /** Hybrid retrieval: reciprocal-rank fusion of the h51 BM25 ranking with
+    * an h2-machinery dense cosine ranking (query = vec 7's embedding), the
+    * standard two-retriever fusion. Ranks are exact integers on both sides,
+    * contributions micro-quantized, the fused score an integer sum — see
+    * [[graft.extensions.Retrieval.hybridRrfTopK]] for the bounded-pool
+    * scale argument.
+    */
+  val h54 = Q(
+    "h54_hybrid_rrf",
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS l
+      |  FROM documents),
+      |d AS (SELECT doc_id, l, len(l) AS len FROM toks WHERE len(l) > 0),
+      |stats AS (SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS sum_len FROM d),
+      |post AS (
+      |  SELECT doc_id, len, term, count(*) AS tf FROM (
+      |    SELECT doc_id, len, unnest(l) AS term FROM d)
+      |  WHERE term IN ('spark', 'join', 'window')
+      |  GROUP BY doc_id, len, term),
+      |dfs AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+      |contrib AS (
+      |  SELECT doc_id,
+      |    CAST(floor(
+      |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+      |      ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len /
+      |        (CAST(sum_len AS DOUBLE) / n_docs)))) * 1000000.0 + 0.5) AS BIGINT) AS q
+      |  FROM post JOIN dfs USING (term) CROSS JOIN stats),
+      |bm AS (SELECT doc_id, CAST(sum(q) AS BIGINT) AS score_q FROM contrib GROUP BY doc_id),
+      |sp AS (SELECT * FROM (
+      |  SELECT doc_id AS id,
+      |    CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS BIGINT) AS r_sparse
+      |  FROM bm) WHERE r_sparse <= 100),
+      |qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+      |norms AS (
+      |  SELECT vec_id,
+      |    sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')) AS nrm
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT c.vec_id AS id,
+      |    floor(list_aggregate(
+      |      list_transform(generate_series(1, len(qv)), i -> qv[i]::DOUBLE * c.embedding[i]::DOUBLE),
+      |      'sum') / (nq.nrm * nc.nrm) * 10000 + 0.5) / 10000 AS cos
+      |  FROM embeddings c CROSS JOIN qv
+      |  JOIN norms nq ON nq.vec_id = 7
+      |  JOIN norms nc ON nc.vec_id = c.vec_id
+      |  WHERE c.vec_id <> 7),
+      |de AS (SELECT * FROM (
+      |  SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id) AS BIGINT) AS r_dense
+      |  FROM scored) WHERE r_dense <= 100),
+      |fused AS (
+      |  SELECT id, r_sparse, r_dense,
+      |    coalesce(CAST(floor(1000000000.0 / (60.0 + r_sparse) + 0.5) AS BIGINT), 0) +
+      |    coalesce(CAST(floor(1000000000.0 / (60.0 + r_dense) + 0.5) AS BIGINT), 0) AS rrf_q
+      |  FROM sp FULL OUTER JOIN de USING (id))
+      |SELECT id, r_sparse, r_dense, rrf_q,
+      |  CAST(rrf_q AS DOUBLE) / 1000000000.0 AS rrf
+      |FROM fused
+      |ORDER BY rrf_q DESC, id LIMIT 20""".stripMargin) { (s, d) =>
+    Retrieval.hybridRrfTopK(Tables.documents(s, d), Tables.embeddings(s, d),
+      Seq("spark", "join", "window"), queryVecId = 7L, k = 20)
+  }
+
+  val all: Seq[Q] = Seq(h51, h52, h53, h54)
 }

@@ -196,6 +196,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("Partial"), p)
   }
 
+  test("h54 hybrid RRF: dense pool is two-phase group-limited, fusion top-k never global-sorts") {
+    val p = planStr(qdf("h54_hybrid_rrf"))
+    assert(p.contains("WindowGroupLimit"), p)       // dense top-pool pre-limited per partition
+    assert(p.contains("TakeOrderedAndProject"), p)  // fused top-k
+  }
+
   test("f9 range frame: a real RangeFrame window, one pass, no cross product") {
     val p = planStr(qdf("f9_range_frame"))
     assert(p.contains("RangeFrame"), p)

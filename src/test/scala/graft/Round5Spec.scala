@@ -104,6 +104,27 @@ class Round5Spec extends SparkSpec {
     assert(out(2L) > out(1L))                   // higher tf wins at similar len
   }
 
+  test("hybrid RRF: fused score decomposes into the two rank contributions") {
+    val out = graft.extensions.Retrieval.hybridRrfTopK(
+      docs, Tables.embeddings(spark, sf),
+      Seq("spark", "join", "window"), queryVecId = 7L, k = 20)
+      .collect()
+    assert(out.length === 20)
+    def contrib(r: Any): Long = r match {
+      case null => 0L
+      case l: Long => math.floor(1e9 / (60.0 + l) + 0.5).toLong
+    }
+    out.foreach { row =>
+      val expect = contrib(row.get(1)) + contrib(row.get(2))
+      assert(row.getLong(3) === expect, row.toString)
+    }
+    // descending fused order with id tiebreak
+    val scores = out.map(r => (-r.getLong(3), r.getLong(0)))
+    assert(scores.toSeq === scores.sortBy(identity).toSeq)
+    // both retrievers contribute somewhere in the pool
+    assert(out.exists(r => r.get(1) != null) && out.exists(r => r.get(2) != null))
+  }
+
   test("BM25: rare term outranks common term; k truncates; result partition-stable") {
     // 20 docs contain 'common'; 2 also contain 'rare'
     val docsDf = (1L to 20L)
