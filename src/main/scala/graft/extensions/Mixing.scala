@@ -1,0 +1,106 @@
+package graft.extensions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-selection / data-mixing operators for training-corpus curation.
+  *
+  * The reference pipeline stops at a curated star schema
+  * (`/root/reference/data_processing.py:253-263`); these operators cover the
+  * corpus-selection stage a pre-training pipeline runs on top of it:
+  * importance weighting a raw corpus toward a target distribution (DSIR,
+  * Xie et al., NeurIPS 2023) and rebalancing per-domain sampling rates to a
+  * target token mixture.
+  *
+  * Everything follows the repo determinism contract: probability ratios are
+  * evaluated with an identical double op tree in Spark and DuckDB, then
+  * quantized to micro-units and summed as exact integers (the h39/h47
+  * scheme), so document scores are order-independent and engine-identical.
+  */
+object Mixing {
+
+  /** Number of hashed unigram feature buckets (md5 first-3-hex-chars). */
+  val NBuckets = 4096
+
+  /** DSIR-style importance weights: per-document log-likelihood ratio
+    * between a target-subset hashed-unigram LM and the raw-corpus LM.
+    *
+    * Features are hashed unigrams — `substring(md5(token), 1, 3)` buckets
+    * tokens into 4096 engine-portable bins (the same md5 device as
+    * `Splits`/`Sampling`). Both LMs use add-one smoothing over the bucket
+    * space, so buckets unseen in the target stay finite. Per-bucket
+    * log-ratio `ln((ct+1)/(Nt+B) / ((cr+1)/(Nr+B)))` is one double op tree
+    * (identical in DuckDB), quantized to micro-units; a document's weight is
+    * the exact integer sum Σ m(b)·q(b) over its bucket counts.
+    *
+    * 100 TB posture: the (doc, bucket) aggregate is partial-aggregated
+    * scan-side (shuffle volume bounded by per-doc DISTINCT buckets, ≤4096,
+    * not token count); the two LMs derive from ONE pass over that relation
+    * with a conditional sum (no second scan for the target subset); the
+    * per-bucket ratio table is ≤4096 rows and broadcasts back — bounded by
+    * construction, independent of corpus size.
+    *
+    * Output: (doc_id, n_tokens, weight_q, avg_logratio) — `weight_q` the
+    * exact micro-unit integer log-weight, `avg_logratio` the per-token
+    * mean as one double division (h39's rendering).
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: org.apache.spark.sql.Column): DataFrame = {
+    val b = lit(NBuckets.toDouble)
+    val docTok = docs
+      .select(col(idCol).as("doc_id"), targetPred.as("in_target"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), col("in_target"),
+        substring(md5(col("tok")), 1, 3).as("bucket"))
+      .groupBy("doc_id", "in_target", "bucket")
+      .agg(count(lit(1)).as("m"))
+    val lm = docTok
+      .groupBy("bucket")
+      .agg(sum(col("m")).as("cr"),
+        sum(when(col("in_target"), col("m")).otherwise(0L)).as("ct"))
+    val totals = lm.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val ratio = lm.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        floor(log(
+          ((col("ct").cast("double") + 1.0) / (col("nt").cast("double") + b)) /
+            ((col("cr").cast("double") + 1.0) / (col("nr").cast("double") + b)))
+          * 1e6 + 0.5).cast("long").as("q"))
+    docTok.join(broadcast(ratio), "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("m")).as("n_tokens"), sum(col("m") * col("q")).as("weight_q"))
+      .select(col("doc_id"), col("n_tokens"), col("weight_q"),
+        (col("weight_q").cast("double") / (col("n_tokens").cast("double") * 1e6))
+          .as("avg_logratio"))
+  }
+
+  /** Per-domain token accounting + sampling weights toward a uniform token
+    * mixture: `weight = (T/S) / tokens(domain)` — domains under-represented
+    * in tokens get weight > 1, over-represented < 1 (the rebalancing step of
+    * a DoReMi/uniform-mixture data recipe; the target shares are a constant
+    * vector, uniform here).
+    *
+    * Shapes: per-doc token counts ride the scan (one codegen projection, no
+    * explode); one groupBy(domain) over doc-count rows; the totals row
+    * broadcasts back. Share and weight are micro-unit-quantized doubles with
+    * identical op trees in both engines.
+    *
+    * Output: (domain, n_docs, n_tokens, share_q, weight_q, weight).
+    */
+  def domainMixture(docs: DataFrame, domainCol: String, textCol: String): DataFrame = {
+    val perDomain = docs
+      .select(col(domainCol).as("domain"),
+        coalesce(size(TextOps.tokens(col(textCol))).cast("long"), lit(0L)).as("n"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    val totals = perDomain.agg(sum(col("n_tokens")).as("t"),
+      count(lit(1)).as("s"))
+    perDomain.crossJoin(broadcast(totals))
+      .select(col("domain"), col("n_docs"), col("n_tokens"),
+        floor(col("n_tokens").cast("double") * 1e6 / col("t").cast("double") + 0.5)
+          .cast("long").as("share_q"),
+        floor(col("t").cast("double") * 1e6 /
+          (col("s").cast("double") * col("n_tokens").cast("double")) + 0.5)
+          .cast("long").as("weight_q"))
+      .withColumn("weight", col("weight_q").cast("double") / 1e6)
+  }
+}

@@ -152,6 +152,44 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding
+    * space with the same deterministic fixed-point k-means as [[ivfTopK]],
+    * then drop any vector that has a LOWER-id near-duplicate (cosine ≥
+    * `minCosine`) in its own cluster — the engine-portable stand-in for
+    * SemDeDup's keep-one-representative rule (the paper keeps the item
+    * farthest from the centroid; lowest-id is the deterministic,
+    * oracle-replayable choice and keeps exactly one item per near-dup
+    * chain's head).
+    *
+    * 100 TB posture: the all-pairs check runs WITHIN clusters only — the
+    * whole point of clustering first — so pair count is Σ|cluster|², never
+    * |corpus|²; nCentroids grows with the corpus to bound cluster sizes,
+    * and the assignment pass is the same broadcast argmax as IVF (one
+    * shuffle of (id, cid) rows). The centroids are exact fixed-point, so
+    * the full construction — clusters included — replays in DuckDB.
+    *
+    * Output: (vec_id, cid, is_kept), one row per corpus vector.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, nCentroids: Int = 16, kmeansIters: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    var cent = corpus.select(col(idCol).as("cid"), col(vecCol).as("centroid"))
+      .orderBy(col("cid")).limit(nCentroids)
+    for (_ <- 0 until kmeansIters)
+      cent = kmeansStep(assignToCentroids(c, cent, payload = Seq("cv")))
+    val assigned = assignToCentroids(c, cent, payload = Seq("cv"))
+    val a = assigned.select(col("cid"), col("neighbor_id").as("id_a"), col("cv").as("va"))
+    val b = assigned.select(col("cid"), col("neighbor_id").as("id_b"), col("cv").as("vb"))
+    val dups = a.join(b, "cid")
+      .filter(col("id_a") < col("id_b"))
+      .filter(Det.floorRound(cosine(col("va"), col("vb")), 4) >= minCosine)
+      .select(col("id_b").as("dup_id")).distinct()
+    assigned
+      .join(dups, col("neighbor_id") === col("dup_id"), "left")
+      .select(col("neighbor_id").as("vec_id"), col("cid"),
+        col("dup_id").isNull.as("is_kept"))
+  }
+
   /** `nPlanes`-bit signature of a vector under one LSH table — the native
     * codegen'd graft.functions.HyperplaneSignature (bit-compatible with
     * [[lshSignatureHof]], asserted in SimilaritySpec).

@@ -281,4 +281,59 @@ object TextAnalysis {
       .orderBy(col("c_bg").desc, col("bg"))
       .limit(k)
   }
+
+  /** First-merge BPE statistics: frequency of every adjacent character pair
+    * WITHIN tokens — the candidate table the first iteration of BPE
+    * training ranks (Sennrich et al. 2016; merging the top pair and
+    * re-counting iterates this table). Top-`k` by (count desc, pair).
+    *
+    * Shape: tokens explode scan-side; the per-token pair enumeration is a
+    * codegen'd `transform(sequence(...), i -> tok.substr(i, 2))` — the
+    * lambda captures only the exploded token ATTRIBUTE (a bound value, not
+    * a computed expression), so there is no captured-expression recompute
+    * (the TextOps doctrine's hazard applies to re-evaluated regex splits,
+    * not attribute refs). Counts partial-aggregate before the single pair
+    * shuffle (bounded by the pair alphabet, not corpus size); final top-k
+    * is TakeOrderedAndProject.
+    */
+  def bpePairStats(docs: DataFrame, textCol: String, k: Int = 30): DataFrame =
+    docs
+      .select(explode(TextOps.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("tok")) - 1),
+        i => col("tok").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+
+  /** Per-domain percentile quality gate (the FineWeb-style "keep the best
+    * X% of each domain" selection): rank every document within its domain
+    * by [[qualityScore]] (desc, doc-id tiebreak) and keep the top half —
+    * `2·rank ≤ n` keeps exactly ⌊n/2⌋ docs per domain, in pure integer
+    * arithmetic (no percent_rank doubles to disagree over).
+    *
+    * Shape: the quality signals are one codegen projection over the scan;
+    * ONE shuffle on domain for the window (rank and count share the same
+    * window frame, one pass). Per-domain partitions are corpus-share-sized
+    * — at real scale a skewed mega-domain would swap this window for the
+    * h34 histogram-rank scheme (binned quality → integer rank math), same
+    * output contract.
+    *
+    * Output: kept docs only — (doc_id, domain, quality_score,
+    * rank_in_domain, n_in_domain).
+    */
+  def percentileGate(docs: DataFrame, idCol: String, textCol: String,
+      domainCol: String): DataFrame = {
+    val q = qualityScore(docs, idCol, textCol)
+      .select(col(idCol), col("quality_score"))
+    val j = docs.select(col(idCol), col(domainCol).as("domain")).join(q, idCol)
+    val part = org.apache.spark.sql.expressions.Window.partitionBy(col("domain"))
+    val w = part.orderBy(col("quality_score").desc, col(idCol))
+    j.withColumn("rank_in_domain", row_number().over(w).cast("long"))
+      .withColumn("n_in_domain", count(lit(1)).over(part))
+      .filter(col("rank_in_domain") * 2 <= col("n_in_domain"))
+      .select(col(idCol), col("domain"), col("quality_score"),
+        col("rank_in_domain"), col("n_in_domain"))
+  }
 }

@@ -1,0 +1,219 @@
+package graft.queries
+
+import graft.Tables
+import graft.extensions.{Mixing, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Group H (continued) — corpus-selection and tokenizer-prep operators:
+  * DSIR importance weighting, SemDeDup embedding-cluster dedup, domain
+  * mixture rebalancing, BPE first-merge pair statistics, and the per-domain
+  * percentile quality gate. Scale notes live on the extension objects;
+  * every query follows the Q determinism contract.
+  */
+object GroupH5 {
+
+  /** DSIR importance weights (target = English subset, raw = full corpus)
+    * over 4096 hashed-unigram buckets. The oracle replays the bucketing
+    * (md5 prefix), the add-one-smoothed log-ratio (identical double op
+    * tree), and the exact micro-unit integer sums.
+    */
+  val h55 = Q(
+    "h55_dsir_weights",
+    """WITH toks AS (
+      |  SELECT doc_id, lang = 'en' AS in_target,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS l
+      |  FROM documents),
+      |dt AS (
+      |  SELECT doc_id, in_target, substr(md5(term), 1, 3) AS bucket, count(*) AS m
+      |  FROM (SELECT doc_id, in_target, unnest(l) AS term FROM toks)
+      |  GROUP BY doc_id, in_target, bucket),
+      |lm AS (
+      |  SELECT bucket, CAST(sum(m) AS BIGINT) AS cr,
+      |    CAST(sum(CASE WHEN in_target THEN m ELSE 0 END) AS BIGINT) AS ct
+      |  FROM dt GROUP BY bucket),
+      |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM lm),
+      |ratio AS (
+      |  SELECT bucket,
+      |    CAST(floor(ln(
+      |      ((CAST(ct AS DOUBLE) + 1.0) / (CAST(nt AS DOUBLE) + 4096.0)) /
+      |      ((CAST(cr AS DOUBLE) + 1.0) / (CAST(nr AS DOUBLE) + 4096.0)))
+      |      * 1000000.0 + 0.5) AS BIGINT) AS q
+      |  FROM lm CROSS JOIN tot)
+      |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+      |  CAST(sum(m * q) AS BIGINT) AS weight_q,
+      |  CAST(sum(m * q) AS DOUBLE) / (CAST(sum(m) AS DOUBLE) * 1000000.0) AS avg_logratio
+      |FROM dt JOIN ratio USING (bucket)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Mixing.dsirWeights(Tables.documents(s, d), "doc_id", "text",
+      col("lang") === "en")
+      .orderBy("doc_id")
+  }
+
+  /** SemDeDup: the h15 fixed-point k-means clusters (16 centroids, 2
+    * iterations — the oracle replays them bit-for-bit), then within-cluster
+    * near-dup pruning at cosine ≥ 0.3 with lowest-id-wins. Output is the
+    * full corpus disposition (every vector, its cluster, kept/dropped).
+    */
+  val h56 = Q(
+    "h56_semdedup",
+    """WITH norms AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')) AS nrm
+      |  FROM embeddings),
+      |cent0 AS (
+      |  SELECT vec_id AS cid, embedding AS centroid
+      |  FROM embeddings ORDER BY vec_id LIMIT 16),
+      |sim0 AS (
+      |  SELECT n.vec_id, c.cid,
+      |    list_aggregate(list_transform(generate_series(1, len(n.embedding)),
+      |      i -> n.embedding[i]::DOUBLE * c.centroid[i]::DOUBLE), 'sum')
+      |      / (n.nrm * sqrt(list_aggregate(list_transform(c.centroid,
+      |           x -> x::DOUBLE * x::DOUBLE), 'sum'))) AS acos
+      |  FROM norms n CROSS JOIN cent0 c),
+      |asg0 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY acos DESC, cid) AS rn
+      |    FROM sim0) WHERE rn = 1),
+      |cent1 AS (
+      |  SELECT cid, list(CAST(comp AS REAL) ORDER BY dim) AS centroid FROM (
+      |    SELECT a.cid, u.i AS dim,
+      |      CAST(sum(CAST(floor(v.embedding[u.i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+      |        / (CAST(count(*) AS DOUBLE) * 1000000.0) AS comp
+      |    FROM asg0 a
+      |    JOIN embeddings v ON v.vec_id = a.vec_id,
+      |    unnest(generate_series(1, len(v.embedding))) AS u(i)
+      |    GROUP BY a.cid, u.i)
+      |  GROUP BY cid),
+      |sim1 AS (
+      |  SELECT n.vec_id, c.cid,
+      |    list_aggregate(list_transform(generate_series(1, len(n.embedding)),
+      |      i -> n.embedding[i]::DOUBLE * c.centroid[i]::DOUBLE), 'sum')
+      |      / (n.nrm * sqrt(list_aggregate(list_transform(c.centroid,
+      |           x -> x::DOUBLE * x::DOUBLE), 'sum'))) AS acos
+      |  FROM norms n CROSS JOIN cent1 c),
+      |asg1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY acos DESC, cid) AS rn
+      |    FROM sim1) WHERE rn = 1),
+      |cent2 AS (
+      |  SELECT cid, list(CAST(comp AS REAL) ORDER BY dim) AS centroid FROM (
+      |    SELECT a.cid, u.i AS dim,
+      |      CAST(sum(CAST(floor(v.embedding[u.i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+      |        / (CAST(count(*) AS DOUBLE) * 1000000.0) AS comp
+      |    FROM asg1 a
+      |    JOIN embeddings v ON v.vec_id = a.vec_id,
+      |    unnest(generate_series(1, len(v.embedding))) AS u(i)
+      |    GROUP BY a.cid, u.i)
+      |  GROUP BY cid),
+      |simf AS (
+      |  SELECT n.vec_id, c.cid,
+      |    list_aggregate(list_transform(generate_series(1, len(n.embedding)),
+      |      i -> n.embedding[i]::DOUBLE * c.centroid[i]::DOUBLE), 'sum')
+      |      / (n.nrm * sqrt(list_aggregate(list_transform(c.centroid,
+      |           x -> x::DOUBLE * x::DOUBLE), 'sum'))) AS acos
+      |  FROM norms n CROSS JOIN cent2 c),
+      |assigned AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY acos DESC, cid) AS rn
+      |    FROM simf) WHERE rn = 1),
+      |dups AS (
+      |  SELECT DISTINCT b.vec_id AS dup_id
+      |  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |  JOIN norms x ON x.vec_id = a.vec_id
+      |  JOIN norms y ON y.vec_id = b.vec_id
+      |  WHERE floor(list_aggregate(list_transform(generate_series(1, len(x.embedding)),
+      |      i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE), 'sum')
+      |      / (x.nrm * y.nrm) * 10000 + 0.5) / 10000 >= 0.3)
+      |SELECT a.vec_id, a.cid, d.dup_id IS NULL AS is_kept
+      |FROM assigned a LEFT JOIN dups d ON a.vec_id = d.dup_id
+      |ORDER BY a.vec_id""".stripMargin) { (s, d) =>
+    Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+      minCosine = 0.3, nCentroids = 16, kmeansIters = 2)
+      .orderBy("vec_id")
+  }
+
+  /** Domain token mixture + uniform-target sampling weights. */
+  val h57 = Q(
+    "h57_domain_mixture",
+    """WITH toks AS (
+      |  SELECT source AS domain,
+      |    coalesce(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |                             t -> len(t) > 0)), 0) AS n
+      |  FROM documents),
+      |pd AS (
+      |  SELECT domain, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+      |  FROM toks GROUP BY domain),
+      |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t, count(*) AS s FROM pd)
+      |SELECT domain, n_docs, n_tokens,
+      |  CAST(floor(CAST(n_tokens AS DOUBLE) * 1000000.0 / CAST(t AS DOUBLE) + 0.5) AS BIGINT) AS share_q,
+      |  CAST(floor(CAST(t AS DOUBLE) * 1000000.0 /
+      |    (CAST(s AS DOUBLE) * CAST(n_tokens AS DOUBLE)) + 0.5) AS BIGINT) AS weight_q,
+      |  CAST(CAST(floor(CAST(t AS DOUBLE) * 1000000.0 /
+      |    (CAST(s AS DOUBLE) * CAST(n_tokens AS DOUBLE)) + 0.5) AS BIGINT) AS DOUBLE)
+      |    / 1000000.0 AS weight
+      |FROM pd CROSS JOIN tot
+      |ORDER BY domain""".stripMargin) { (s, d) =>
+    Mixing.domainMixture(Tables.documents(s, d), "source", "text")
+      .orderBy("domain")
+  }
+
+  /** BPE first-merge candidates: top-30 within-token adjacent char pairs. */
+  val h58 = Q(
+    "h58_bpe_pair_stats",
+    """WITH toks AS (
+      |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+      |                     t -> len(t) > 0) AS l
+      |  FROM documents),
+      |t AS (SELECT unnest(l) AS tok FROM toks),
+      |p AS (
+      |  SELECT substr(tok, i, 2) AS pair
+      |  FROM t, unnest(generate_series(1, len(tok) - 1)) AS u(i)
+      |  WHERE len(tok) >= 2)
+      |SELECT pair, count(*) AS n
+      |FROM p GROUP BY pair
+      |ORDER BY n DESC, pair LIMIT 30""".stripMargin) { (s, d) =>
+    TextAnalysis.bpePairStats(Tables.documents(s, d), "text", k = 30)
+  }
+
+  /** Per-domain percentile quality gate: keep the top half of each source
+    * by the h11 quality score (integer rank math, no percent_rank doubles).
+    */
+  val h59 = Q(
+    "h59_percentile_gate",
+    """WITH tok AS (
+      |  SELECT doc_id, text, source,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    floor(len(list_filter(toks, t -> list_contains(['the','a','and','of','to','in','is','it','for','on'], t)))
+      |      / greatest(len(toks), 1)::DOUBLE * 10000 + 0.5) / 10000 AS stopword_ratio,
+      |    floor(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+      |      / greatest(length(text), 1)::DOUBLE * 10000 + 0.5) / 10000 AS alpha_ratio
+      |  FROM tok),
+      |qs AS (
+      |  SELECT doc_id, source AS domain,
+      |    floor((least(n_tokens / 64.0, 1.0) * 0.5 + alpha_ratio * 0.3 +
+      |          least(stopword_ratio * 4.0, 1.0) * 0.2) * 10000 + 0.5) / 10000
+      |      AS quality_score
+      |  FROM m),
+      |r AS (
+      |  SELECT doc_id, domain, quality_score,
+      |    CAST(row_number() OVER (PARTITION BY domain
+      |      ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rank_in_domain,
+      |    CAST(count(*) OVER (PARTITION BY domain) AS BIGINT) AS n_in_domain
+      |  FROM qs)
+      |SELECT doc_id, domain, quality_score, rank_in_domain, n_in_domain
+      |FROM r WHERE rank_in_domain * 2 <= n_in_domain
+      |ORDER BY domain, rank_in_domain""".stripMargin) { (s, d) =>
+    TextAnalysis.percentileGate(Tables.documents(s, d), "doc_id", "text", "source")
+      .orderBy("domain", "rank_in_domain")
+  }
+
+  val all: Seq[Q] = Seq(h55, h56, h57, h58, h59)
+}

@@ -222,6 +222,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("h55 DSIR: ratio table broadcasts back, (doc,bucket) agg is partial, explode scan-side") {
+    val p = planStr(qdf("h55_dsir_weights"))
+    assert(p.contains("BroadcastHashJoin"), p)  // ≤4096-row ratio table
+    assert(!p.contains("CartesianProduct"), p)  // (1-row totals joins via BNLJ — fine)
+    assert(p.contains("Generate"), p)           // token explode stays scan-side
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("h56 semdedup: within-cluster pairing is an equi-join on cid, never a corpus cross product") {
+    val p = planStr(qdf("h56_semdedup"))
+    // the ONLY nested-loop joins are the broadcast centroid table
+    // (nCentroids rows) against the corpus — the pair join itself must
+    // hash/merge on cid
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("h58 BPE pairs: top-k is TakeOrderedAndProject over a partial-aggregated count") {
+    val p = planStr(qdf("h58_bpe_pair_stats"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+    assert(p.contains("Generate"), p)
+  }
+
+  test("h59 percentile gate: one window pass partitioned on domain, no global sort before it") {
+    val p = planStr(qdf("h59_percentile_gate"))
+    assert(p.contains("hashpartitioning(domain"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
     // the second half of the partition-pruning story at 100 TB: when the
     // partition predicate only exists on the DIM side of a join, DPP must

@@ -125,6 +125,110 @@ class Round5Spec extends SparkSpec {
     assert(out.exists(r => r.get(1) != null) && out.exists(r => r.get(2) != null))
   }
 
+  test("DSIR weights: in-target-only vocab scores positive, off-target negative; exact formula") {
+    // d1 (target) uses token "xx" only; d2 (raw-only) uses "yy" only.
+    // Buckets are md5-prefix bins; "xx" and "yy" land in different buckets
+    // (asserted) so the hand-computed counts apply per bucket.
+    val px = java.security.MessageDigest.getInstance("MD5")
+      .digest("xx".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(3)
+    val py = java.security.MessageDigest.getInstance("MD5")
+      .digest("yy".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(3)
+    assert(px !== py)
+    val tiny = Seq((1L, "en", "xx xx"), (2L, "de", "yy")).toDF("doc_id", "lang", "text")
+    val out = graft.extensions.Mixing
+      .dsirWeights(tiny, "doc_id", "text", $"lang" === "en")
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "weight_q").as[(Long, Long, Long)].collect()
+    def q(ct: Long, cr: Long, nt: Long, nr: Long): Long =
+      math.floor(math.log(((ct + 1.0) / (nt + 4096.0)) /
+        ((cr + 1.0) / (nr + 4096.0))) * 1e6 + 0.5).toLong
+    // corpus: cr(bx)=2 ct(bx)=2, cr(by)=1 ct(by)=0, Nr=3, Nt=2
+    assert(out(0) === ((1L, 2L, 2 * q(2, 2, 2, 3))))
+    assert(out(1) === ((2L, 1L, q(0, 1, 2, 3))))
+    assert(out(0)._3 > 0 && out(1)._3 < 0)
+  }
+
+  test("DSIR weights: token conservation and partition stability on the real corpus") {
+    val total = docs.select(explode(TextOps.tokens($"text"))).count()
+    val out = graft.extensions.Mixing
+      .dsirWeights(docs, "doc_id", "text", $"lang" === "en")
+    assert(out.agg(sum("n_tokens")).as[Long].head() === total)
+    val a = out.collect().toSet
+    val b = graft.extensions.Mixing
+      .dsirWeights(docs.repartition(7), "doc_id", "text", $"lang" === "en")
+      .collect().toSet
+    assert(a === b)
+  }
+
+  test("semanticDedup: two obvious clusters of duplicates keep exactly their lowest ids") {
+    // ids 1-4 point along e0 (tiny distinct perturbations), 5-8 along e1:
+    // 2 clusters; within each, all pairwise cosines ≈ 1 ≥ 0.9 → head id wins
+    def vec(axis: Int, eps: Float): Array[Float] = {
+      val v = Array.fill(8)(0.0f); v(axis) = 1.0f; v((axis + 2) % 8) = eps; v
+    }
+    val rows = (1L to 4L).map(i => (i, vec(0, 0.01f * i))) ++
+      (5L to 8L).map(i => (i, vec(1, 0.01f * i)))
+    val embs = rows.toDF("vec_id", "embedding")
+    val out = graft.extensions.Similarity
+      .semanticDedup(embs, "vec_id", "embedding", minCosine = 0.9,
+        nCentroids = 2, kmeansIters = 1)
+      .orderBy("vec_id")
+      .select("vec_id", "is_kept").as[(Long, Boolean)].collect()
+    assert(out.map(_._1).toSeq === (1L to 8L))
+    assert(out.filter(_._2).map(_._1).toSet === Set(1L, 5L))
+  }
+
+  test("semanticDedup: full disposition, kept-set head per cluster, partition-stable") {
+    val embs = Tables.embeddings(spark, sf)
+    val out = graft.extensions.Similarity
+      .semanticDedup(embs, "vec_id", "embedding", minCosine = 0.3)
+    val rows = out.select("vec_id", "cid", "is_kept")
+      .as[(Long, Long, Boolean)].collect()
+    assert(rows.length === embs.count())
+    // the lowest id in every cluster has no lower-id neighbor → always kept
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.minBy(_._1)._3, s"cluster head dropped: ${members.minBy(_._1)}")
+    }
+    val b = graft.extensions.Similarity
+      .semanticDedup(embs.repartition(7), "vec_id", "embedding", minCosine = 0.3)
+      .select("vec_id", "cid", "is_kept").as[(Long, Long, Boolean)].collect()
+    assert(rows.toSet === b.toSet)
+  }
+
+  test("domainMixture: hand-checked uniform-target weights") {
+    val tiny = Seq(("a", "t1 t2 t3"), ("b", "t4")).toDF("source", "text")
+    val out = graft.extensions.Mixing.domainMixture(tiny, "source", "text")
+      .orderBy("domain")
+      .select("domain", "n_docs", "n_tokens", "share_q", "weight_q")
+      .as[(String, Long, Long, Long, Long)].collect()
+    // T=4, S=2: a → share 750000, weight floor(4e6/6+.5)=666667; b → 250000, 2e6
+    assert(out(0) === (("a", 1L, 3L, 750000L, 666667L)))
+    assert(out(1) === (("b", 1L, 1L, 250000L, 2000000L)))
+  }
+
+  test("bpePairStats: hand-checked pair counts; single-char tokens contribute nothing") {
+    val tiny = Seq((1L, "abab ab"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpePairStats(tiny, "text", k = 10)
+      .as[(String, Long)].collect()
+    // "abab" → ab, ba, ab; "ab" → ab; single-char tokens skipped
+    assert(out.toSeq === Seq(("ab", 3L), ("ba", 1L)))
+  }
+
+  test("percentileGate: keeps exactly the top half of each domain, ranks dense from 1") {
+    val out = TextAnalysis.percentileGate(docs, "doc_id", "text", "source")
+    val bySrc = out.select("domain", "rank_in_domain", "n_in_domain")
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    val srcSizes = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    bySrc.foreach { case (src, rows) =>
+      val n = srcSizes(src)
+      assert(rows.forall(_._3 === n))
+      assert(rows.map(_._2).sorted.toSeq === (1L to n / 2))
+    }
+    // every source with ≥ 2 docs appears
+    assert(bySrc.keySet === srcSizes.filter(_._2 >= 2).keySet)
+  }
+
   test("BM25: rare term outranks common term; k truncates; result partition-stable") {
     // 20 docs contain 'common'; 2 also contain 'rare'
     val docsDf = (1L to 20L)
