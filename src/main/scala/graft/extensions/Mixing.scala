@@ -73,6 +73,42 @@ object Mixing {
           .as("avg_logratio"))
   }
 
+  /** DSIR's selection step: Gumbel top-k resampling — drawing k documents
+    * without replacement with probability ∝ exp(log-weight) is exactly
+    * "top-k by (log w + Gumbel noise)" (Gumbel-max trick; the procedure the
+    * DSIR paper uses). The noise is deterministic and engine-portable: the
+    * document's md5 first-byte bucket (the [[Splits]] device) gives
+    * u = (bucket + 0.5)/256, and g = −ln(−ln u) — hex decoded with ascii
+    * arithmetic, the whole key one identical double op tree in both
+    * engines, quantized to micro-units for the final integer ordering.
+    *
+    * 100 TB posture: the Gumbel key is a scan-stage projection on the
+    * (already tiny) per-doc weight relation; top-k is
+    * TakeOrderedAndProject — ≤ k rows forwarded per partition, no global
+    * sort ever materializes.
+    *
+    * Output: the k selected docs — (doc_id, n_tokens, weight_q, score_q,
+    * score), score = log-weight + Gumbel in micro-units.
+    */
+  def dsirResample(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val weights = dsirWeights(docs, idCol, textCol, targetPred)
+    val h = md5(col("doc_id").cast("string"))
+    def hexDigit(c: org.apache.spark.sql.Column) =
+      ascii(c) - 48 - when(ascii(c) >= 97, 39).otherwise(0)
+    val bucket = hexDigit(substring(h, 1, 1)) * 16 + hexDigit(substring(h, 2, 1))
+    val u = (bucket.cast("double") + 0.5) / 256.0
+    val gumbel = -log(-log(u))
+    val scoreQ = floor(
+      (col("weight_q").cast("double") / 1e6 + gumbel) * 1e6 + 0.5).cast("long")
+    weights
+      .withColumn("score_q", scoreQ)
+      .orderBy(col("score_q").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_tokens"), col("weight_q"), col("score_q"),
+        (col("score_q").cast("double") / 1e6).as("score"))
+  }
+
   /** Per-domain token accounting + sampling weights toward a uniform token
     * mixture: `weight = (T/S) / tokens(domain)` — domains under-represented
     * in tokens get weight > 1, over-represented < 1 (the rebalancing step of

@@ -136,6 +136,56 @@ object GroupH5 {
       .orderBy("vec_id")
   }
 
+  /** DSIR Gumbel top-k resampling: the h55 weights driven through the
+    * actual selection procedure (top-100 by log-weight + md5-derived
+    * Gumbel noise). The oracle replays the hex-decode, the Gumbel double
+    * op tree, and the micro-unit integer ordering.
+    */
+  val h60 = Q(
+    "h60_dsir_resample",
+    """WITH toks AS (
+      |  SELECT doc_id, lang = 'en' AS in_target,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS l
+      |  FROM documents),
+      |dt AS (
+      |  SELECT doc_id, in_target, substr(md5(term), 1, 3) AS bucket, count(*) AS m
+      |  FROM (SELECT doc_id, in_target, unnest(l) AS term FROM toks)
+      |  GROUP BY doc_id, in_target, bucket),
+      |lm AS (
+      |  SELECT bucket, CAST(sum(m) AS BIGINT) AS cr,
+      |    CAST(sum(CASE WHEN in_target THEN m ELSE 0 END) AS BIGINT) AS ct
+      |  FROM dt GROUP BY bucket),
+      |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM lm),
+      |ratio AS (
+      |  SELECT bucket,
+      |    CAST(floor(ln(
+      |      ((CAST(ct AS DOUBLE) + 1.0) / (CAST(nt AS DOUBLE) + 4096.0)) /
+      |      ((CAST(cr AS DOUBLE) + 1.0) / (CAST(nr AS DOUBLE) + 4096.0)))
+      |      * 1000000.0 + 0.5) AS BIGINT) AS q
+      |  FROM lm CROSS JOIN tot),
+      |w AS (
+      |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+      |    CAST(sum(m * q) AS BIGINT) AS weight_q
+      |  FROM dt JOIN ratio USING (bucket)
+      |  GROUP BY doc_id),
+      |keyed AS (
+      |  SELECT doc_id, n_tokens, weight_q,
+      |    CAST(floor((CAST(weight_q AS DOUBLE) / 1000000.0 +
+      |      -ln(-ln((CAST(
+      |        (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 48 -
+      |          CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) >= 97 THEN 39 ELSE 0 END) * 16 +
+      |        (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 48 -
+      |          CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) >= 97 THEN 39 ELSE 0 END)
+      |        AS DOUBLE) + 0.5) / 256.0))) * 1000000.0 + 0.5) AS BIGINT) AS score_q
+      |  FROM w)
+      |SELECT doc_id, n_tokens, weight_q, score_q,
+      |  CAST(score_q AS DOUBLE) / 1000000.0 AS score
+      |FROM keyed
+      |ORDER BY score_q DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+    Mixing.dsirResample(Tables.documents(s, d), "doc_id", "text",
+      col("lang") === "en", k = 100)
+  }
+
   /** Domain token mixture + uniform-target sampling weights. */
   val h57 = Q(
     "h57_domain_mixture",
@@ -215,5 +265,5 @@ object GroupH5 {
       .orderBy("domain", "rank_in_domain")
   }
 
-  val all: Seq[Q] = Seq(h55, h56, h57, h58, h59)
+  val all: Seq[Q] = Seq(h55, h56, h57, h58, h59, h60)
 }

@@ -240,6 +240,12 @@ class PlanSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"), p)
   }
 
+  test("h60 DSIR resample: Gumbel top-k is TakeOrderedAndProject, no global sort") {
+    val p = planStr(qdf("h60_dsir_resample"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p) // 1-row totals via BNLJ only
+  }
+
   test("h58 BPE pairs: top-k is TakeOrderedAndProject over a partial-aggregated count") {
     val p = planStr(qdf("h58_bpe_pair_stats"))
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -160,6 +160,29 @@ class Round5Spec extends SparkSpec {
     assert(a === b)
   }
 
+  test("DSIR resample: Gumbel keys recompute exactly; k rows; partition-stable") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def gumbel(id: Long): Double = {
+      val h = md5hex(id.toString)
+      def d(c: Char) = c - 48 - (if (c >= 'a') 39 else 0)
+      val b = d(h(0)) * 16 + d(h(1))
+      -math.log(-math.log((b + 0.5) / 256.0))
+    }
+    val out = graft.extensions.Mixing
+      .dsirResample(docs, "doc_id", "text", $"lang" === "en", k = 100)
+      .select("doc_id", "weight_q", "score_q").as[(Long, Long, Long)].collect()
+    assert(out.length === 100)
+    out.foreach { case (id, wq, sq) =>
+      val expect = math.floor((wq.toDouble / 1e6 + gumbel(id)) * 1e6 + 0.5).toLong
+      assert(sq === expect, s"doc $id")
+    }
+    val b = graft.extensions.Mixing
+      .dsirResample(docs.repartition(7), "doc_id", "text", $"lang" === "en", k = 100)
+      .select("doc_id", "weight_q", "score_q").as[(Long, Long, Long)].collect()
+    assert(out.toSet === b.toSet)
+  }
+
   test("semanticDedup: two obvious clusters of duplicates keep exactly their lowest ids") {
     // ids 1-4 point along e0 (tiny distinct perturbations), 5-8 along e1:
     // 2 clusters; within each, all pairwise cosines ≈ 1 ≥ 0.9 → head id wins
