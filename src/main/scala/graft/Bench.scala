@@ -37,8 +37,17 @@ object Bench {
       // BOTH attempts crash — a run-1 success with a run-2 crash still has a
       // valid timing, and nothing is listed twice.
       val times = List(once(), once()).flatten
-      if (times.isEmpty) failed ::= name
-      name -> times.sorted.headOption.getOrElse(0.0)
+      // a multi-minute HOST freeze can span both back-to-back runs (observed
+      // 2026-08-13: a ~1 s query measured 127 s on both attempts while the
+      // rest of the run was normal — see BASELINE.md), which best-of-2
+      // cannot de-noise. No single declared query exceeds ~12 s median at
+      // sf0.1 even on a 2x-slow host, so a best-of-2 above 25 s is far more
+      // likely a stall than a plan: take one later third sample. A genuine
+      // regression still shows (all three samples pay it).
+      val retried =
+        if (times.nonEmpty && times.min > 25.0) times ++ once() else times
+      if (retried.isEmpty) failed ::= name
+      name -> retried.sorted.headOption.getOrElse(0.0)
     }
     // 3-decimal (ms) precision: the driver locates this line in a bounded
     // tail window of stdout — full double precision pushed the 66-query line

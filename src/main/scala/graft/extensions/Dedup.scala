@@ -250,6 +250,90 @@ object Dedup {
       .join(verified.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
   }
 
+  /** Incremental dedup — the daily-ingest companion to [[dedupCorpus]]:
+    * admit only those `incoming` docs that are neither exact nor verified
+    * near-duplicates of the `existing` corpus or of an earlier (lower-id)
+    * incoming doc. The existing corpus is NEVER re-deduped — that is the
+    * point: a cron-cadence pipeline (the reference deploys daily,
+    * `/root/reference/flows.py:388-399`) dedups each new batch against the
+    * accumulated corpus, not the corpus against itself.
+    *
+    * Precedence is (existing, then incoming by ascending id): an incoming
+    * doc is dropped iff it exact-matches anything existing / any lower-id
+    * incoming doc, or it has an LSH-candidate pair with verified Jaccard ≥
+    * `minJaccard` against an existing doc or a lower-id incoming
+    * representative — [[dedupCorpus]]'s greedy rule with the whole existing
+    * corpus ranked ahead of every incoming doc. Ids must be unique across
+    * both inputs.
+    *
+    * 100 TB posture: the incoming batch is small relative to the corpus, so
+    * the only corpus-sized work is scan-side (fingerprints + signatures +
+    * shingle sets); in production those are MATERIALIZED once per run into
+    * signature/fingerprint tables bucketed by (band, bucket) and reused —
+    * the bucket join then touches only buckets the new batch occupies, and
+    * the Jaccard verify touches only candidate pairs' shingle rows (cost ∝
+    * batch size, never corpus size). The local formulation recomputes the
+    * existing side for self-containment; the plan shapes are identical.
+    *
+    * Output: admitted incoming doc ids.
+    */
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame, idCol: String,
+      textCol: String, minJaccard: Double = 0.5, numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must evenly divide numHashes ($numHashes)")
+    // (1) exact layer: within-batch collapse (X1 groupBy-min), then drop
+    // batch reps whose content fingerprint already exists in the corpus
+    val inReps = exactReps(incoming, idCol, textCol)
+    val exFp = existing
+      .select(md5(TextOps.normalized(col(textCol))).as("__fp")).distinct()
+    val fresh = inReps
+      .withColumn("__fp", md5(TextOps.normalized(col(textCol))))
+      .join(exFp, Seq("__fp"), "left_anti")
+      .drop("__fp")
+    // (2) near-dup layer over the union, with a precedence flag: existing
+    // docs (ord 0) dominate every fresh doc (ord 1)
+    val u = existing.select(col(idCol), col(textCol), lit(0).as("__ord"))
+      .unionByName(fresh.select(col(idCol), col(textCol), lit(1).as("__ord")))
+    val rowsPerBand = numHashes / bands
+    val sig = minhashSignatures(u, idCol, textCol, numHashes)
+    val bucketCols = (0 until bands).map { b =>
+      md5(concat((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
+    }
+    val bandRows = sig
+      .select(col(idCol).as("id"), posexplode(array(bucketCols: _*)))
+      .toDF("id", "band", "bucket")
+      .join(u.select(col(idCol).as("id"), col("__ord")), "id")
+    val a = bandRows.select(col("id").as("id_a"), col("band"), col("bucket"),
+      col("__ord").as("ord_a"))
+    val b = bandRows.select(col("id").as("id_b"), col("band"), col("bucket"),
+      col("__ord").as("ord_b"))
+    // only fresh docs can be dominated; domination order is (ord, id)
+    val cand = a.join(b, Seq("band", "bucket"))
+      .filter(col("ord_b") === 1 &&
+        struct(col("ord_a"), col("id_a")) < struct(col("ord_b"), col("id_b")))
+      .select("id_a", "id_b")
+      .distinct()
+    // (3) exact-Jaccard verify on candidates only (the h6/h16 shape)
+    val ds = u
+      .select(col(idCol).as("doc"),
+        explode(TextOps.shingles3(TextOps.tokens(col(textCol)))).as("sh"))
+      .select(col("doc"), xxhash64(col("sh")).as("sh"))
+      .distinct()
+    val sizes = ds.groupBy("doc").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(ds.toDF("id_a", "sh"), "id_a")
+      .join(ds.toDF("id_b", "sh"), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    val dominated = inter
+      .join(sizes.toDF("id_a", "na"), "id_a")
+      .join(sizes.toDF("id_b", "nb"), "id_b")
+      .filter(Det.floorRound(col("i") / (col("na") + col("nb") - col("i")), 4) >= minJaccard)
+      .select(col("id_b").as(idCol))
+      .distinct()
+    fresh.select(col(idCol)).join(dominated, Seq(idCol), "left_anti")
+  }
+
   /** Step-1 exact collapse of [[dedupCorpus]]: one representative (min id)
     * per normalized-content fingerprint, carrying its text.
     */

@@ -265,5 +265,80 @@ object GroupH5 {
       .orderBy("domain", "rank_in_domain")
   }
 
-  val all: Seq[Q] = Seq(h55, h56, h57, h58, h59, h60)
+  /** Incremental dedup: the odd-id half of `documents` arrives as a new
+    * batch against the even-id half as the accumulated corpus; admit only
+    * batch docs that are neither exact nor verified near-dups of the corpus
+    * or of a lower-id batch doc. The oracle replays the full chain: exact
+    * collapse + anti, union with precedence flags, MinHash 16 / LSH 4×4
+    * banding, (ord, id) row-order domination, exact-Jaccard verify.
+    */
+  val h61 = Q(
+    "h61_incremental_dedup",
+    """WITH ex AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+      |inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+      |infp AS (
+      |  SELECT doc_id, text,
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM inc),
+      |reps AS (
+      |  SELECT i.doc_id, i.text, i.fp
+      |  FROM infp i
+      |  JOIN (SELECT fp, min(doc_id) AS doc_id FROM infp GROUP BY fp) k
+      |    ON i.doc_id = k.doc_id),
+      |exfp AS (
+      |  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM ex),
+      |fresh AS (
+      |  SELECT r.doc_id, r.text FROM reps r
+      |  WHERE NOT EXISTS (SELECT 1 FROM exfp e WHERE e.fp = r.fp)),
+      |u AS (
+      |  SELECT doc_id, text, 0 AS ord FROM ex
+      |  UNION ALL
+      |  SELECT doc_id, text, 1 AS ord FROM fresh),
+      |tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             t -> len(t) > 0) AS toks
+      |  FROM u),
+      |base AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 3),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      |  FROM base),
+      |ks AS (SELECT unnest(generate_series(0, 15)) AS k),
+      |mh AS (
+      |  SELECT doc_id, k, min(md5(k::VARCHAR || ':' || shingle)) AS m
+      |  FROM sh CROSS JOIN ks GROUP BY doc_id, k),
+      |sig AS (
+      |  SELECT doc_id, k // 4 AS band, md5(string_agg(m, '' ORDER BY k)) AS bucket
+      |  FROM mh GROUP BY doc_id, k // 4),
+      |sigo AS (SELECT s.doc_id, s.band, s.bucket, uu.ord FROM sig s JOIN u uu USING (doc_id)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sigo a JOIN sigo b ON a.band = b.band AND a.bucket = b.bucket
+      |  WHERE b.ord = 1 AND (a.ord, a.doc_id) < (b.ord, b.doc_id)),
+      |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.id_a, c.id_b, count(*) AS i
+      |  FROM cand c
+      |  JOIN ds x ON x.doc_id = c.id_a
+      |  JOIN ds y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+      |  GROUP BY c.id_a, c.id_b),
+      |drop_ids AS (
+      |  SELECT DISTINCT id_b FROM inter
+      |  JOIN sizes sa ON id_a = sa.doc_id
+      |  JOIN sizes sb ON id_b = sb.doc_id
+      |  WHERE floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000 + 0.5) / 10000 >= 0.5)
+      |SELECT f.doc_id FROM fresh f
+      |WHERE NOT EXISTS (SELECT 1 FROM drop_ids d WHERE d.id_b = f.doc_id)
+      |ORDER BY f.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    graft.extensions.Dedup.incrementalDedup(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", minJaccard = 0.5)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(h55, h56, h57, h58, h59, h60, h61)
 }

@@ -246,6 +246,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p) // 1-row totals via BNLJ only
   }
 
+  test("h61 incremental dedup: bucket/verify joins are equi, exact layer is anti-join, no cross product") {
+    val p = planStr(qdf("h61_incremental_dedup"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftAnti"), p)           // exact layer + final admit
+    assert(p.contains("partial_min"), p)        // groupBy-min collapse map-side
+  }
+
   test("h58 BPE pairs: top-k is TakeOrderedAndProject over a partial-aggregated count") {
     val p = planStr(qdf("h58_bpe_pair_stats"))
     assert(p.contains("TakeOrderedAndProject"), p)

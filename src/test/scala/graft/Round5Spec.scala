@@ -218,6 +218,44 @@ class Round5Spec extends SparkSpec {
     assert(rows.toSet === b.toSet)
   }
 
+  test("incrementalDedup: exact, near-dup, within-batch precedence, and fresh admits") {
+    // "a b c a b c a" has the SAME 3-shingle set as "a b c a b c" (different
+    // text, so the exact layer passes it) → identical minhash signature →
+    // guaranteed LSH candidate with Jaccard 1.0
+    val existing = Seq(
+      (2L, "a b c a b c"),
+      (4L, "completely unrelated corpus document text")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "a b c a b c"),               // exact dup of existing 2 → dropped
+      (3L, "a b c a b c a"),             // near-dup of existing 2 → dropped
+      (5L, "totally different content here now"), // fresh → admitted
+      (7L, "a b c a b c a"),             // within-batch exact dup of 3 → dropped
+      (9L, "x y z x y z"),               // fresh → admitted
+      (11L, "x y z x y z x")             // near-dup of lower-id batch doc 9 → dropped
+    ).toDF("doc_id", "text")
+    val admitted = graft.extensions.Dedup
+      .incrementalDedup(existing, incoming, "doc_id", "text", minJaccard = 0.5)
+      .as[Long].collect().sorted
+    assert(admitted.toSeq === Seq(5L, 9L))
+    // the existing corpus is never re-deduped: swapping roles admits nothing
+    val none = graft.extensions.Dedup
+      .incrementalDedup(incoming, incoming, "doc_id", "text", minJaccard = 0.5)
+      .count()
+    assert(none === 0) // every batch doc exact-matches itself in the corpus
+  }
+
+  test("incrementalDedup: parity-split on the real corpus is partition-stable and consistent") {
+    val even = docs.filter($"doc_id" % 2 === 0)
+    val odd = docs.filter($"doc_id" % 2 === 1)
+    val a = graft.extensions.Dedup
+      .incrementalDedup(even, odd, "doc_id", "text").as[Long].collect().toSet
+    assert(a.nonEmpty && a.forall(_ % 2 == 1))
+    val b = graft.extensions.Dedup
+      .incrementalDedup(even.repartition(5), odd.repartition(7), "doc_id", "text")
+      .as[Long].collect().toSet
+    assert(a === b)
+  }
+
   test("domainMixture: hand-checked uniform-target weights") {
     val tiny = Seq(("a", "t1 t2 t3"), ("b", "t4")).toDF("source", "text")
     val out = graft.extensions.Mixing.domainMixture(tiny, "source", "text")

@@ -60,7 +60,10 @@ object ScaleBench {
 
     val names = Seq("h5_minhash_lsh_pairs", "h6_ngram_jaccard",
       "h16_dedup_corpus_keep", "h23_dedup_clusters", "h41_simhash_near_dup",
-      "h15_ivf_ann_topk")
+      "h15_ivf_ann_topk",
+      // round-5 composites: DSIR (explode→bucket LM→broadcast-back) and
+      // SemDeDup (k-means + within-cluster pairs — the Σ|cluster|² check)
+      "h55_dsir_weights", "h56_semdedup")
     def time(name: String, dir: String): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
