@@ -346,6 +346,43 @@ class StreamingSpec extends SparkSpec {
       .select("v").as[String].collect().toSeq === Seq("d2"))
   }
 
+  test("incremental dedup composes with foreachBatch: streamed batches admit only non-dups of the accumulated corpus") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val path = s"target/scratch/incr_corpus_${ProcessHandle.current().pid()}"
+    // seed corpus in epoch 0; each micro-batch then dedups against the
+    // corpus-so-far and appends ONLY its admitted docs (epoch-partitioned,
+    // so at-least-once re-delivery of a batch replaces instead of
+    // double-admitting — the exactly-once story and the dedup story compose)
+    val seed = Seq((2L, "a b c a b c"),
+      (4L, "completely unrelated corpus document text")).toDF("doc_id", "text")
+    graft.streaming.IdempotentSink.writeEpoch(seed, 0L, path)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF.toDF("doc_id", "text").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val existing = spark.read.parquet(path).select("doc_id", "text")
+        val admitted = graft.extensions.Dedup
+          .incrementalDedup(existing, df, "doc_id", "text", minJaccard = 0.5)
+        graft.streaming.IdempotentSink.writeEpoch(
+          df.join(admitted, "doc_id"), id + 1L, path)
+      }
+      .start()
+    try {
+      mem.addData(
+        1L -> "a b c a b c",       // exact dup of seed doc 2 → rejected
+        3L -> "a b c a b c a",     // same shingle set as seed doc 2 → near-dup, rejected
+        5L -> "totally different content here now") // fresh → admitted
+      q.processAllAvailable()
+      mem.addData(
+        7L -> "totally different content here now", // dup of doc 5, admitted LAST epoch → rejected
+        9L -> "x y z x y z")                        // fresh → admitted
+      q.processAllAvailable()
+      val corpus = spark.read.parquet(path)
+        .select("doc_id").as[Long].collect().toSet
+      assert(corpus === Set(2L, 4L, 5L, 9L))
+    } finally q.stop()
+  }
+
   test("idempotent epoch sink drives from a real foreachBatch stream") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
