@@ -307,6 +307,36 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
 
+  /** Per-document n-gram novelty: the fraction of a document's DISTINCT
+    * 3-gram shingles that occur in no other document (corpus df = 1) — the
+    * standard corpus-overlap/memorization-risk profile (a near-zero score
+    * means the document is assembled from text seen elsewhere; the
+    * complement of the h28 containment idea, turned inward on the corpus).
+    *
+    * Shape: one scan-side shingle explode → distinct (doc, shingle) →
+    * partial-aggregated df counts → co-partitioned join back on shingle →
+    * per-doc aggregate. Shuffle volume is bounded by distinct shingles, all
+    * aggregates combine map-side, and the ratio is one double division of
+    * exact integers (floor-rounded for display) — order-independent and
+    * engine-identical. Docs with < 3 tokens have no shingles and are
+    * absent, both engines.
+    */
+  def noveltyScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ds = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.shingles3(TextOps.tokens(col(textCol)))).as("sh"))
+      .distinct()
+    val dfs = ds.groupBy("sh").agg(count(lit(1)).as("df"))
+    ds.join(dfs, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        Det.floorRound(
+          col("n_novel").cast("double") / col("n_shingles").cast("double"), 4)
+          .as("novelty"))
+  }
+
   /** Per-domain percentile quality gate (the FineWeb-style "keep the best
     * X% of each domain" selection): rank every document within its domain
     * by [[qualityScore]] (desc, doc-id tiebreak) and keep the top half —

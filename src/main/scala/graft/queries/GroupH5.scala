@@ -340,5 +340,33 @@ object GroupH5 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(h55, h56, h57, h58, h59, h60, h61)
+  /** Per-doc n-gram novelty (fraction of distinct 3-shingles with corpus
+    * df = 1 — the corpus-overlap/memorization-risk profile).
+    */
+  val h62 = Q(
+    "h62_ngram_novelty",
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |base AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 3),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      |  FROM base),
+      |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      |dfs AS (SELECT shingle, count(*) AS df FROM ds GROUP BY shingle)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_shingles,
+      |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  floor(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000 AS novelty
+      |FROM ds JOIN dfs USING (shingle)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.noveltyScores(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(h55, h56, h57, h58, h59, h60, h61, h62)
 }

@@ -253,6 +253,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min"), p)        // groupBy-min collapse map-side
   }
 
+  test("h62 novelty: df join is equi on shingle, aggregates partial, explode scan-side") {
+    val p = planStr(qdf("h62_ngram_novelty"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+    assert(p.contains("Generate"), p)
+  }
+
   test("h58 BPE pairs: top-k is TakeOrderedAndProject over a partial-aggregated count") {
     val p = planStr(qdf("h58_bpe_pair_stats"))
     assert(p.contains("TakeOrderedAndProject"), p)

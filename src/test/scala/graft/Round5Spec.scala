@@ -275,6 +275,24 @@ class Round5Spec extends SparkSpec {
     assert(out.toSeq === Seq(("ab", 3L), ("ba", 1L)))
   }
 
+  test("noveltyScores: hand-checked df=1 fractions; short docs absent") {
+    val tiny = Seq(
+      (1L, "a b c d"),      // shingles {abc, bcd}: abc shared → novelty 0.5
+      (2L, "a b c e"),      // shingles {abc, bce}: 0.5
+      (3L, "q w e r t"),    // all 3 shingles unique → 1.0
+      (4L, "x y")           // < 3 tokens → absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScores(tiny, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_shingles", "n_novel", "novelty")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.toSeq === Seq(
+      (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 3L, 3L, 1.0)))
+    // corpus-wide invariants: novelty ∈ [0,1]; Σ n_novel = # df-1 shingles
+    val real = TextAnalysis.noveltyScores(docs, "doc_id", "text")
+    assert(real.filter($"novelty" < 0 || $"novelty" > 1).count() === 0)
+  }
+
   test("percentileGate: keeps exactly the top half of each domain, ranks dense from 1") {
     val out = TextAnalysis.percentileGate(docs, "doc_id", "text", "source")
     val bySrc = out.select("domain", "rank_in_domain", "n_in_domain")
