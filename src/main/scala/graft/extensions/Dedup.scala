@@ -29,6 +29,35 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Bag-of-words dedup: order-INSENSITIVE exact duplicate detection. The
+    * fingerprint is md5 over the SORTED token multiset, so shuffled or
+    * re-templated copies of a document (same words, different order — a
+    * class [[exactGroups]]' order-sensitive fingerprint misses entirely)
+    * collide, while any word added, dropped, or repeated a different number
+    * of times separates them. Output is the full corpus disposition: every
+    * doc, its bag fingerprint, cluster size, kept = lowest-id-wins.
+    *
+    * Shape (identical scale posture to h1): the sort + join + md5 is one
+    * codegen projection over the scan — per-document work, no shuffle;
+    * `array_sort` on a ~100-token array is trivial next to the regex
+    * tokenize already paid. Cluster stats are one hash-groupBy on the
+    * uniform 128-bit fingerprint (partial agg map-side, balanced shuffle),
+    * and the disposition join back is co-partitioned on the same key, so
+    * the whole operator costs one balanced shuffle at 100 TB. NULL text →
+    * NULL tokens → `array_join` propagates NULL → NULL fingerprint, same
+    * as the oracle's `array_to_string`.
+    */
+  def bagDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = docs.select(col(idCol).as("doc_id"),
+      md5(array_join(array_sort(TextOps.tokens(col(textCol))), " "))
+        .as("bag_fp"))
+    val clusters = fp.groupBy("bag_fp")
+      .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("keeper"))
+    fp.join(clusters, "bag_fp")
+      .select(col("doc_id"), col("bag_fp"), col("cluster_size"),
+        (col("doc_id") === col("keeper")).as("kept"))
+  }
+
   /** MinHash signatures: `numHashes` min-hash values per doc from 3-gram
     * word shingles. Docs with <3 tokens have no shingles and are excluded
     * (no signature is defined for them).

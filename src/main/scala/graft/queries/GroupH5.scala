@@ -368,5 +368,29 @@ object GroupH5 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(h55, h56, h57, h58, h59, h60, h61, h62)
+  /** Bag-of-words (order-insensitive) dedup disposition: md5 over the
+    * sorted token multiset, cluster stats, lowest-id-wins keep flag. Catches
+    * shuffled/re-templated copies that the h1 order-sensitive fingerprint
+    * misses. Token sort order is binary codepoint in both engines (tokens
+    * are lowercased, so no collation surface).
+    */
+  val h63 = Q(
+    "h63_bag_dedup",
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_sort(
+      |      list_filter(string_split_regex(lower(text), '\s+'),
+      |                  t -> len(t) > 0)), ' ')) AS bag_fp
+      |  FROM documents),
+      |cl AS (
+      |  SELECT bag_fp, count(*) AS cluster_size, min(doc_id) AS keeper
+      |  FROM fp GROUP BY bag_fp)
+      |SELECT f.doc_id, f.bag_fp, cl.cluster_size, f.doc_id = cl.keeper AS kept
+      |FROM fp f JOIN cl USING (bag_fp)
+      |ORDER BY f.doc_id""".stripMargin) { (s, d) =>
+    graft.extensions.Dedup.bagDedup(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(h55, h56, h57, h58, h59, h60, h61, h62, h63)
 }

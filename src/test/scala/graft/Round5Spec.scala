@@ -323,4 +323,39 @@ class Round5Spec extends SparkSpec {
       .select("doc_id").as[Long].collect()
     assert(repart.toSeq === top.toSeq)
   }
+
+  test("bagDedup: shuffled copy collides, multiset changes separate, lowest id kept") {
+    val tiny = Seq(
+      (1L, "a b c"),
+      (2L, "c  B a"),   // same bag after lowercase/ws-normalize → collides with 1
+      (3L, "a b c c"),  // extra multiplicity → separate cluster
+      (4L, "a b")       // subset → separate cluster
+    ).toDF("doc_id", "text")
+    val out = graft.extensions.Dedup.bagDedup(tiny, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "bag_fp", "cluster_size", "kept")
+      .as[(Long, String, Long, Boolean)].collect().toSeq
+    assert(out.map(_._1) === Seq(1L, 2L, 3L, 4L))
+    assert(out(0)._2 === out(1)._2)
+    assert(Seq(out(0)._2, out(2)._2, out(3)._2).distinct.size === 3)
+    assert(out(0)._3 === 2L && out(0)._4 && !out(1)._4)
+    assert(out(2)._4 && out(3)._4)
+    // corpus invariants: full disposition (one row per doc), exactly one
+    // keeper per cluster, cluster_size consistent with the actual group
+    val real = graft.extensions.Dedup.bagDedup(docs, "doc_id", "text")
+    assert(real.count() === docs.count())
+    val perCluster = real.groupBy("bag_fp")
+      .agg(sum(when($"kept", 1L).otherwise(0L)).as("keepers"),
+        count(lit(1)).as("n"), max($"cluster_size").as("sz"))
+    assert(perCluster.filter($"keepers" =!= 1L || $"n" =!= $"sz").count() === 0)
+    // order-insensitivity on the real corpus: reversing every doc's token
+    // order leaves the fingerprint (and hence the whole disposition) fixed
+    val rev = docs.select($"doc_id",
+      array_join(reverse(split($"text", " ")), " ").as("text"))
+    val a = graft.extensions.Dedup.bagDedup(docs, "doc_id", "text")
+      .select("doc_id", "bag_fp")
+    val b = graft.extensions.Dedup.bagDedup(rev, "doc_id", "text")
+      .select("doc_id", "bag_fp")
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+  }
 }
