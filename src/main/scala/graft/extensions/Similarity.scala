@@ -74,6 +74,39 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** Hard-negative mining for contrastive training data: for each query
+    * vector, the exact top-k most-similar corpus vectors carrying a
+    * DIFFERENT label — the "closest wrong answers" that make the strongest
+    * negatives. Output: (query_id, query_label, rank, neighbor_id,
+    * neighbor_label, cos).
+    *
+    * Shape = [[bruteForceTopK]] with the label inequality fused into the
+    * broadcast-join condition: the mismatch test culls pairs inside the
+    * same codegen stage that scores them (no post-filter pass), self-pairs
+    * are excluded for free (same label ⇒ dropped), and the row_number ≤ k
+    * again plans as a two-phase WindowGroupLimit — each scan partition
+    * forwards ≤ k candidates per query before the query_id exchange. At
+    * real scale the scorer swaps for the [[ivfTopK]] bucketed candidate
+    * generator with the same label predicate on the candidate join; the
+    * exact form here is the recall baseline.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("query_label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("neighbor_label"))
+    val scored = c.join(broadcast(q), col("neighbor_label") =!= col("query_label"))
+      .withColumn("cos", Det.floorRound(cosine(col("qv"), col("cv")), 4))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "query_label", "rank", "neighbor_id",
+        "neighbor_label", "cos")
+  }
+
   /** Nearest-centroid assignment: ONE broadcast pass, map-side `max_by`
     * argmax (ties to the smaller cid), so the shuffle carries one row per
     * vector. `payload` columns ride along.

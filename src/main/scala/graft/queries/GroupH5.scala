@@ -392,5 +392,44 @@ object GroupH5 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(h55, h56, h57, h58, h59, h60, h61, h62, h63)
+  /** Hard-negative mining: exact top-5 most-similar different-label
+    * neighbors per query vector (contrastive-training negatives). The
+    * oracle replays the h2 cosine machinery plus the label-mismatch join
+    * condition; ranks are total-ordered by (cos desc, neighbor_id).
+    */
+  val h64 = Q(
+    "h64_hard_negatives",
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv, label AS query_label
+      |  FROM embeddings WHERE vec_id < 16),
+      |c AS (
+      |  SELECT vec_id AS neighbor_id, embedding AS cv, label AS neighbor_label
+      |  FROM embeddings),
+      |norms AS (
+      |  SELECT vec_id,
+      |    sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')) AS nrm
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, query_label, neighbor_id, neighbor_label,
+      |    floor(list_aggregate(
+      |      list_transform(generate_series(1, len(qv)), i -> qv[i]::DOUBLE * cv[i]::DOUBLE),
+      |      'sum') / (nq.nrm * nc.nrm) * 10000 + 0.5) / 10000 AS cos
+      |  FROM q JOIN c ON neighbor_label <> query_label
+      |  JOIN norms nq ON nq.vec_id = query_id
+      |  JOIN norms nc ON nc.vec_id = neighbor_id),
+      |ranked AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT query_id, query_label, rank, neighbor_id, neighbor_label, cos
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val embs = Tables.embeddings(s, d)
+    Similarity.hardNegatives(embs, embs.filter(col("vec_id") < 16),
+      "vec_id", "embedding", "label", 5)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
+  val all: Seq[Q] = Seq(h55, h56, h57, h58, h59, h60, h61, h62, h63, h64)
 }

@@ -79,6 +79,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Final"), p)
   }
 
+  test("h64: hard negatives broadcast the query set and run the two-phase group limit") {
+    // the label-mismatch predicate must ride the broadcast join (culling in
+    // the scoring stage), and the top-k must again be Partial WindowGroupLimit
+    // before the query_id exchange — same scale contract as h2.
+    val p = planStr(qdf("h64_hard_negatives"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("cosine_sim"), p)
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
+  }
+
   test("h15: IVF final re-rank also runs the two-phase group limit") {
     val p = planStr(qdf("h15_ivf_ann_topk"))
     assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)

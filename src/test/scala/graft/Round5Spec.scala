@@ -358,4 +358,33 @@ class Round5Spec extends SparkSpec {
       .select("doc_id", "bag_fp")
     assert(a.except(b).count() === 0 && b.except(a).count() === 0)
   }
+
+  test("hardNegatives: never same label, never self, and = label-filtered brute force") {
+    val embs = Tables.embeddings(spark, sf)
+    val queries = embs.filter($"vec_id" < 16)
+    val out = graft.extensions.Similarity
+      .hardNegatives(embs, queries, "vec_id", "embedding", "label", 5)
+    val rows = out.select("query_id", "query_label", "rank", "neighbor_id",
+      "neighbor_label").as[(Long, Int, Int, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (q, ql, _, n, nl) => ql != nl && q != n })
+    // every query with ≥5 different-label candidates gets exactly 5, ranked 1..5
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.values.forall(g => g.map(_._3).sorted.toSeq === (1 to g.size)))
+    // equivalence: top-k over the label-mismatch-prefiltered corpus (a
+    // different plan — filter under bruteForceTopK per query, via join)
+    // must select the same neighbor sets
+    val brute = graft.extensions.Similarity
+      .bruteForceTopK(embs, queries, "vec_id", "embedding", k = 2000)
+      .join(embs.select($"vec_id".as("query_id"), $"label".as("ql")), "query_id")
+      .join(embs.select($"vec_id".as("neighbor_id"), $"label".as("nl")), "neighbor_id")
+      .filter($"ql" =!= $"nl")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy($"cos".desc, $"neighbor_id")
+    val expect = brute.withColumn("rr", row_number().over(w))
+      .filter($"rr" <= 5)
+      .select($"query_id", $"rr".as("rank"), $"neighbor_id", $"cos")
+    val got = out.select("query_id", "rank", "neighbor_id", "cos")
+    assert(expect.except(got).count() === 0 && got.except(expect).count() === 0)
+  }
 }
