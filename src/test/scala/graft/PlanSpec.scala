@@ -79,6 +79,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Final"), p)
   }
 
+  test("h63: bag fingerprint aggregates partially before ONE hash exchange") {
+    // the cluster-stats aggregate must combine map-side and shuffle on the
+    // uniform fingerprint exactly once; the disposition join may broadcast
+    // (small scale) or reuse the bag_fp partitioning (real scale), but a
+    // second hashpartitioning exchange on bag_fp would mean the join
+    // re-shuffled what the aggregate already partitioned.
+    val p = planStr(qdf("h63_bag_dedup"))
+    assert(p.contains("partial_count"), p)
+    val fpExchanges = "hashpartitioning\\(bag_fp".r.findAllIn(p).size
+    assert(fpExchanges <= 1, s"expected <=1 bag_fp exchange, got $fpExchanges\n$p")
+  }
+
   test("h64: hard negatives broadcast the query set and run the two-phase group limit") {
     // the label-mismatch predicate must ride the broadcast join (culling in
     // the scoring stage), and the top-k must again be Partial WindowGroupLimit
