@@ -492,6 +492,46 @@ object Dedup {
       .groupBy("id").agg(min(col("comp")).as("comp"))
   }
 
+  /** PageRank over an undirected pair graph (e.g. the h41 near-dup pairs):
+    * authority scoring that picks the CANONICAL document inside a duplicate
+    * neighborhood — the doc most near-duplicated by others outranks its
+    * copies, a better representative than min-id when duplicates differ in
+    * quality. Fixed iteration count, damping 0.85, scores in exact
+    * micro-units: init 1.000000; each round
+    * `score' = 0.15 + 0.85 · Σ_in floor(score_u / deg_u)` with the
+    * per-neighbor contribution an exact integer division (`div`), the sum
+    * exact integer arithmetic (order-independent), and the single damping
+    * multiply one IEEE double op on an integer-valued double — identical in
+    * every engine and partitioning, so a DuckDB oracle replays it
+    * bit-for-bit. Isolated docs (no near-dup edges) are absent by design.
+    *
+    * 100 TB posture: the graph is near-dup pairs — a small fraction of the
+    * corpus. Per iteration: ONE co-partitioned join of edges⋈scores on src
+    * (deg rides the edge rows, paid once up front) and ONE shuffle on dst
+    * for the partial-aggregated contribution sum; k iterations = k bounded
+    * shuffles, same stage discipline as [[connectedComponents]] (for long
+    * chains, localCheckpoint per round would truncate lineage the same
+    * way — at 3 rounds the plan stays shallow without it).
+    */
+  def pageRank(pairs: DataFrame, aCol: String, bCol: String,
+      iterations: Int = 3): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, "src")
+    var scores = deg.select(col("src").as("node"), lit(1000000L).as("score"))
+    for (_ <- 1 to iterations) {
+      val contrib = withDeg.join(scores, col("src") === col("node"))
+        .select(col("dst"), expr("score div deg").as("c"))
+      scores = contrib.groupBy("dst").agg(sum(col("c")).as("s"))
+        .select(col("dst").as("node"),
+          (lit(150000L) +
+            floor(lit(0.85) * col("s").cast("double")).cast("long")).as("score"))
+    }
+    scores.select(col("node"), col("score").as("pr_micro"),
+      (col("score").cast("double") / 1000000.0).as("pagerank"))
+  }
+
   /** Transitive near-dup clustering — the cluster-complete alternative to
     * [[dedupCorpus]]'s greedy pairwise keep: exact collapse → LSH candidates
     * → Jaccard verify → connected components over the verified pairs.

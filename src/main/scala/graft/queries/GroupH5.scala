@@ -431,5 +431,68 @@ object GroupH5 {
       .orderBy("query_id", "rank")
   }
 
-  val all: Seq[Q] = Seq(h55, h56, h57, h58, h59, h60, h61, h62, h63, h64)
+  /** PageRank over the h41 SimHash near-dup pair graph: authority scores
+    * that pick the canonical doc per duplicate neighborhood. The oracle
+    * replays the h41 graph construction, then 3 unrolled fixed-point
+    * iterations (integer contributions via floor division, one damping
+    * double op per node per round).
+    */
+  val h65 = Q(
+    "h65_dup_graph_pagerank",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                                    t -> len(t) > 0)) AS t
+      |  FROM documents),
+      |js AS (SELECT unnest(generate_series(1, 32)) AS j),
+      |votes AS (
+      |  SELECT doc_id, j,
+      |    sum(CASE WHEN substr(md5(t), j, 1) IN ('8','9','a','b','c','d','e','f')
+      |        THEN 1 ELSE -1 END) AS v
+      |  FROM tok CROSS JOIN js GROUP BY doc_id, j),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << (32 - j))
+      |             ELSE 0 END) AS BIGINT) AS sig
+      |  FROM votes GROUP BY doc_id),
+      |bk AS (
+      |  SELECT doc_id, sig, b AS band, (sig >> (b * 8)) & 255 AS key
+      |  FROM sig, UNNEST(generate_series(0, 3)) AS t(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+      |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+      |    AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.sig, b.sig)) <= 2),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM cand
+      |  UNION ALL SELECT id_b, id_a FROM cand),
+      |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+      |s0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS score FROM deg),
+      |s1 AS (
+      |  SELECT e.dst AS node,
+      |    150000 + CAST(floor(0.85 * CAST(sum(s.score // d.deg) AS DOUBLE)) AS BIGINT) AS score
+      |  FROM edges e JOIN deg d ON d.src = e.src JOIN s0 s ON s.node = e.src
+      |  GROUP BY e.dst),
+      |s2 AS (
+      |  SELECT e.dst AS node,
+      |    150000 + CAST(floor(0.85 * CAST(sum(s.score // d.deg) AS DOUBLE)) AS BIGINT) AS score
+      |  FROM edges e JOIN deg d ON d.src = e.src JOIN s1 s ON s.node = e.src
+      |  GROUP BY e.dst),
+      |s3 AS (
+      |  SELECT e.dst AS node,
+      |    150000 + CAST(floor(0.85 * CAST(sum(s.score // d.deg) AS DOUBLE)) AS BIGINT) AS score
+      |  FROM edges e JOIN deg d ON d.src = e.src JOIN s2 s ON s.node = e.src
+      |  GROUP BY e.dst)
+      |SELECT node AS doc_id, score AS pr_micro,
+      |  CAST(score AS DOUBLE) / 1000000.0 AS pagerank
+      |FROM s3 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pairs = graft.extensions.Dedup.simhashNearDupPairs(
+      Tables.documents(s, d), "doc_id", "text",
+      maxHamming = 2, bands = 4, sigBits = 32)
+    graft.extensions.Dedup.pageRank(pairs, "id_a", "id_b", iterations = 3)
+      .select(col("node").as("doc_id"), col("pr_micro"), col("pagerank"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(h55, h56, h57, h58, h59, h60, h61, h62, h63, h64, h65)
 }

@@ -387,4 +387,27 @@ class Round5Spec extends SparkSpec {
     val got = out.select("query_id", "rank", "neighbor_id", "cos")
     assert(expect.except(got).count() === 0 && got.except(expect).count() === 0)
   }
+
+  test("pageRank: hand-computed path graph; hub outranks leaves; partition-stable") {
+    // path 1-2-3: hand-rolled fixed-point iterations
+    // s1: leaf = 150000+floor(.85*500000) = 575000; hub = 150000+floor(.85*2e6) = 1850000
+    // s2: leaf = 150000+floor(.85*925000) = 936250; hub = 150000+floor(.85*1150000) = 1127500
+    // s3: leaf = 150000+floor(.85*563750) = 629187; hub = 150000+floor(.85*1872500) = 1741625
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = graft.extensions.Dedup.pageRank(pairs, "id_a", "id_b", iterations = 3)
+      .orderBy("node").select("node", "pr_micro").as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 629187L), (2L, 1741625L), (3L, 629187L)))
+    // real graph: every node in an edge scores, all scores positive, and
+    // the result is invariant under a different input partitioning
+    val real = graft.extensions.Dedup.simhashNearDupPairs(
+      docs, "doc_id", "text", maxHamming = 2, bands = 4, sigBits = 32)
+    val pr = graft.extensions.Dedup.pageRank(real, "id_a", "id_b")
+    val nodes = real.select($"id_a".as("n")).union(real.select($"id_b".as("n"))).distinct()
+    assert(pr.count() === nodes.count())
+    assert(pr.filter($"pr_micro" <= 0).count() === 0)
+    val pr2 = graft.extensions.Dedup.pageRank(real.repartition(7), "id_a", "id_b")
+      .select("node", "pr_micro")
+    val pr1 = pr.select("node", "pr_micro")
+    assert(pr1.except(pr2).count() === 0 && pr2.except(pr1).count() === 0)
+  }
 }
