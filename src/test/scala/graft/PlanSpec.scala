@@ -79,6 +79,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Final"), p)
   }
 
+  test("h65: pagerank iterations stay equi-join + partial agg (no cartesian)") {
+    // each of the 3 unrolled iterations must be an equi-join of edges with
+    // the previous scores plus a partial-aggregated contribution sum on dst;
+    // a CartesianProduct or BroadcastNestedLoopJoin would mean a join
+    // condition degenerated, and a missing partial_sum would push whole
+    // score rows through every exchange
+    val p = planStr(qdf("h65_dup_graph_pagerank"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("h63: bag fingerprint aggregates partially before ONE hash exchange") {
     // the cluster-stats aggregate must combine map-side and shuffle on the
     // uniform fingerprint exactly once; the disposition join may broadcast
