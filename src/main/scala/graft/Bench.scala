@@ -1,9 +1,41 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark harness: times every declared query at the given scale factor
+  * and emits ONE machine-readable JSON line on stdout.
+  *
+  * Hang-hardening (round 6): the round-5 driver run was killed by an external
+  * timeout (BENCH_r05.json rc=124, parsed=null) after a ~47-minute silent gap
+  * — a host freeze or a stuck query erased the whole round's bench signal.
+  * Three defenses, each bounded so the JSON line is ALWAYS printed well
+  * inside any sane external timeout:
+  *   1. per-attempt watchdog — each query attempt runs on its own thread
+  *      under a job group; if it exceeds the per-query cap the job group is
+  *      cancelled and the attempt is discarded (covers executor-side stalls
+  *      AND driver-side planning hangs, since the thread is simply abandoned);
+  *   2. global wall-clock budget — once exceeded, remaining queries are
+  *      recorded as skipped (named in the JSON, never silently 0) and the
+  *      line is emitted immediately;
+  *   3. per-attempt heartbeats on stderr — a future killed run leaves a
+  *      timestamped trail of which query was in flight.
+  * The JVM exits via System.exit after the line is flushed, so an abandoned
+  * stuck thread can never block the exit.
+  */
 object Bench {
+  private def now(): String = java.time.Instant.now().toString
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Per-attempt cap: slowest declared query medians ~5 s at sf0.1, and the
+    // worst documented HOST freeze measured ~127 s on a ~1 s query — the cap
+    // sits above that so a freeze costs one discarded attempt, not a kill.
+    val queryCapSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_CAP_SEC", "150").toDouble
+    // Global budget: 114 queries x 2 attempts measure ~3-4 min of query time;
+    // 25 min absorbs a 2x-slow host plus several freeze-length stalls while
+    // staying far inside the driver's external timeout (round 5 ran >60 min
+    // before being killed).
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,40 +47,82 @@ object Bench {
     // shuffle machinery) so the first measured query isn't charged for them.
     spark.read.parquet(s"$sfDir/region.parquet").selectExpr("count(*)").collect()
     spark.range(100000).selectExpr("sum(id % 7)").collect()
+
+    val benchT0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
+
     var failed = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      // noop sink materializes every output column (a count() would let
-      // Catalyst prune the projections being measured)
-      def once(): Option[Double] = {
+    var skipped = List.empty[String]
+    var overBudget = false
+
+    // One attempt on a dedicated daemon thread under a cancellable job group.
+    // Job groups are thread-local, so setJobGroup must run on the submitting
+    // thread. A cap overrun cancels the group (kills executor-side work) and
+    // abandons the thread (neutralizes driver-side planning hangs — the
+    // daemon flag plus the final System.exit keep it from pinning the JVM).
+    def once(name: String): Option[Double] = {
+      @volatile var out: Option[Double] = None
+      val worker = new Thread(() => {
+        spark.sparkContext.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          // noop sink materializes every output column (a count() would let
+          // Catalyst prune the projections being measured)
+          SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+          out = Some((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name: $e")
-          None
-        }
-      }
-      // best of 2 runs per query: sf0.1 per-query times are dominated by
-      // fixed stage latency, and a single GC/compilation stall on one run
-      // showed 2-5x swings round-to-round (BENCH_r02 h5=25s vs 5.5s rerun).
-      // min-of-2 keeps plan-level regressions visible (both runs pay them)
-      // while de-noising one-off stalls. A query enters `failed` only when
-      // BOTH attempts crash — a run-1 success with a run-2 crash still has a
-      // valid timing, and nothing is listed twice.
-      val times = List(once(), once()).flatten
-      // a multi-minute HOST freeze can span both back-to-back runs (observed
-      // 2026-08-13: a ~1 s query measured 127 s on both attempts while the
-      // rest of the run was normal — see BASELINE.md), which best-of-2
-      // cannot de-noise. No single declared query exceeds ~12 s median at
-      // sf0.1 even on a 2x-slow host, so a best-of-2 above 25 s is far more
-      // likely a stall than a plan: take one later third sample. A genuine
-      // regression still shows (all three samples pay it).
-      val retried =
-        if (times.nonEmpty && times.min > 25.0) times ++ once() else times
-      if (retried.isEmpty) failed ::= name
-      name -> retried.sorted.headOption.getOrElse(0.0)
+          System.err.println(s"[bench] ${now()} $name failed: $e")
+        } finally spark.sparkContext.clearJobGroup()
+      }, s"bench-$name")
+      worker.setDaemon(true)
+      worker.start()
+      worker.join((queryCapSec * 1000).toLong)
+      if (worker.isAlive) {
+        System.err.println(s"[bench] ${now()} $name TIMED OUT after ${queryCapSec}s — cancelling job group")
+        try spark.sparkContext.cancelJobGroup(s"bench-$name") catch { case _: Throwable => }
+        worker.join(10000)
+        None
+      } else out
     }
+
+    val results = SparkEntry.queries.keys.map { name =>
+      if (overBudget || elapsedSec > budgetSec) {
+        if (!overBudget) {
+          overBudget = true
+          System.err.println(s"[bench] ${now()} global budget ${budgetSec}s exceeded at ${"%.1f".format(elapsedSec)}s — skipping remaining queries")
+        }
+        skipped ::= name
+        name -> 0.0
+      } else {
+        // best of 2 runs per query: sf0.1 per-query times are dominated by
+        // fixed stage latency, and a single GC/compilation stall on one run
+        // showed 2-5x swings round-to-round (BENCH_r02 h5=25s vs 5.5s rerun).
+        // min-of-2 keeps plan-level regressions visible (both runs pay them)
+        // while de-noising one-off stalls. A query enters `failed` only when
+        // BOTH attempts crash/time out — a run-1 success with a run-2 crash
+        // still has a valid timing, and nothing is listed twice.
+        val times = List(once(name), once(name)).flatten
+        // a multi-minute HOST freeze can span both back-to-back runs (observed
+        // 2026-08-13: a ~1 s query measured 127 s on both attempts while the
+        // rest of the run was normal — see BASELINE.md), which best-of-2
+        // cannot de-noise. No single declared query exceeds ~12 s median at
+        // sf0.1 even on a 2x-slow host, so a best-of-2 above 25 s is far more
+        // likely a stall than a plan: take one later third sample, and leave
+        // an audit trail of all samples on stderr (a genuine regression still
+        // shows — all three samples pay it).
+        val retried =
+          if (times.nonEmpty && times.min > 25.0) {
+            val third = once(name)
+            System.err.println(s"[bench] ${now()} $name STALL-RETRY fired; samples=${(times ++ third).map("%.2f".format(_)).mkString(",")}")
+            times ++ third
+          } else times
+        if (retried.isEmpty) failed ::= name
+        val best = retried.sorted.headOption.getOrElse(0.0)
+        System.err.println(s"[bench] ${now()} $name best=${"%.3f".format(best)}s samples=${retried.map("%.2f".format(_)).mkString(",")} elapsed=${"%.0f".format(elapsedSec)}s")
+        name -> best
+      }
+    }.toMap
+
     // 3-decimal (ms) precision: the driver locates this line in a bounded
     // tail window of stdout — full double precision pushed the 66-query line
     // past the window in round 3 (BENCH_r03 parsed:null). ms precision keeps
@@ -68,10 +142,16 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + f3(v)
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // a crashed query records ~0s — surface failures in the JSON so a broken
-    // round can never read as a performance win
-    val errs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$errs,"sf":"$sfDir"}""")
-    spark.stop()
+    // a crashed/timed-out query records ~0s, and budget-skipped queries are
+    // named outright — surface both in the JSON so a broken round can never
+    // read as a performance win
+    def names(l: List[String]) = l.reverse.map("\"" + _.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":${names(failed)},"skipped":${names(skipped)},"sf":"$sfDir"}""")
+    System.out.flush()
+    // stop() on a best-effort thread: an abandoned stuck query thread must
+    // never block JVM exit after the JSON line is already out.
+    val stopper = new Thread(() => try spark.stop() catch { case _: Throwable => })
+    stopper.setDaemon(true); stopper.start(); stopper.join(30000)
+    System.exit(0)
   }
 }

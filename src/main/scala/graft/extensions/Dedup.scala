@@ -44,12 +44,15 @@ object Dedup {
     * uniform 128-bit fingerprint (partial agg map-side, balanced shuffle),
     * and the disposition join back is co-partitioned on the same key, so
     * the whole operator costs one balanced shuffle at 100 TB. NULL text →
-    * NULL tokens → `array_join` propagates NULL → NULL fingerprint, same
-    * as the oracle's `array_to_string`.
+    * NULL md5 → the fingerprint coalesces to a `__null_text__` sentinel, so
+    * NULL-text docs survive the equi-join and form one cluster of their own
+    * — the disposition is genuinely total (no token sequence md5-hex-encodes
+    * to the sentinel, so it cannot collide with a real fingerprint).
     */
   def bagDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val fp = docs.select(col(idCol).as("doc_id"),
-      md5(array_join(array_sort(TextOps.tokens(col(textCol))), " "))
+      coalesce(md5(array_join(array_sort(TextOps.tokens(col(textCol))), " ")),
+        lit("__null_text__"))
         .as("bag_fp"))
     val clusters = fp.groupBy("bag_fp")
       .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("keeper"))
@@ -505,6 +508,14 @@ object Dedup {
     * every engine and partitioning, so a DuckDB oracle replays it
     * bit-for-bit. Isolated docs (no near-dup edges) are absent by design.
     *
+    * Input hygiene: the pair list is canonicalized defensively — self-pairs
+    * are dropped and (a,b)/(b,a)/repeated rows collapse to one undirected
+    * edge via least/greatest + distinct — so duplicate or mirrored input
+    * rows cannot inflate degrees or contribution sums. For pre-canonical
+    * inputs (e.g. [[simhashNearDupPairs]], which emits distinct id_a<id_b
+    * rows) the guard is a no-op on the values and costs one small exchange
+    * on the edge list.
+    *
     * 100 TB posture: the graph is near-dup pairs — a small fraction of the
     * corpus. Per iteration: ONE co-partitioned join of edges⋈scores on src
     * (deg rides the edge rows, paid once up front) and ONE shuffle on dst
@@ -515,8 +526,12 @@ object Dedup {
     */
   def pageRank(pairs: DataFrame, aCol: String, bCol: String,
       iterations: Int = 3): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val canonical = pairs
+      .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val edges = canonical.select(col("a").as("src"), col("b").as("dst"))
+      .union(canonical.select(col("b").as("src"), col("a").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val withDeg = edges.join(deg, "src")
     var scores = deg.select(col("src").as("node"), lit(1000000L).as("score"))

@@ -89,6 +89,14 @@ object Similarity {
     * real scale the scorer swaps for the [[ivfTopK]] bucketed candidate
     * generator with the same label predicate on the candidate join; the
     * exact form here is the recall baseline.
+    *
+    * NULL/degenerate labels (standard SQL `<>` semantics, matching the
+    * DuckDB oracle, but worth knowing when building training data): a query
+    * with a NULL label matches nothing (`<>` yields NULL) and is silently
+    * absent from the output, NULL-label corpus rows are never returned as
+    * negatives, and a query whose label covers the entire corpus has no
+    * mismatching neighbor and likewise vanishes. Filter or coalesce labels
+    * upstream if every query must appear.
     */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, labelCol: String, k: Int): DataFrame = {

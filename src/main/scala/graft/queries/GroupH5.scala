@@ -372,15 +372,16 @@ object GroupH5 {
     * sorted token multiset, cluster stats, lowest-id-wins keep flag. Catches
     * shuffled/re-templated copies that the h1 order-sensitive fingerprint
     * misses. Token sort order is binary codepoint in both engines (tokens
-    * are lowercased, so no collation surface).
+    * are lowercased, so no collation surface). NULL-text docs keep a
+    * sentinel fingerprint in both engines so the disposition is total.
     */
   val h63 = Q(
     "h63_bag_dedup",
     """WITH fp AS (
       |  SELECT doc_id,
-      |    md5(array_to_string(list_sort(
+      |    coalesce(md5(array_to_string(list_sort(
       |      list_filter(string_split_regex(lower(text), '\s+'),
-      |                  t -> len(t) > 0)), ' ')) AS bag_fp
+      |                  t -> len(t) > 0)), ' ')), '__null_text__') AS bag_fp
       |  FROM documents),
       |cl AS (
       |  SELECT bag_fp, count(*) AS cluster_size, min(doc_id) AS keeper
