@@ -526,14 +526,19 @@ object Dedup {
     */
   def pageRank(pairs: DataFrame, aCol: String, bCol: String,
       iterations: Int = 3): DataFrame = {
+    // the pair construction upstream (e.g. the full SimHash LSH chain) would
+    // otherwise recompute in every iteration's join branch — materialize the
+    // canonical edge list once (eager=false; the h23 pattern), and the
+    // deg-annotated edge relation once on top of it
     val canonical = pairs
       .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint(false)
     val edges = canonical.select(col("a").as("src"), col("b").as("dst"))
       .union(canonical.select(col("b").as("src"), col("a").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(deg, "src")
+    val withDeg = edges.join(deg, "src").localCheckpoint(false)
     var scores = deg.select(col("src").as("node"), lit(1000000L).as("score"))
     for (_ <- 1 to iterations) {
       val contrib = withDeg.join(scores, col("src") === col("node"))

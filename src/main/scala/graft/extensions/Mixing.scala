@@ -109,6 +109,54 @@ object Mixing {
         (col("score_q").cast("double") / 1e6).as("score"))
   }
 
+  /** Per-domain distribution drift: KL(P_domain ‖ P_corpus) over unigram
+    * token distributions — the standard "how far is this slice from the
+    * mixture" diagnostic when composing a training recipe (a domain with
+    * near-zero KL adds little diversity; a high-KL domain shifts the
+    * mixture). No smoothing is needed: every domain token occurs in the
+    * corpus by construction, so every log ratio is finite.
+    *
+    * Determinism: per-(domain, token) term `ln((m/N_d)/(c/N))` is one
+    * double op tree (identical in DuckDB), quantized to micro-nats; the
+    * domain KL is the exact integer sum Σ m·q over its tokens divided by
+    * N_d — order-independent, engine-identical (the [[dsirWeights]]/h39
+    * scheme).
+    *
+    * 100 TB posture: ONE token explode feeds a partial-aggregated
+    * (domain, token) count — shuffle volume bounded by per-domain distinct
+    * vocabulary, not token count; the corpus distribution re-aggregates
+    * that same relation (no second scan); the term join is an equi-join on
+    * token between two vocabulary-sized relations; the final per-domain
+    * aggregate is partial again. Nothing scales with raw corpus bytes
+    * except the initial scan.
+    *
+    * Output: (domain, n_tokens, vocab, kl_q, kl_nats).
+    */
+  def domainKl(docs: DataFrame, domainCol: String, textCol: String): DataFrame = {
+    val dt = docs
+      .select(col(domainCol).as("domain"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy("domain", "tok")
+      .agg(count(lit(1)).as("m"))
+    val corpus = dt.groupBy("tok").agg(sum(col("m")).as("c"))
+    val domTotals = dt.groupBy("domain").agg(sum(col("m")).as("nd"))
+    val corpusTotal = corpus.agg(sum(col("c")).as("n"))
+    val terms = dt.join(corpus, "tok")
+      .join(domTotals, "domain")
+      .crossJoin(broadcast(corpusTotal))
+      .select(col("domain"), col("m"), col("nd"),
+        floor(log(
+          (col("m").cast("double") / col("nd").cast("double")) /
+            (col("c").cast("double") / col("n").cast("double")))
+          * 1e6 + 0.5).cast("long").as("q"))
+    terms.groupBy("domain")
+      .agg(max(col("nd")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(col("m") * col("q")).as("kl_q"))
+      .select(col("domain"), col("n_tokens"), col("vocab"), col("kl_q"),
+        (col("kl_q").cast("double") / (col("n_tokens").cast("double") * 1e6))
+          .as("kl_nats"))
+  }
+
   /** Per-domain token accounting + sampling weights toward a uniform token
     * mixture: `weight = (T/S) / tokens(domain)` — domains under-represented
     * in tokens get weight > 1, over-represented < 1 (the rebalancing step of

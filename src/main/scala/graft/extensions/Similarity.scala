@@ -115,6 +115,49 @@ object Similarity {
         "neighbor_label", "cos")
   }
 
+  /** Matryoshka / progressive retrieval funnel: score every candidate on
+    * only the first `dPrefix` embedding dimensions (cheap — a prefix slice
+    * of a matryoshka-trained embedding preserves coarse geometry), keep the
+    * top `m` per query, then re-rank ONLY those survivors with the
+    * full-dimension cosine and return the top `k`. The standard two-stage
+    * funnel for dropping full-precision scoring cost by dim/dPrefix while
+    * keeping near-exact quality; fully deterministic (both stages order by
+    * 4-dp floor-rounded score with neighbor-id tiebreak), so a DuckDB
+    * oracle replays it exactly — unlike recall-based ANN, this needs no
+    * weaker signal.
+    *
+    * Output: (query_id, rank, neighbor_id, cos_prefix, cos).
+    *
+    * 100 TB posture: stage 1 is the [[bruteForceTopK]] shape on a
+    * dPrefix-slice — broadcast queries, one scan, map-side Partial
+    * WindowGroupLimit forwarding ≤ m rows per query per partition (the
+    * two-phase top-k PlanSpec pins for h2); stage 2 touches only q·m rows.
+    * The full-dim vectors for stage 2 ride the stage-1 rows (no second
+    * corpus scan or re-join), so full-precision reads stay proportional to
+    * survivors, and the prefix slice is where a columnar store would also
+    * prune IO (matryoshka dims stored first).
+    */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dPrefix: Int, m: Int, k: Int): DataFrame = {
+    require(m >= k, s"prefilter width m ($m) must be >= final k ($k)")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val pre = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_prefix", Det.floorRound(
+        cosine(slice(col("qv"), 1, dPrefix), slice(col("cv"), 1, dPrefix)), 4))
+    val w1 = Window.partitionBy("query_id")
+      .orderBy(col("cos_prefix").desc, col("neighbor_id"))
+    val survivors = pre.withColumn("prn", row_number().over(w1))
+      .filter(col("prn") <= m)
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    survivors
+      .withColumn("cos", Det.floorRound(cosine(col("qv"), col("cv")), 4))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos_prefix", "cos")
+  }
+
   /** Nearest-centroid assignment: ONE broadcast pass, map-side `max_by`
     * argmax (ties to the smaller cid), so the shuffle carries one row per
     * vector. `payload` columns ride along.

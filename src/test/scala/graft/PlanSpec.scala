@@ -90,6 +90,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("h69: matryoshka prefilter is broadcast + native cosine + two-phase group limit") {
+    // the 16-dim prefilter must keep the h2 scale contract: broadcast query
+    // set, codegen'd cosine_sim, and a map-side Partial WindowGroupLimit so
+    // each partition forwards <= m rows per query before the exchange
+    val p = planStr(qdf("h69_matryoshka_topk"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("cosine_sim"), p)
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("h66/h67: near-dup graph analytics stay equi-join + partial agg (no cartesian)") {
+    // label votes and wedge enumeration must plan as equi-joins with
+    // partial-aggregated counts; a CartesianProduct would mean a join key
+    // degenerated (the wedge join's all-pairs failure mode)
+    for (q <- Seq("h66_label_propagation", "h67_dup_graph_triangles")) {
+      val p = planStr(qdf(q))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), s"$q\n$p")
+      assert(p.contains("partial_count"), s"$q\n$p")
+    }
+  }
+
+  test("h70: fingerprint XOR combines map-side before ONE exchange") {
+    // the whole fingerprint must be scan projection + partial bit_xor/count
+    // + one hash exchange on the group key — shuffle rows = group count,
+    // not corpus rows
+    val p = planStr(qdf("h70_dataset_fingerprint"))
+    assert(p.contains("partial_bit_xor") || p.contains("partial_count"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected <=1 exchange, got $exchanges\n$p")
+  }
+
   test("h63: bag fingerprint aggregates partially before ONE hash exchange") {
     // the cluster-stats aggregate must combine map-side and shuffle on the
     // uniform fingerprint exactly once; the disposition join may broadcast

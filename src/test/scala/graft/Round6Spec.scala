@@ -2,10 +2,12 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.extensions.Dedup
+import graft.extensions.{Dedup, Graph, Mixing, Provenance, Similarity}
 
-/** Round-6 hardening tests: the bagDedup NULL-text totality contract and
-  * pageRank's defensive input canonicalization (both ADVICE items).
+/** Round-6 tests: the bagDedup NULL-text totality contract, pageRank's
+  * defensive input canonicalization (both ADVICE items), and the round-6
+  * operators — graph analytics, domain KL, matryoshka funnel, dataset
+  * fingerprints.
   */
 class Round6Spec extends SparkSpec {
   import spark.implicits._
@@ -39,5 +41,92 @@ class Round6Spec extends SparkSpec {
     // and the path graph's center outranks the leaves
     val byNode = want.map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byNode(2L) > byNode(1L) && byNode(1L) === byNode(3L))
+  }
+
+  test("triangleStats: hand-checked on a triangle with a pendant edge") {
+    // 1-2-3 triangle, 4 pendant off 3; mirrored/dup rows must not matter
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (2L, 1L))
+      .toDF("a", "b")
+    val out = Graph.triangleStats(pairs, "a", "b")
+      .orderBy("node").as[(Long, Long, Long, Double)].collect()
+    assert(out(0) === ((1L, 2L, 1L, 1.0)))
+    assert(out(1) === ((2L, 2L, 1L, 1.0)))
+    // node 3: degree 3, one triangle of the three possible pairs → 2/6
+    assert(out(2) === ((3L, 3L, 1L, 0.3333)))
+    assert(out(3) === ((4L, 1L, 0L, 0.0)))
+  }
+
+  test("labelPropagation: votes, min-label tiebreak, immutable seeds, 2-hop reach") {
+    //      1(seed A) - 2 - 3(seed B)      tie at 2 → min label A
+    //      4(seed B) - 5 - 6              6 reachable only in round 2
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val seeds = Seq((1L, "A"), (3L, "B"), (4L, "B")).toDF("node", "label")
+    val out = Graph.labelPropagation(pairs, "a", "b", seeds, "node", "label",
+      iterations = 2)
+      .orderBy("node").as[(Long, String, Boolean)].collect()
+    assert(out.toSeq === Seq(
+      (1L, "A", true), (2L, "A", false), (3L, "B", true),
+      (4L, "B", true), (5L, "B", false), (6L, "B", false)))
+    // one round only: 6 has no labeled neighbor yet
+    val r1 = Graph.labelPropagation(pairs, "a", "b", seeds, "node", "label",
+      iterations = 1)
+    assert(r1.filter($"node" === 6L).count() === 0)
+  }
+
+  test("matryoshka funnel with full-width prefilter degenerates to exact top-k") {
+    val embs = Tables.embeddings(spark, sf)
+    val q = embs.filter($"vec_id" < 8)
+    val exact = Similarity.bruteForceTopK(embs, q, "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id", "cos")
+    val funnel = Similarity.matryoshkaTopK(embs, q, "vec_id", "embedding",
+      dPrefix = 64, m = 1000000, k = 5)
+      .select("query_id", "rank", "neighbor_id", "cos")
+    assert(funnel.collect().toSet === exact.collect().toSet)
+  }
+
+  test("domainKl: zero for identical slices, positive for drifted ones") {
+    val docs = Seq(
+      (1L, "d1", "x y"), (2L, "d1", "x y"),
+      (3L, "d2", "x y"), (4L, "d2", "z z z z")
+    ).toDF("doc_id", "domain", "text")
+    val out = Mixing.domainKl(docs, "domain", "text")
+      .orderBy("domain").as[(String, Long, Long, Long, Double)].collect()
+    // d1 = {x:2, y:2}; corpus = {x:3, y:3, z:4}; d1 ratios: (2/4)/(3/10) > 1
+    assert(out(0)._1 === "d1" && out(0)._2 === 4L && out(0)._4 > 0L)
+    assert(out(1)._1 === "d2" && out(1)._2 === 6L)
+    // KL is non-negative up to micro-nat quantization
+    val real = Mixing.domainKl(Tables.documents(spark, sf), "source", "text")
+    assert(real.filter($"kl_nats" < -1e-3).count() === 0)
+    assert(real.count() === 20)
+  }
+
+  test("dataset fingerprint: layout-independent, content-sensitive, XOR-rollup") {
+    val docs = Tables.documents(spark, sf)
+    val base = Provenance.datasetFingerprint(docs, Seq("source"), Seq("doc_id", "text"))
+    val shuffled = Provenance.datasetFingerprint(
+      docs.orderBy(rand(7)).repartition(13), Seq("source"), Seq("doc_id", "text"))
+    assert(base.collect().toSet === shuffled.collect().toSet)
+    // one edited row changes exactly that group's fingerprint
+    val edited = docs.withColumn("text",
+      when($"doc_id" === 0L, lit("tampered")).otherwise($"text"))
+    val diff = Provenance.datasetFingerprint(edited, Seq("source"), Seq("doc_id", "text"))
+      .join(base.withColumnRenamed("content_fp", "fp0"), Seq("source", "n_rows"))
+      .filter($"content_fp" =!= $"fp0")
+    assert(diff.count() === 1)
+    // sub-slice fingerprints XOR together into the coarser slice
+    val fine = Provenance.datasetFingerprint(docs, Seq("source", "lang"), Seq("doc_id", "text"))
+    val rolled = fine.groupBy("source")
+      .agg(sum($"n_rows").as("n_rows"), expr("bit_xor(content_fp)").as("content_fp"))
+    assert(rolled.collect().toSet === base.collect().toSet)
+    // NULL vs empty vs shifted-boundary rows stay distinct
+    val tricky = Seq(
+      (1L, "g", Some("ab"), Some("c")),
+      (2L, "g", Some("a"), Some("bc")),
+      (3L, "g", None: Option[String], Some("abc")),
+      (4L, "g", Some(""), Some("abc"))
+    ).toDF("id", "g", "c1", "c2")
+    val each = Provenance.datasetFingerprint(tricky, Seq("id"), Seq("c1", "c2"))
+      .select("content_fp").as[Long].collect()
+    assert(each.distinct.length === 4)
   }
 }
