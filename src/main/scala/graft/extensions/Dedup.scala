@@ -526,19 +526,20 @@ object Dedup {
     */
   def pageRank(pairs: DataFrame, aCol: String, bCol: String,
       iterations: Int = 3): DataFrame = {
-    // the pair construction upstream (e.g. the full SimHash LSH chain) would
-    // otherwise recompute in every iteration's join branch — materialize the
-    // canonical edge list once (eager=false; the h23 pattern), and the
-    // deg-annotated edge relation once on top of it
+    // NOTE: no localCheckpoint here, deliberately — the per-iteration
+    // references to withDeg are identical subplans that ReuseExchange
+    // already dedupes, and a checkpoint's LogicalRDD hides statistics from
+    // AQE (the small scores side stops broadcasting), which measured ~2x
+    // SLOWER at sf0.1. Graph.triangleStats/labelPropagation DO checkpoint:
+    // their branches exchange on different keys, where reuse can't apply.
     val canonical = pairs
       .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(false)
     val edges = canonical.select(col("a").as("src"), col("b").as("dst"))
       .union(canonical.select(col("b").as("src"), col("a").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(deg, "src").localCheckpoint(false)
+    val withDeg = edges.join(deg, "src")
     var scores = deg.select(col("src").as("node"), lit(1000000L).as("score"))
     for (_ <- 1 to iterations) {
       val contrib = withDeg.join(scores, col("src") === col("node"))

@@ -48,4 +48,49 @@ object Histograms {
         (min(when(col("cum") * 2 >= col("total"), col("b"))) * binWidth).as("p50_lo"),
         (min(when(col("cum") * 10 >= col("total") * 9, col("b"))) * binWidth).as("p90_lo"))
   }
+
+  /** Decile curriculum buckets from the mergeable histogram: bin the value
+    * column, find the 9 decile boundary BINS from the cumulative histogram
+    * (`cum·10 ≥ total·d`, pure integer rank math), assign every row the
+    * count of boundary bins at or below its own bin, and report per-decile
+    * stats. All docs in one bin share a decile (sketch semantics — decile
+    * sizes are N/10 up to bin granularity), every comparison is on integer
+    * bin indices, so any engine reproduces the buckets exactly. This is how
+    * a curriculum/length-bucketing stage orders 100 TB by sequence length
+    * without ever sorting it.
+    *
+    * Shape: ONE scan-side binning projection + one partial-aggregated bin
+    * count (output ≤ |bins| rows, corpus-size-independent); the cumulative
+    * window and the 9-way boundary derivation run over that tiny relation;
+    * the ≤9-row boundary table broadcasts back onto a second scan-side
+    * projection (sum of 9 integer comparisons); per-decile stats are one
+    * more partial aggregate. Nothing but the two scans grows with rows.
+    *
+    * Output: (decile, n_rows, min_val, max_val, sum_val) ordered by decile.
+    */
+  def decileBuckets(df: DataFrame, valCol: String, binWidth: Double): DataFrame = {
+    val vals = df.select(col(valCol).cast("long").as("v"),
+      bin(col(valCol), binWidth).as("b"))
+    val bins = vals.groupBy("b").agg(count(lit(1)).as("c"))
+    // the cumulative window runs over <= |bins| rows (corpus-independent),
+    // so the single-partition window is safe by construction — same
+    // argument as quantileEstimates' per-group window
+    val wCum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = bins
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .crossJoin(broadcast(bins.agg(sum(col("c")).as("total"))))
+    val bounds = cum
+      .select(col("b"), col("cum"), col("total"),
+        explode(sequence(lit(1), lit(9))).as("d"))
+      .filter(col("cum") * 10 >= col("total") * col("d"))
+      .groupBy("d").agg(min(col("b")).as("bb"))
+      .agg(sort_array(collect_list(col("bb"))).as("bbs"))
+    vals.crossJoin(broadcast(bounds))
+      .select(col("v"),
+        (lit(1) + size(filter(col("bbs"), x => col("b") > x))).cast("long")
+          .as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_rows"), min(col("v")).as("min_val"),
+        max(col("v")).as("max_val"), sum(col("v")).as("sum_val"))
+  }
 }

@@ -62,4 +62,38 @@ object Skew {
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedProbe.join(saltedBuild, keys :+ "__salt").drop("__salt")
   }
+
+  /** Shuffle-skew diagnostic: the top-k heaviest keys with their absolute
+    * counts, 6-dp share of all rows, and cumulative share — the profile you
+    * read BEFORE choosing between a plain groupBy, [[saltedSumCount]], or
+    * [[saltedJoin]] (a top key holding >1/partitions of the rows is the
+    * skew smoking gun).
+    *
+    * Shape: one partial-aggregated per-key count (the same shuffle the real
+    * aggregation would pay), then TakeOrderedAndProject for the top-k (≤ k
+    * rows forwarded per partition, no global sort); the total broadcasts;
+    * the cumulative window runs over exactly k rows. Shares divide exact
+    * integers — deterministic in every engine.
+    *
+    * Output: (rank, key, cnt, share, cum_share) ordered by rank.
+    */
+  def heavyKeyProfile(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val perKey = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = perKey.agg(sum(col("cnt")).as("total"))
+    val top = perKey.orderBy(col("cnt").desc, col("key")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("key"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("key"))))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .select(col("rank").cast("long").as("rank"), col("key"), col("cnt"),
+        Det.floorRound(col("cnt").cast("double") / col("total").cast("double"), 6)
+          .as("share"),
+        Det.floorRound(col("cum").cast("double") / col("total").cast("double"), 6)
+          .as("cum_share"))
+  }
 }

@@ -242,5 +242,69 @@ object GroupH6 {
       .orderBy("source", "lang")
   }
 
-  val all: Seq[Q] = Seq(h66, h67, h68, h69, h70)
+  /** Shuffle-skew diagnostic: top-10 heaviest event keys with shares and
+    * cumulative share — the profile read before choosing plain vs salted
+    * aggregation. Per-key count + TakeOrderedAndProject; no global sort.
+    */
+  val h71 = Q(
+    "h71_heavy_key_profile",
+    """WITH pk AS (
+      |  SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY user_id),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM pk),
+      |top AS (SELECT key, cnt FROM pk ORDER BY cnt DESC, key LIMIT 10),
+      |r AS (
+      |  SELECT key, cnt,
+      |    CAST(row_number() OVER (ORDER BY cnt DESC, key) AS BIGINT) AS rank,
+      |    sum(cnt) OVER (ORDER BY cnt DESC, key
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM top)
+      |SELECT rank, key, cnt,
+      |  floor(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) * 1000000 + 0.5)
+      |    / 1000000 AS share,
+      |  floor(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) * 1000000 + 0.5)
+      |    / 1000000 AS cum_share
+      |FROM r CROSS JOIN tot
+      |ORDER BY rank""".stripMargin) { (s, d) =>
+    graft.extensions.Skew.heavyKeyProfile(Tables.events(s, d), "user_id", 10)
+      .orderBy("rank")
+  }
+
+  /** Length-curriculum decile buckets over document token counts via the
+    * mergeable histogram sketch — integer bin/rank math only, no global
+    * sort, engine-exact.
+    */
+  val h72 = Q(
+    "h72_length_deciles",
+    """WITH toks AS (
+      |  SELECT CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |    t -> len(t) > 0)) AS BIGINT) AS v
+      |  FROM documents),
+      |vals AS (
+      |  SELECT v, CAST(floor(CAST(v AS DOUBLE) / 8.0) AS INT) AS b FROM toks),
+      |bins AS (SELECT b, count(*) AS c FROM vals GROUP BY b),
+      |cum AS (
+      |  SELECT b, sum(c) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum,
+      |    (SELECT sum(c) FROM bins) AS total
+      |  FROM bins),
+      |bnds AS (
+      |  SELECT d, min(b) AS bb
+      |  FROM cum CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS d)
+      |  WHERE cum * 10 >= total * d GROUP BY d),
+      |arr AS (SELECT list_sort(list(bb)) AS bbs FROM bnds),
+      |asg AS (
+      |  SELECT v, CAST(1 + len(list_filter(bbs, x -> b > x)) AS BIGINT) AS decile
+      |  FROM vals CROSS JOIN arr)
+      |SELECT decile, CAST(count(*) AS BIGINT) AS n_rows,
+      |  min(v) AS min_val, max(v) AS max_val, CAST(sum(v) AS BIGINT) AS sum_val
+      |FROM asg GROUP BY decile
+      |ORDER BY decile""".stripMargin) { (s, d) =>
+    import graft.extensions.{Histograms, TextOps}
+    Histograms.decileBuckets(
+      Tables.documents(s, d).select(
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+      "n_tokens", 8.0)
+      .orderBy("decile")
+  }
+
+  val all: Seq[Q] = Seq(h66, h67, h68, h69, h70, h71, h72)
 }

@@ -122,6 +122,22 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"expected <=1 exchange, got $exchanges\n$p")
   }
 
+  test("h71: heavy-key top-k is TakeOrderedAndProject over a partial-aggregated count") {
+    val p = planStr(qdf("h71_heavy_key_profile"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("h72: decile assignment broadcasts the boundary row; bin agg is partial") {
+    // the corpus-sized side must never shuffle for the assignment — the
+    // 1-row boundary array broadcasts onto a scan-side projection; the only
+    // per-row aggregates are the partial bin/decile counts
+    val p = planStr(qdf("h72_length_deciles"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("h63: bag fingerprint aggregates partially before ONE hash exchange") {
     // the cluster-stats aggregate must combine map-side and shuffle on the
     // uniform fingerprint exactly once; the disposition join may broadcast

@@ -129,4 +129,37 @@ class Round6Spec extends SparkSpec {
       .select("content_fp").as[Long].collect()
     assert(each.distinct.length === 4)
   }
+
+  test("heavyKeyProfile: hand-checked ranks, shares, cumulative shares") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(1)("c"))
+      .toDF("k")
+    val out = extensions.Skew.heavyKeyProfile(df, "k", 2)
+      .as[(Long, String, Long, Double, Double)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, "a", 6L, 0.6, 0.6), (2L, "b", 3L, 0.3, 0.9)))
+  }
+
+  test("decileBuckets: uniform 1..100 at bin width 1 gives ten exact deciles") {
+    val df = (1L to 100L).toDF("v")
+    val out = extensions.Histograms.decileBuckets(df, "v", 1.0)
+      .orderBy("decile").as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length === 10)
+    out.zipWithIndex.foreach { case ((d, n, lo, hi, s), i) =>
+      assert(d === i + 1L && n === 10L && lo === i * 10 + 1L && hi === (i + 1) * 10L)
+      assert(s === (lo to hi).sum)
+    }
+  }
+
+  test("decileBuckets: partitions all rows into ordered non-overlapping ranges") {
+    val docs = Tables.documents(spark, sf)
+      .select(size(extensions.TextOps.tokens($"text")).cast("long").as("n_tokens"))
+    val out = extensions.Histograms.decileBuckets(docs, "n_tokens", 8.0)
+      .orderBy("decile").as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.map(_._2).sum === docs.count())
+    assert(out.forall(r => r._1 >= 1 && r._1 <= 10))
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3, s"overlap: $a / $b")
+      case _ =>
+    }
+  }
 }

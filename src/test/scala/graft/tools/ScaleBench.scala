@@ -63,7 +63,11 @@ object ScaleBench {
       "h15_ivf_ann_topk",
       // round-5 composites: DSIR (explode→bucket LM→broadcast-back) and
       // SemDeDup (k-means + within-cluster pairs — the Σ|cluster|² check)
-      "h55_dsir_weights", "h56_semdedup")
+      "h55_dsir_weights", "h56_semdedup",
+      // round-6 graph analytics over the near-dup pairs: propagation rounds
+      // (join+vote per round) and the wedge-join triangle enumeration (the
+      // Σ deg² check — the one shape here with a super-linear failure mode)
+      "h66_label_propagation", "h67_dup_graph_triangles")
     def time(name: String, dir: String): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
