@@ -31,11 +31,13 @@ object Bench {
     // worst documented HOST freeze measured ~127 s on a ~1 s query — the cap
     // sits above that so a freeze costs one discarded attempt, not a kill.
     val queryCapSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_CAP_SEC", "150").toDouble
-    // Global budget: 114 queries x 2 attempts measure ~3-4 min of query time;
-    // 25 min absorbs a 2x-slow host plus several freeze-length stalls while
-    // staying far inside the driver's external timeout (round 5 ran >60 min
-    // before being killed).
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toDouble
+    // Global budget: 121 queries x 2 attempts measure ~3-4 min of query time
+    // on a healthy host and ~13 min wall-clock in an observed 3x-slow window;
+    // 40 min absorbs that plus several freeze-length stalls while staying
+    // inside the driver's external timeout (round 5 was killed somewhere past
+    // ~47 min of silence; worst-case overshoot past the budget check is one
+    // query's 3 capped attempts ≈ 450 s, total < ~50 min).
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2400").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

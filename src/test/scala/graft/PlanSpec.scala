@@ -138,6 +138,43 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("h73: SCD2 merge is ONE key join + generate — no second join, no window") {
+    // the merge must be a single full-outer equi-join on the business key
+    // followed by a codegen'd array+explode emit: exactly the dim-side and
+    // update-side exchanges, no re-join of the emitted rows, no window
+    val p = planStr(qdf("h73_scd2_merge"))
+    assert(p.contains("FullOuter") || p.contains("full_outer"), p)
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("h74: fuzzy linkage is a block-key equi-join, never a cross product") {
+    // the Σ|block|² contract: candidates come from an equi-join on the
+    // blocking key with the levenshtein verify on the joined stream
+    val p = planStr(qdf("h74_blocked_fuzzy_match"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("levenshtein"), p)
+  }
+
+  test("h75: sketch cells broadcast to the probes; aggregates are partial") {
+    // the d·w-cell sketch must broadcast (it is corpus-size-independent) and
+    // both the cell build and the top-k count must combine map-side
+    val p = planStr(qdf("h75_count_min_hitters"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("h76: z-order stats are a scan-side projection + ONE partial-agg exchange") {
+    // the z-value and file assignment are pure projections; the only
+    // shuffle is the per-file stats aggregate
+    val p = planStr(qdf("h76_zorder_layout"))
+    assert(p.contains("partial_count") || p.contains("partial_min"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected <=1 exchange, got $exchanges\n$p")
+  }
+
   test("h63: bag fingerprint aggregates partially before ONE hash exchange") {
     // the cluster-stats aggregate must combine map-side and shuffle on the
     // uniform fingerprint exactly once; the disposition join may broadcast

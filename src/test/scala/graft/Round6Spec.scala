@@ -150,6 +150,78 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("scd2Merge: change closes+reopens, identical is no-op, new key inserts") {
+    import extensions.Cdc
+    val dim = Cdc.scd2Init(
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "name", "v"),
+      "2026-01-01")
+    val updates = Seq(
+      (1L, "a", 11),  // changed value
+      (2L, "b", 20),  // identical → no-op
+      (9L, "z", 90)   // brand-new key
+    ).toDF("k", "name", "v")
+    val out = Cdc.scd2Merge(dim, updates, "k", Seq("name", "v"), "2026-06-01")
+      .orderBy("k", "valid_from")
+      .as[(Long, String, Int, String, Option[String], Boolean)].collect()
+    assert(out.toSeq === Seq(
+      (1L, "a", 10, "2026-01-01", Some("2026-06-01"), false),
+      (1L, "a", 11, "2026-06-01", None, true),
+      (2L, "b", 20, "2026-01-01", None, true),
+      (3L, "c", 30, "2026-01-01", None, true),
+      (9L, "z", 90, "2026-06-01", None, true)))
+    // idempotence: re-merging the same batch at a later date grows nothing
+    val once = Cdc.scd2Merge(dim, updates, "k", Seq("name", "v"), "2026-06-01")
+    val twice = Cdc.scd2Merge(once, updates, "k", Seq("name", "v"), "2026-07-01")
+    assert(twice.collect().toSet === once.collect().toSet)
+  }
+
+  test("blockedFuzzyPairs: block key gates candidates before the edit-distance verify") {
+    import extensions.Linkage
+    val df = Seq(
+      (1L, "red widget", "A"), (2L, "red widget!", "A"), // in-block near-dup
+      (3L, "red widget", "B"),                           // same name, other block
+      (4L, "completely different thing", "A")            // in-block, too far
+    ).toDF("id", "name", "blk")
+    val out = Linkage.blockedFuzzyPairs(df, "id", "name", Seq("blk"), 3)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 2L, 1L)))
+  }
+
+  test("count-min: estimates never undercount; exact on a collision-free toy") {
+    import extensions.Sketches
+    // real corpus: one-sided error property over the top-20
+    val hh = Sketches.countMinHeavyHitters(Tables.documents(spark, sf), "text")
+    assert(hh.count() === 20)
+    assert(hh.filter($"overestimate" < 0).count() === 0)
+    // toy: 3 tokens into 4x256 cells — collisions impossible, est == exact
+    val toy = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val t = Sketches.countMinHeavyHitters(toy, "text", 4, 256, 10)
+      .orderBy("tok").as[(String, Long, Long, Long)].collect()
+    assert(t.toSeq === Seq(("x", 2L, 2L, 0L), ("y", 2L, 2L, 0L), ("z", 1L, 1L, 0L)))
+  }
+
+  test("zValue interleaves bits; file stats cover all rows in disjoint z-ranges") {
+    import extensions.Layout
+    val z = Seq((3L, 5L)).toDF("x", "y")
+      .select(Layout.zValue($"x", $"y", 4).as("z")).as[Long].head()
+    assert(z === 39L) // x=0011 on even bits, y=0101 on odd → 100111
+    val buckets = Tables.orders(spark, sf).select(
+      ($"o_custkey" % 16).as("x16"),
+      least(floor($"o_totalprice" / 31250.0), lit(15.0)).cast("long").as("y16"))
+    val out = Layout.zorderFileStats(buckets, "x16", "y16", 4, 16)
+      .orderBy("file_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.map(_._2).sum === buckets.count())
+    out.foreach { case (f, _, zmin, zmax, _, _, _, _) =>
+      assert(zmin >= f * 16 && zmax < (f + 1) * 16, s"file $f z-range [$zmin,$zmax]")
+    }
+    // z-order locality: every file's span in each dimension is at most half
+    // the grid (a random 16-way split would span the full 0..15 in both)
+    out.foreach { case (f, _, _, _, xmin, xmax, ymin, ymax) =>
+      assert(xmax - xmin <= 8 && ymax - ymin <= 8, s"file $f spans x[$xmin,$xmax] y[$ymin,$ymax]")
+    }
+  }
+
   test("decileBuckets: partitions all rows into ordered non-overlapping ranges") {
     val docs = Tables.documents(spark, sf)
       .select(size(extensions.TextOps.tokens($"text")).cast("long").as("n_tokens"))
