@@ -101,6 +101,51 @@ object Graph {
     * — same plan shape, different ordering key, noted here because the
     * id-ordering is what makes the oracle replay exact.
     */
+  /** Weighted PageRank over an undirected weighted pair list — for the
+    * near-dup graph, edge weight = similarity strength (e.g. `maxHamming+1
+    * − hamming` from [[Dedup.simhashNearDupPairs]]), so authority flows
+    * preferentially through CLOSER duplicates and the canonical-doc choice
+    * weighs exact copies above borderline pairs ([[Dedup.pageRank]] treats
+    * both alike).
+    *
+    * Same exact-arithmetic discipline as the unweighted form: integer
+    * micro-unit scores, per-edge contribution `(score·w) div wdeg` an exact
+    * integer division, order-independent integer sums, ONE IEEE damping
+    * multiply per node per round — every engine replays it bit-for-bit.
+    * Input hygiene: pairs canonicalize via least/greatest, self-pairs drop,
+    * duplicate rows collapse keeping the max weight; weights must be
+    * positive integers.
+    *
+    * 100 TB posture: identical stage shape to [[Dedup.pageRank]] — per
+    * iteration one equi-join of edges⋈scores on src (weighted degree rides
+    * the edge rows) and one partial-aggregated shuffle on dst; no
+    * localCheckpoint for the same ReuseExchange/AQE-stats reason noted
+    * there.
+    */
+  def weightedPageRank(pairs: DataFrame, aCol: String, bCol: String,
+      wCol: String, iterations: Int = 3): DataFrame = {
+    val canon = pairs
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"), col(wCol).cast("long").as("w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(max("w").as("w"))
+    val edges = canon.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .union(canon.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    val wdeg = edges.groupBy("src").agg(sum("w").as("wdeg"))
+    val withDeg = edges.join(wdeg, "src")
+    var scores = wdeg.select(col("src").as("node"), lit(1000000L).as("score"))
+    for (_ <- 1 to iterations) {
+      val contrib = withDeg.join(scores, col("src") === col("node"))
+        .select(col("dst"), expr("(score * w) div wdeg").as("c"))
+      scores = contrib.groupBy("dst").agg(sum(col("c")).as("s"))
+        .select(col("dst").as("node"),
+          (lit(150000L) +
+            floor(lit(0.85) * col("s").cast("double")).cast("long")).as("score"))
+    }
+    scores.select(col("node"), col("score").as("wpr_micro"),
+      (col("score").cast("double") / 1000000.0).as("weighted_pagerank"))
+  }
+
   def triangleStats(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     // the edge list feeds FOUR plan branches (degrees + e1/e2/e3 of the
     // wedge join); without materialization each branch would recompute the

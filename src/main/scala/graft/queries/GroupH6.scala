@@ -17,7 +17,7 @@ object GroupH6 {
     * CTE prefix ending in `cand(id_a, id_b, hamming)` (id_a < id_b,
     * distinct, hamming ≤ 2 at 32-bit signatures, 4 bands).
     */
-  private val DupGraphCtes =
+  private[queries] val DupGraphCtes =
     """WITH tok AS (
       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
       |                                    t -> len(t) > 0)) AS t

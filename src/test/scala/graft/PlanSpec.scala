@@ -175,6 +175,38 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"expected <=1 exchange, got $exchanges\n$p")
   }
 
+  test("h77: snapshot diff joins 16-byte hash rows — content cols never reach the join") {
+    // both sides must reduce to (key, fp) scan-side; the full-outer join
+    // carries no text/lang/source columns
+    val p = planStr(qdf("h77_snapshot_diff"))
+    assert(p.contains("FullOuter") || p.contains("full_outer"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val joinLine = p.linesIterator.find(l => l.contains("SortMergeJoin") && l.contains("FullOuter"))
+    joinLine.foreach(l => assert(!l.contains("text#"), l))
+  }
+
+  test("h78: weighted pagerank iterations stay equi-join + partial agg (no cartesian)") {
+    val p = planStr(qdf("h78_weighted_pagerank"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("h79: chi-square never re-touches corpus rows after the first cell aggregate") {
+    // marginals and the grand total re-aggregate the CELL table; the 1-row
+    // total broadcasts; the final window runs over cell-cardinality rows
+    val p = planStr(qdf("h79_chi_square"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("h80: basket pairs come from a basket-id equi-join; top-k is TakeOrdered") {
+    val p = planStr(qdf("h80_basket_lift"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("h63: bag fingerprint aggregates partially before ONE hash exchange") {
     // the cluster-stats aggregate must combine map-side and shuffle on the
     // uniform fingerprint exactly once; the disposition join may broadcast

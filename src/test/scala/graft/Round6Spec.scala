@@ -222,6 +222,65 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff: add/remove/change detected, unchanged and reordered rows silent") {
+    val v1 = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"))
+      .toDF("k", "c1", "c2")
+    val v2 = Seq((3L, "c", "z"), (1L, "a", "CHANGED"), (9L, "n", "w"))
+      .toDF("k", "c1", "c2").repartition(3)
+    val out = Provenance.snapshotDiff(v1, v2, "k", Seq("c1", "c2"))
+      .orderBy("k").select("k", "change_type")
+      .as[(Long, String)].collect()
+    assert(out.toSeq === Seq((1L, "changed"), (2L, "removed"), (9L, "added")))
+    // self-diff is empty; diff size is the churn, not the corpus
+    assert(Provenance.snapshotDiff(v1, v1, "k", Seq("c1", "c2")).count() === 0)
+  }
+
+  test("weightedPageRank: degenerates to pageRank on unit weights; weight pulls authority") {
+    val pairs = Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("a", "b", "w")
+    val uni = Graph.weightedPageRank(pairs, "a", "b", "w")
+      .select("node", "wpr_micro").collect().toSet
+    val plain = Dedup.pageRank(pairs, "a", "b")
+      .select("node", "pr_micro").collect().toSet
+    assert(uni === plain)
+    // star 1-2, 1-3 with 2's edge 3x heavier: 2 outranks 3
+    val wpairs = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("a", "b", "w")
+    val scores = Graph.weightedPageRank(wpairs, "a", "b", "w")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scores(2L) > scores(3L))
+    // duplicate/mirrored rows collapse (max weight wins), like pageRank
+    val dirty = Seq((1L, 2L, 3L), (2L, 1L, 1L), (1L, 3L, 1L)).toDF("a", "b", "w")
+    assert(Graph.weightedPageRank(dirty, "a", "b", "w").collect().toSet ===
+      Graph.weightedPageRank(wpairs, "a", "b", "w").collect().toSet)
+  }
+
+  test("chiSquare: independent table gives ~0; dependent table large; hand-check") {
+    import extensions.Stats
+    // perfectly independent 2x2: every term exactly 0
+    val ind = (Seq.fill(4)(("a", 0L)) ++ Seq.fill(4)(("a", 1L)) ++
+      Seq.fill(2)(("b", 0L)) ++ Seq.fill(2)(("b", 1L))).toDF("g", "h")
+    val i = Stats.chiSquareIndependence(ind, "g", "h")
+    assert(i.count() === 4)
+    assert(i.filter($"term_micro" =!= 0L).count() === 0)
+    // perfectly dependent 2x2 (diagonal): chi2 = n = 8
+    val dep = (Seq.fill(4)(("a", 0L)) ++ Seq.fill(4)(("b", 1L))).toDF("g", "h")
+    val c = Stats.chiSquareIndependence(dep, "g", "h")
+      .select("chi2_micro").as[Long].head()
+    assert(c === 8000000L)
+  }
+
+  test("pairLift: hand-checked counts and lift on three baskets") {
+    import extensions.Baskets
+    // baskets: {p,q}, {p,q}, {p,r}; duplicate incidence rows must not count
+    val li = Seq((1L, 10L), (1L, 20L), (1L, 10L),
+      (2L, 10L), (2L, 20L), (3L, 10L), (3L, 30L)).toDF("ord", "item")
+    val out = Baskets.pairLift(li, "ord", "item", 10)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    // (10,20): pair 2, c10=3, c20=2, lift = 3*2/(3*2) = 1.0
+    // (10,30): pair 1, c30=1, lift = 3*1/(3*1) = 1.0
+    assert(out.toSeq === Seq((10L, 20L, 2L, 3L, 2L, 1.0),
+      (10L, 30L, 1L, 3L, 1L, 1.0)))
+  }
+
   test("decileBuckets: partitions all rows into ordered non-overlapping ranges") {
     val docs = Tables.documents(spark, sf)
       .select(size(extensions.TextOps.tokens($"text")).cast("long").as("n_tokens"))
