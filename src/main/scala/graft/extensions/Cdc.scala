@@ -78,4 +78,28 @@ object Cdc {
 
     hist.unionByName(emitted)
   }
+
+  /** Point-in-time (AS OF) dimension lookup against an SCD2 table: each
+    * fact row joins the version whose `[valid_from, valid_to)` window
+    * contains the fact's date (ISO-8601 date STRINGS compare
+    * lexicographically — engine-portable, no date-type coercion; open
+    * versions' NULL valid_to reads as 9999-12-31). Facts whose date
+    * precedes every version (or whose key has no version) are absent —
+    * inner-join semantics, the dimensional-modeling default.
+    *
+    * 100 TB posture: an EQUI-join on the business key carries the plan —
+    * the date-window predicate filters the few versions per key on the
+    * joined stream, so cost is fact-rows × versions-per-key, never a range
+    * cross product. Dimensions bucket by key at real scale (or broadcast
+    * when small); the version filter is a codegen'd string compare.
+    */
+  def scd2Lookup(facts: DataFrame, factKeyCol: String, factDateCol: String,
+      dim: DataFrame, keyCol: String): DataFrame = {
+    val f = facts.as("f")
+    val d = dim.as("d")
+    f.join(d,
+      col(s"f.$factKeyCol") === col(s"d.$keyCol") &&
+        col(s"f.$factDateCol") >= col("d.valid_from") &&
+        col(s"f.$factDateCol") < coalesce(col("d.valid_to"), lit("9999-12-31")))
+  }
 }

@@ -13,6 +13,19 @@ import org.apache.spark.sql.functions._
   */
 object GroupH7 {
 
+  /** The deterministic customer update batch shared by h73/h81: keys ≡3
+    * (mod 10) changed (acctbal +100, segment MOVED), keys ≡7 (mod 10)
+    * identical no-ops, keys ≡0 (mod 97) shifted +10M as inserts.
+    */
+  private[queries] def customerUpdates(snap: org.apache.spark.sql.DataFrame) =
+    snap.filter(col("c_custkey") % 10 === 3)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      .withColumn("c_mktsegment", lit("MOVED"))
+      .unionByName(snap.filter(col("c_custkey") % 10 === 7))
+      .unionByName(snap.filter(col("c_custkey") % 97 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 10000000L)
+        .withColumn("c_name", concat(lit("NEW "), col("c_name"))))
+
   /** SCD2 merge of a deterministic update batch into the customer
     * dimension: keys ≡3 (mod 10) arrive changed (acctbal +100, segment
     * MOVED) → close + reopen; keys ≡7 (mod 10) arrive identical → no-op
@@ -59,14 +72,7 @@ object GroupH7 {
       |ORDER BY c_custkey, valid_from""".stripMargin) { (s, d) =>
     val snap = Tables.customer(s, d)
     val attrs = Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
-    val updates = snap.filter(col("c_custkey") % 10 === 3)
-      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
-      .withColumn("c_mktsegment", lit("MOVED"))
-      .unionByName(snap.filter(col("c_custkey") % 10 === 7))
-      .unionByName(snap.filter(col("c_custkey") % 97 === 0)
-        .withColumn("c_custkey", col("c_custkey") + 10000000L)
-        .withColumn("c_name", concat(lit("NEW "), col("c_name"))))
-    Cdc.scd2Merge(Cdc.scd2Init(snap, "2026-01-01"), updates,
+    Cdc.scd2Merge(Cdc.scd2Init(snap, "2026-01-01"), customerUpdates(snap),
       "c_custkey", attrs, "2026-06-01")
       .orderBy("c_custkey", "valid_from")
   }

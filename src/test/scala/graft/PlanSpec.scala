@@ -207,6 +207,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("h81: point-in-time lookup is an EQUI-join on the key (date window filters the stream)") {
+    // the version-window predicate must ride the key equi-join as a
+    // post-condition, never degrade the join to a range cross product
+    val p = planStr(qdf("h81_scd2_lookup"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("h82/h84: sequence + retention stay partial-agg after the per-user reduction") {
+    for (q <- Seq("h82_markov_transitions", "h84_retention_cohorts")) {
+      val p = planStr(qdf(q))
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+      assert(p.contains("partial_count") || p.contains("partial_sum"), s"$q\n$p")
+    }
+  }
+
+  test("h83: top paths end in TakeOrderedAndProject (no global sort of the path table)") {
+    val p = planStr(qdf("h83_top_paths"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("h63: bag fingerprint aggregates partially before ONE hash exchange") {
     // the cluster-stats aggregate must combine map-side and shuffle on the
     // uniform fingerprint exactly once; the disposition join may broadcast

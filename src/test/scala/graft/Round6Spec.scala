@@ -281,6 +281,62 @@ class Round6Spec extends SparkSpec {
       (10L, 30L, 1L, 3L, 1L, 1.0)))
   }
 
+  test("scd2Lookup: facts pick the version valid at their date; open version wins after") {
+    import extensions.Cdc
+    val dim = Seq(
+      (1L, "v1", "1990-01-01", Some("1998-01-01"), false),
+      (1L, "v2", "1998-01-01", None: Option[String], true),
+      (2L, "w1", "1990-01-01", None: Option[String], true)
+    ).toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val facts = Seq(
+      (10L, 1L, "1995-06-15"), // inside v1
+      (11L, 1L, "1998-01-01"), // boundary: valid_from inclusive → v2
+      (12L, 1L, "2001-03-03"), // open v2
+      (13L, 2L, "1997-01-01"), // single-version key
+      (14L, 3L, "1995-01-01"), // unknown key → absent
+      (15L, 1L, "1989-12-31")  // before every version → absent
+    ).toDF("fid", "k", "fdate")
+    val out = Cdc.scd2Lookup(facts, "k", "fdate", dim, "k")
+      .select("fid", "attr").as[(Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((10L, "v1"), (11L, "v2"), (12L, "v2"), (13L, "w1")))
+  }
+
+  test("markovTransitions: hand-checked counts and row-normalized probabilities") {
+    import extensions.Sequences
+    // user 1: a->b->a ; user 2: a->b  ⇒ a->b:2, b->a:1
+    val ev = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"),
+      (2L, 1L, "a"), (2L, 2L, "b")).toDF("u", "eid", "t")
+      .withColumn("ts", col("eid").cast("timestamp"))
+    val out = Sequences.markovTransitions(ev, "u", "ts", "eid", "t")
+      .orderBy("prev_type", "next_type")
+      .as[(String, String, Long, Double)].collect()
+    assert(out.toSeq === Seq(("a", "b", 2L, 1.0), ("b", "a", 1L, 1.0)))
+  }
+
+  test("topPaths: order is by (ts, tie), truncated to len, counted across users") {
+    import extensions.Sequences
+    val ev = Seq((1L, 2L, "b"), (1L, 1L, "a"), (2L, 1L, "a"), (2L, 2L, "b"),
+      (3L, 1L, "z")).toDF("u", "eid", "t")
+      .withColumn("ts", col("eid").cast("timestamp"))
+    val out = Sequences.topPaths(ev, "u", "ts", "eid", "t", len = 2, k = 10)
+      .as[(String, Long)].collect()
+    assert(out.toSeq === Seq(("a>b", 2L), ("z", 1L)))
+  }
+
+  test("cohortRetention: offsets anchored to first week, rates over cohort size") {
+    import extensions.Retention
+    // u1 active weeks 0,1; u2 week 0 only; u3 weeks 1,2 (cohort 1)
+    val ev = Seq((1L, "2024-01-02"), (1L, "2024-01-10"), (1L, "2024-01-11"),
+      (2L, "2024-01-03"), (3L, "2024-01-09"), (3L, "2024-01-16")
+    ).toDF("u", "day").withColumn("ts", col("day").cast("timestamp"))
+    val out = Retention.cohortRetention(ev, "u", "ts", "2024-01-01")
+      .orderBy("cohort_week", "week_offset")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(out.toSeq === Seq(
+      (0L, 0L, 2L, 2L, 1.0), (0L, 1L, 1L, 2L, 0.5),
+      (1L, 0L, 1L, 1L, 1.0), (1L, 1L, 1L, 1L, 1.0)))
+  }
+
   test("decileBuckets: partitions all rows into ordered non-overlapping ranges") {
     val docs = Tables.documents(spark, sf)
       .select(size(extensions.TextOps.tokens($"text")).cast("long").as("n_tokens"))
