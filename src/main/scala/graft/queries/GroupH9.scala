@@ -162,5 +162,102 @@ object GroupH9 {
       .orderBy("cohort_week", "week_offset")
   }
 
-  val all: Seq[Q] = Seq(h81, h82, h83, h84)
+  /** Two-step SCD2 evolution: the h73 merge (effective 2026-06-01)
+    * followed by a second batch (effective 2026-09-01) that re-changes the
+    * already-changed keys (closing versions the FIRST merge opened) and
+    * changes a fresh key class (closing original versions). The oracle
+    * replays both full-outer merges — the history-accumulation semantics a
+    * single-merge test cannot see. The streaming composition (per-batch
+    * scd2Merge through an exactly-once foreachBatch loop, h61's pattern)
+    * is asserted equivalent in StreamingSpec.
+    */
+  val h85 = Q(
+    "h85_scd2_evolution",
+    """WITH snap AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |  FROM customer),
+      |upd1 AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+      |    'MOVED' AS c_mktsegment FROM snap WHERE c_custkey % 10 = 3
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |  FROM snap WHERE c_custkey % 10 = 7
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, 'NEW ' || c_name, c_nationkey,
+      |    c_acctbal, c_mktsegment FROM snap WHERE c_custkey % 97 = 0),
+      |j1 AS (
+      |  SELECT d.c_custkey AS dk, d.c_name AS dn, d.c_nationkey AS dnk,
+      |    d.c_acctbal AS dab, d.c_mktsegment AS dms,
+      |    u.c_custkey AS uk, u.c_name AS un, u.c_nationkey AS unk,
+      |    u.c_acctbal AS uab, u.c_mktsegment AS ums,
+      |    (d.c_custkey IS NOT NULL AND u.c_custkey IS NOT NULL AND NOT (
+      |      d.c_name IS NOT DISTINCT FROM u.c_name AND
+      |      d.c_nationkey IS NOT DISTINCT FROM u.c_nationkey AND
+      |      d.c_acctbal IS NOT DISTINCT FROM u.c_acctbal AND
+      |      d.c_mktsegment IS NOT DISTINCT FROM u.c_mktsegment)) AS chg
+      |  FROM snap d FULL OUTER JOIN upd1 u ON d.c_custkey = u.c_custkey),
+      |m1 AS (
+      |  SELECT dk AS c_custkey, dn AS c_name, dnk AS c_nationkey,
+      |    dab AS c_acctbal, dms AS c_mktsegment,
+      |    '2026-01-01' AS valid_from, '2026-06-01' AS valid_to,
+      |    false AS is_current
+      |  FROM j1 WHERE chg
+      |  UNION ALL
+      |  SELECT uk, un, unk, uab, ums, '2026-06-01', NULL, true FROM j1 WHERE chg
+      |  UNION ALL
+      |  SELECT dk, dn, dnk, dab, dms, '2026-01-01', NULL, true
+      |  FROM j1 WHERE dk IS NOT NULL AND NOT chg
+      |  UNION ALL
+      |  SELECT uk, un, unk, uab, ums, '2026-06-01', NULL, true
+      |  FROM j1 WHERE dk IS NULL),
+      |upd2 AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 150.0 AS c_acctbal,
+      |    'MOVED2' AS c_mktsegment FROM snap WHERE c_custkey % 10 = 3
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, 'PROMO'
+      |  FROM snap WHERE c_custkey % 10 = 4),
+      |cur AS (SELECT * FROM m1 WHERE is_current),
+      |hist AS (SELECT * FROM m1 WHERE NOT is_current),
+      |j2 AS (
+      |  SELECT d.c_custkey AS dk, d.c_name AS dn, d.c_nationkey AS dnk,
+      |    d.c_acctbal AS dab, d.c_mktsegment AS dms, d.valid_from AS dvf,
+      |    u.c_custkey AS uk, u.c_name AS un, u.c_nationkey AS unk,
+      |    u.c_acctbal AS uab, u.c_mktsegment AS ums,
+      |    (d.c_custkey IS NOT NULL AND u.c_custkey IS NOT NULL AND NOT (
+      |      d.c_name IS NOT DISTINCT FROM u.c_name AND
+      |      d.c_nationkey IS NOT DISTINCT FROM u.c_nationkey AND
+      |      d.c_acctbal IS NOT DISTINCT FROM u.c_acctbal AND
+      |      d.c_mktsegment IS NOT DISTINCT FROM u.c_mktsegment)) AS chg
+      |  FROM cur d FULL OUTER JOIN upd2 u ON d.c_custkey = u.c_custkey),
+      |m2 AS (
+      |  SELECT dk AS c_custkey, dn AS c_name, dnk AS c_nationkey,
+      |    dab AS c_acctbal, dms AS c_mktsegment,
+      |    dvf AS valid_from, '2026-09-01' AS valid_to, false AS is_current
+      |  FROM j2 WHERE chg
+      |  UNION ALL
+      |  SELECT uk, un, unk, uab, ums, '2026-09-01', NULL, true FROM j2 WHERE chg
+      |  UNION ALL
+      |  SELECT dk, dn, dnk, dab, dms, dvf, NULL, true
+      |  FROM j2 WHERE dk IS NOT NULL AND NOT chg
+      |  UNION ALL
+      |  SELECT uk, un, unk, uab, ums, '2026-09-01', NULL, true
+      |  FROM j2 WHERE dk IS NULL)
+      |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+      |  valid_from, valid_to, is_current
+      |FROM (SELECT * FROM hist UNION ALL SELECT * FROM m2)
+      |ORDER BY c_custkey, valid_from""".stripMargin) { (s, d) =>
+    val snap = Tables.customer(s, d)
+    val attrs = Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val upd2 = snap.filter(col("c_custkey") % 10 === 3)
+      .withColumn("c_acctbal", col("c_acctbal") + 150.0)
+      .withColumn("c_mktsegment", lit("MOVED2"))
+      .unionByName(snap.filter(col("c_custkey") % 10 === 4)
+        .withColumn("c_mktsegment", lit("PROMO")))
+    val m1 = Cdc.scd2Merge(Cdc.scd2Init(snap, "2026-01-01"),
+      GroupH7.customerUpdates(snap), "c_custkey", attrs, "2026-06-01")
+    Cdc.scd2Merge(m1, upd2, "c_custkey", attrs, "2026-09-01")
+      .orderBy("c_custkey", "valid_from")
+  }
+
+  val all: Seq[Q] = Seq(h81, h82, h83, h84, h85)
 }

@@ -230,6 +230,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("h85: two-step SCD2 evolution stays two key joins + generates — no window, no cartesian") {
+    val p = planStr(qdf("h85_scd2_evolution"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    val fullOuters = "FullOuter".r.findAllIn(p).size
+    assert(fullOuters >= 2, s"expected both merge joins in the plan\n$p")
+  }
+
   test("h63: bag fingerprint aggregates partially before ONE hash exchange") {
     // the cluster-stats aggregate must combine map-side and shuffle on the
     // uniform fingerprint exactly once; the disposition join may broadcast

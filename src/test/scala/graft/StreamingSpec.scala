@@ -383,6 +383,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC: per-batch scd2Merge through foreachBatch equals the two-step batch merge") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.extensions.Cdc
+    val path = s"target/scratch/scd2_stream_${ProcessHandle.current().pid()}"
+    val attrs = Seq("name", "v")
+    val init = Cdc.scd2Init(
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "name", "v"), "2026-01-01")
+    graft.streaming.IdempotentSink.writeEpoch(init, 0L, path)
+    // micro-batch effective dates keyed by epoch — deterministic per batch
+    val eff = Map(1L -> "2026-06-01", 2L -> "2026-09-01")
+    val mem = MemoryStream[(Long, String, Int)]
+    val q = mem.toDF.toDF("k", "name", "v").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val dimNow = spark.read.parquet(path)
+          .where($"epoch".cast("long") === id) // each epoch holds FULL state
+          .drop("epoch")
+        // each epoch rewrites the FULL merged state under its epoch id —
+        // at-least-once re-delivery replaces, never double-merges
+        graft.streaming.IdempotentSink.writeEpoch(
+          Cdc.scd2Merge(dimNow, df, "k", attrs, eff(id + 1L)), id + 1L, path)
+      }
+      .start()
+    try {
+      mem.addData((1L, "a", 11), (3L, "c", 30))  // change k=1, insert k=3
+      q.processAllAvailable()
+      mem.addData((1L, "a", 12), (2L, "b", 20))  // re-change k=1, no-op k=2
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(path)
+      .where($"epoch".cast("long") === 2L).drop("epoch")
+    val upd1 = Seq((1L, "a", 11), (3L, "c", 30)).toDF("k", "name", "v")
+    val upd2 = Seq((1L, "a", 12), (2L, "b", 20)).toDF("k", "name", "v")
+    val batch = Cdc.scd2Merge(
+      Cdc.scd2Merge(init, upd1, "k", attrs, "2026-06-01"),
+      upd2, "k", attrs, "2026-09-01")
+    assert(streamed.collect().toSet === batch.collect().toSet)
+    // and k=1 carries the full three-version history, only the last open
+    val h = streamed.filter($"k" === 1L).orderBy("valid_from")
+      .select("v", "is_current").as[(Int, Boolean)].collect()
+    assert(h.toSeq === Seq((10, false), (11, false), (12, true)))
+  }
+
   test("idempotent epoch sink drives from a real foreachBatch stream") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
