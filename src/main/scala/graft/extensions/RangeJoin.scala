@@ -40,4 +40,36 @@ object RangeJoin {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval × interval overlap join (`lStart <= rEnd AND rStart <= lEnd`,
+    * inclusive ends), binned so it never plans as the BroadcastNestedLoopJoin
+    * / CartesianProduct a raw two-sided range predicate forces.
+    *
+    * Both sides explode onto the fixed-width buckets they span, the join
+    * runs equi on the bucket, and the exact predicate filters residual
+    * candidates inside the join stream. A pair that overlaps across several
+    * shared buckets would match once per bucket; instead of a distinct
+    * (an extra shuffle carrying every matched pair), each match is kept only
+    * in the FIRST bucket both sides share — `bucket == max(lFirst, rFirst)`
+    * — a per-row predicate, so the output is exact with zero extra
+    * exchanges. At 100 TB the bucket hash-partitions both sides; width W
+    * trades per-row replication (span/W rows) against per-bucket candidate
+    * volume — pick W near the median interval span.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0)
+    def first(c: String) = floor(unix_timestamp(col(c)) / bucketSeconds)
+    def span(s: String, e: String) =
+      explode(sequence(first(s), first(e)))
+    val l = left.withColumn("__lb", first(lStart))
+      .withColumn("__bucket", span(lStart, lEnd))
+    val r = right.withColumn("__rb", first(rStart))
+      .withColumn("__bucket", span(rStart, rEnd))
+    l.join(r, Seq("__bucket"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__bucket") === greatest(col("__lb"), col("__rb")))
+      .drop("__bucket", "__lb", "__rb")
+  }
 }

@@ -413,5 +413,45 @@ object GroupE {
     }
   }
 
-  val all: Seq[Q] = Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13)
+  /** Wide→long reshape (melt / UNPIVOT) of a per-nation supplier rollup —
+    * the inverse of e7's pivot, via the native `Dataset.unpivot` (Catalyst
+    * `Expand`: each input row emits one row per metric in a single
+    * projection, no shuffle beyond the rollup's own aggregate exchange; at
+    * 100 TB the reshape is free relative to the aggregate). The oracle is
+    * the portable UNION ALL formulation. All three metrics are cast to
+    * double before unpivoting (UNPIVOT requires a common value type):
+    * the decimal-exact balance sum, the count, and a comparison-based max.
+    */
+  val e14 = Q(
+    "e14_unpivot_metrics",
+    """WITH agg AS (
+      |  SELECT n.n_name,
+      |    CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+      |    CAST(count(*) AS DOUBLE) AS n_supp,
+      |    max(s.s_acctbal) AS max_bal
+      |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  GROUP BY n.n_name)
+      |SELECT n_name, metric, val FROM (
+      |  SELECT n_name, 'max_bal' AS metric, max_bal AS val FROM agg
+      |  UNION ALL
+      |  SELECT n_name, 'n_supp', n_supp FROM agg
+      |  UNION ALL
+      |  SELECT n_name, 'total_bal', total_bal FROM agg)
+      |ORDER BY n_name, metric""".stripMargin) { (s, d) =>
+    Tables.supplier(s, d)
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        sum(col("s_acctbal").cast("decimal(18,2)")).cast("double")
+          .as("total_bal"),
+        count(lit(1)).cast("double").as("n_supp"),
+        max("s_acctbal").as("max_bal"))
+      .unpivot(Array(col("n_name")),
+        Array(col("max_bal"), col("n_supp"), col("total_bal")),
+        "metric", "val")
+      .orderBy("n_name", "metric")
+  }
+
+  val all: Seq[Q] =
+    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14)
 }

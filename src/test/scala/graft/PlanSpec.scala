@@ -238,6 +238,22 @@ class PlanSpec extends SparkSpec {
     assert(fullOuters >= 2, s"expected both merge joins in the plan\n$p")
   }
 
+  test("h86: binned interval-overlap join plans equi, never nested-loop") {
+    val p = planStr(qdf("h86_interval_overlap"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the bucket equi-join must survive (broadcast of the tiny window side
+    // or SMJ at scale — either is an equi join on __bucket)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("e14: unpivot plans as a single Expand projection, no extra exchange") {
+    val p = planStr(qdf("e14_unpivot_metrics"))
+    assert(p.contains("Expand"), p)
+    // one aggregate exchange (partial+final) plus the final sort — the
+    // reshape itself must not shuffle
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("h63: bag fingerprint aggregates partially before ONE hash exchange") {
     // the cluster-stats aggregate must combine map-side and shuffle on the
     // uniform fingerprint exactly once; the disposition join may broadcast

@@ -337,6 +337,48 @@ class Round6Spec extends SparkSpec {
       (1L, 0L, 1L, 1L, 1.0), (1L, 1L, 1L, 1L, 1.0)))
   }
 
+  test("intervalOverlapJoin: equals the brute-force overlap join, once per pair") {
+    import extensions.RangeJoin
+    // deterministic pseudo-random intervals with spans from 0 to ~6 buckets
+    // (bucket = 100 s), including boundary-touching and bucket-aligned ends
+    val left = spark.range(0, 200).select(
+      $"id".as("lid"),
+      timestamp_seconds($"id" * 137 % 10000).as("ls"),
+      timestamp_seconds($"id" * 137 % 10000 + ($"id" * 31 % 600)).as("le"))
+    val right = spark.range(0, 150).select(
+      $"id".as("rid"),
+      timestamp_seconds($"id" * 211 % 10000).as("rs"),
+      timestamp_seconds($"id" * 211 % 10000 + ($"id" * 17 % 500)).as("re"))
+    val got = RangeJoin.intervalOverlapJoin(
+        left, right, "ls", "le", "rs", "re", bucketSeconds = 100L)
+      .select("lid", "rid").as[(Long, Long)].collect().sorted
+    val want = left.crossJoin(right)
+      .filter($"ls" <= $"re" && $"rs" <= $"le")
+      .select("lid", "rid").as[(Long, Long)].collect().sorted
+    assert(got.length === want.length, "multi-bucket pairs must appear once")
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("ewmaFixedHorizon: matches the driver-side truncated-EWMA reference") {
+    import extensions.Timeseries
+    val weights = Seq(1.0, 0.7, 0.49, 0.343)
+    val rows = Seq(
+      (1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 0.0), (1L, 4L, 40.0),
+      (1L, 5L, 5.0), (2L, 1L, 7.0))
+    val df = rows.toDF("k", "seq", "v")
+    val got = Timeseries.ewmaFixedHorizon(df, Seq("k"), Seq("seq"), "v", weights)
+      .orderBy("k", "seq").select("ewma").as[Double].collect()
+    val want = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (_, rs) =>
+      val vs = rs.sortBy(_._2).map(_._3)
+      vs.indices.map { i =>
+        val window = (0 until math.min(i + 1, weights.length))
+          .map(k => (vs(i - k), weights(k)))
+        window.map { case (v, w) => v * w }.sum / window.map(_._2).sum
+      }
+    }
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12) }
+  }
+
   test("decileBuckets: partitions all rows into ordered non-overlapping ranges") {
     val docs = Tables.documents(spark, sf)
       .select(size(extensions.TextOps.tokens($"text")).cast("long").as("n_tokens"))
