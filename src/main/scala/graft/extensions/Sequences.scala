@@ -60,4 +60,34 @@ object Sequences {
       .orderBy(col("n_users").desc, col("path"))
       .limit(k)
   }
+
+  /** Gaps-and-islands consecutive-day activity streaks. Per user: streak
+    * count, longest streak length (days), and that streak's start date
+    * (earliest on ties). The island id is the classic `day − row_number`
+    * constant — pure integer date math, no engine week/epoch conventions.
+    *
+    * Scale: the first aggregate collapses raw events to distinct
+    * (user, day) — the only corpus-sized shuffle; the windows and island
+    * aggregates all reuse the user partitioning, and output is one row
+    * per user.
+    */
+  def activityStreaks(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val byUser = Window.partitionBy(userCol)
+    val days = events
+      .select(col(userCol), col(tsCol).cast("date").as("day"))
+      .distinct()
+    val islands = days.withColumn("grp",
+      date_sub(col("day"),
+        row_number().over(byUser.orderBy("day"))))
+    val streaks = islands.groupBy(col(userCol), col("grp"))
+      .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+    streaks
+      .withColumn("rk", row_number().over(
+        byUser.orderBy(col("len").desc, col("start_day"))))
+      .withColumn("n_streaks", count(lit(1)).over(byUser))
+      .filter(col("rk") === 1)
+      .select(col(userCol), col("n_streaks"), col("len").as("longest_days"),
+        date_format(col("start_day"), "yyyy-MM-dd").as("streak_start"))
+  }
 }

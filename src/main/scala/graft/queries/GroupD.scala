@@ -149,5 +149,28 @@ object GroupD {
       .orderBy("key")
   }
 
-  val all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d6, d7)
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — per-nation top-2
+    * customers by balance, through the delegated `spark.sql` surface (the
+    * lateral shape e13's EXISTS forms don't cover). Catalyst decorrelates
+    * the limit into a per-key rank — the plan is ONE equi join plus a
+    * keyed window, never a per-outer-row re-execution; at 100 TB the
+    * inner table shuffles once on the correlation key. `round()` on the
+    * raw 2-dp balance is identity (Q contract).
+    */
+  val d8 = {
+    val sql =
+      """SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, acctbal DESC, t.c_custkey""".stripMargin
+    Q("d8_lateral_topk", sql) { (s, d) =>
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      s.sql(sql)
+    }
+  }
+
+  val all: Seq[Q] = Seq(d1, d2, d3, d4, d5, d6, d7, d8)
 }

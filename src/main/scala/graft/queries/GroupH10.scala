@@ -131,5 +131,38 @@ object GroupH10 {
       .orderBy("user_id")
   }
 
-  val all: Seq[Q] = Seq(h86, h87)
+  /** Gaps-and-islands consecutive-day activity streaks per user
+    * (Sequences.activityStreaks) — the `day − row_number` island-id
+    * device; integer date math only, so both engines agree exactly.
+    */
+  val h88 = Q(
+    "h88_activity_streaks",
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |isl AS (
+      |  SELECT user_id, day,
+      |    day - CAST(row_number() OVER (
+      |      PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+      |  FROM days),
+      |streaks AS (
+      |  SELECT user_id, grp, count(*) AS len, min(day) AS start_day
+      |  FROM isl GROUP BY user_id, grp),
+      |sel AS (
+      |  SELECT user_id, len, start_day, row_number() OVER (
+      |    PARTITION BY user_id ORDER BY len DESC, start_day) AS rk
+      |  FROM streaks)
+      |SELECT s.user_id, a.n_streaks, s.len AS longest_days,
+      |  strftime(s.start_day, '%Y-%m-%d') AS streak_start
+      |FROM sel s JOIN (
+      |  SELECT user_id, count(*) AS n_streaks FROM streaks
+      |  GROUP BY user_id) a USING (user_id)
+      |WHERE rk = 1
+      |ORDER BY s.user_id""".stripMargin) { (s, d) =>
+    graft.extensions.Sequences
+      .activityStreaks(Tables.events(s, d), "user_id", "ts")
+      .orderBy("user_id")
+      .select("user_id", "n_streaks", "longest_days", "streak_start")
+  }
+
+  val all: Seq[Q] = Seq(h86, h87, h88)
 }

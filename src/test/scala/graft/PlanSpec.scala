@@ -254,6 +254,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("d8: lateral top-k decorrelates to one equi join + rank — no per-row re-execution") {
+    val p = planStr(qdf("d8_lateral_topk"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window") || p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("h88: streak windows all reuse the per-user partitioning after ONE distinct") {
+    val p = planStr(qdf("h88_activity_streaks"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // distinct (user, day) is the only corpus-sized exchange; the window
+    // and island aggregate run on the same user_id hash partitioning
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3, s"expected user-partitioning reuse, got $exchanges hash exchanges\n$p")
+  }
+
   test("h63: bag fingerprint aggregates partially before ONE hash exchange") {
     // the cluster-stats aggregate must combine map-side and shuffle on the
     // uniform fingerprint exactly once; the disposition join may broadcast

@@ -379,6 +379,25 @@ class Round6Spec extends SparkSpec {
     got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12) }
   }
 
+  test("activityStreaks: islands split on gaps, longest ties go to the earliest") {
+    import extensions.Sequences
+    val ev = Seq(
+      // user 1: 2-day streak, gap, 2-day streak (tie → earliest start),
+      // with duplicate events on one day
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 23:00:00"),
+      (1L, "2024-01-02 00:30:00"),
+      (1L, "2024-01-05 09:00:00"), (1L, "2024-01-06 09:00:00"),
+      // user 2: one 3-day streak
+      (2L, "2024-02-10 01:00:00"), (2L, "2024-02-11 01:00:00"),
+      (2L, "2024-02-12 01:00:00")
+    ).toDF("user_id", "s").select($"user_id", $"s".cast("timestamp").as("ts"))
+    val out = Sequences.activityStreaks(ev, "user_id", "ts")
+      .orderBy("user_id").as[(Long, Long, Long, String)].collect()
+    assert(out.toSeq === Seq(
+      (1L, 2L, 2L, "2024-01-01"),
+      (2L, 1L, 3L, "2024-02-10")))
+  }
+
   test("decileBuckets: partitions all rows into ordered non-overlapping ranges") {
     val docs = Tables.documents(spark, sf)
       .select(size(extensions.TextOps.tokens($"text")).cast("long").as("n_tokens"))

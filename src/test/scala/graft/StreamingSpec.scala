@@ -383,6 +383,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join with watermarks equals the batch join") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // purchase attributed to a click by the same user within the next hour
+    // — the streaming form of h36's attribution join. Both sides carry
+    // watermarks and the join condition bounds event-time distance, so
+    // state for rows older than watermark+1h is dropped (bounded state at
+    // scale); append mode emits each match exactly once.
+    def joinOf(c: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame) =
+      c.join(b, $"u" === $"u2" && $"buy_ts" >= $"click_ts" &&
+        $"buy_ts" <= $"click_ts" + expr("interval 1 hour"))
+        .select($"u", $"click_ts", $"buy_ts")
+    val clicks = MemoryStream[(Long, Long)]
+    val buys = MemoryStream[(Long, Long)]
+    def cdf(df: org.apache.spark.sql.DataFrame) = df.toDF("u", "cs")
+      .select($"u", timestamp_seconds($"cs").as("click_ts"))
+    def bdf(df: org.apache.spark.sql.DataFrame) = df.toDF("u2", "bs")
+      .select($"u2", timestamp_seconds($"bs").as("buy_ts"))
+    val q = joinOf(
+        cdf(clicks.toDF).withWatermark("click_ts", "10 minutes"),
+        bdf(buys.toDF).withWatermark("buy_ts", "10 minutes"))
+      .writeStream.format("memory").queryName("ssj").outputMode("append")
+      .start()
+    // batch-2 buy (2,1300) matches the batch-1 click (2,200) — the buy
+    // watermark after batch 1 is 1600-600=1000s, so the click's join
+    // window [200, 3800] is still live and the buy itself is not late
+    val cData = Seq((1L, 100L), (1L, 5000L), (2L, 200L), (3L, 10000L))
+    val bData = Seq((1L, 1600L), (2L, 150L), (2L, 1300L), (3L, 10000L),
+      (1L, 99999L))
+    try {
+      clicks.addData(cData.take(3)); buys.addData(bData.take(2))
+      q.processAllAvailable()
+      clicks.addData(cData.drop(3)); buys.addData(bData.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssj").as[(Long, Timestamp, Timestamp)]
+      .collect().toSet
+    val want = joinOf(cdf(cData.toDF), bdf(bData.toDF))
+      .as[(Long, Timestamp, Timestamp)].collect().toSet
+    assert(got === want && want.size === 3)
+  }
+
   test("streaming CDC: per-batch scd2Merge through foreachBatch equals the two-step batch merge") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
