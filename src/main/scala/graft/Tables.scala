@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   *   - Loaders return plain lazy DataFrames — Catalyst pushes projections and
   *     filters from downstream operators into the parquet scan, so nothing is
   *     materialized here.
-  *   - `events.ts` is written as parquet TIMESTAMP(NANOS) which Spark's
-  *     vectorized reader does not surface as a timestamp; we read it as a
-  *     nanosecond long (`spark.sql.legacy.parquet.nanosAsLong`) and convert to
-  *     microseconds — matching DuckDB's ns→µs truncation so oracle results
-  *     agree. The conversion is one codegen'd projection, still vectorized.
+  *   - `events.ts` has shipped in two fixture shapes: parquet
+  *     TIMESTAMP(NANOS), which Spark's vectorized reader only surfaces as a
+  *     nanosecond long (`spark.sql.legacy.parquet.nanosAsLong`), and plain
+  *     µs TIMESTAMP without timezone, which Spark 4 surfaces as
+  *     TIMESTAMP_NTZ. Either way the loader normalizes to session-zoned
+  *     TimestampType (UTC session ⇒ exact epoch micros, agreeing with
+  *     DuckDB) in one codegen'd projection, still vectorized.
   */
 object Tables {
 
@@ -43,6 +45,14 @@ object Tables {
         // nanos ~1.7e18 exceed 2^53, so floor(ts / 1000.0) would lose µs
         // precision; `ts div 1000` matches DuckDB's ns→µs truncation exactly.
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // µs-precision parquet timestamp without timezone (current fixture
+        // shape): surface as session-zoned TimestampType so downstream
+        // epoch math (`cast(ts as bigint)`, unix_timestamp) resolves. The
+        // session timezone is pinned to UTC everywhere (Bench/Verify/specs),
+        // so the cast is a pure type relabel — identical epoch micros, and
+        // DuckDB reads the same column as plain TIMESTAMP.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw // already a timestamp (e.g. rewritten fixture)
     }
   }
