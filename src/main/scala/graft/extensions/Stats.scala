@@ -55,4 +55,41 @@ object Stats {
         col("term_micro"), col("chi2_micro"),
         (col("chi2_micro").cast("double") / 1000000.0).as("chi2"))
   }
+
+  /** Market-concentration measures per group over an exact-decimal value:
+    * Herfindahl–Hirschman index `Σ shareᵢ²` and the rank-form Gini
+    * coefficient `(2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)` (i = ascending rank).
+    *
+    * Determinism: every sum is exact DECIMAL (value, value², rank·value —
+    * order-independent integer arithmetic), and each output is ONE final
+    * IEEE division of exact operands, identical in any engine. HHI is
+    * computed as `Σx² / (Σx)²` — algebraically Σ(xᵢ/Σx)², but with the
+    * division LAST so no double ever enters a sum.
+    *
+    * 100 TB posture: per-entity values arrive pre-aggregated (caller does
+    * the fact-table reduce); the rank is a keyed window partitioned by
+    * group (parallel across groups); the final aggregate emits one row per
+    * group. Nothing global, nothing single-partition.
+    */
+  def concentration(df: DataFrame, groupCol: String, valueCol: String,
+      keyCol: String): DataFrame = {
+    val v = col(valueCol).cast("decimal(18,2)")
+    val ranked = df
+      .withColumn("_cc_v", v)
+      .withColumn("_cc_rk", row_number().over(Window.partitionBy(groupCol)
+        .orderBy(col(valueCol), col(keyCol))))
+    ranked.groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_entities"),
+        sum("_cc_v").as("_tot"),
+        sum(col("_cc_v") * col("_cc_v")).as("_sumsq"),
+        sum(col("_cc_rk") * col("_cc_v")).as("_wsum"))
+      .select(
+        col(groupCol), col("n_entities"),
+        col("_tot").cast("double").as("total_value"),
+        (col("_sumsq").cast("double") /
+          (col("_tot").cast("double") * col("_tot").cast("double"))).as("hhi"),
+        ((lit(2) * col("_wsum") - (col("n_entities") + 1) * col("_tot")).cast("double") /
+          (col("n_entities") * col("_tot")).cast("double")).as("gini"))
+  }
 }

@@ -221,5 +221,42 @@ object GroupF {
       .orderBy("user_id", "event_id")
   }
 
-  val all: Seq[Q] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10)
+  /** Distribution-window family: cume_dist plus full-frame
+    * nth_value/first_value/last_value — the remaining analytic window
+    * functions next to f8's rank family and f10's IGNORE NULLS form. The
+    * window order is unique (price, orderkey), so cume_dist has no peer
+    * groups and equals rank/n — one IEEE division of identical integers in
+    * both engines; the full ROWS frame makes last_value the true partition
+    * max rather than the default current-row frame.
+    */
+  val f11 = Q(
+    "f11_dist_windows",
+    """SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |  floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cd,
+      |  nth_value(o_totalprice, 3) OVER
+      |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_lowest,
+      |  first_value(o_totalprice) OVER
+      |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lowest,
+      |  last_value(o_totalprice) OVER
+      |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS highest
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-06-01'
+      |  AND o_orderdate < TIMESTAMP '1995-08-01'
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-06-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-08-01").cast("timestamp"))
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        Det.floorRound(cume_dist().over(w), 6).as("cd"),
+        nth_value(col("o_totalprice"), 3).over(full).as("third_lowest"),
+        first(col("o_totalprice")).over(full).as("lowest"),
+        last(col("o_totalprice")).over(full).as("highest"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  val all: Seq[Q] = Seq(f1, f2, f3, f4, f5, f6, f7, f8, f9, f10, f11)
 }

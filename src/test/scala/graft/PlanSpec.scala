@@ -539,4 +539,23 @@ class PlanSpec extends SparkSpec {
       case (k, None)    => c.unset(k)
     }
   }
+
+  test("h89/h90 global ranking is two-phase: range shuffle, no corpus-global window") {
+    // the two-phase Ranking construction: the entity-sized data flows
+    // through an Exchange rangepartitioning, and EVERY window spec is
+    // anchored on the partition id (either partitioned BY it — the local
+    // rank — or the #partitions-sized offsets prefix ordered ON it). A
+    // window spec without _rk_pid would mean a corpus-global
+    // single-partition window crept back in.
+    for (name <- Seq("h89_rfm_segments", "h90_pareto_abc")) {
+      val p = planStr(qdf(name))
+      assert(p.contains("rangepartitioning"), s"$name: $p")
+      val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map { m =>
+        p.substring(m.start, math.min(p.length, m.start + 120))
+      }.toList
+      assert(specs.nonEmpty, s"$name: $p")
+      specs.foreach(spec =>
+        assert(spec.contains("_rk_pid"), s"$name window not pid-anchored: $spec"))
+    }
+  }
 }

@@ -398,6 +398,102 @@ class Round6Spec extends SparkSpec {
       (2L, 1L, 3L, "2024-02-10")))
   }
 
+  test("Ranking.globalRowNumber == single-partition window row_number (asc, desc, ties)") {
+    import extensions.Ranking
+    import org.apache.spark.sql.expressions.Window
+    // values with heavy ties so the key tiebreak is load-bearing; enough
+    // rows that the 4 shuffle partitions all see data
+    val df = spark.range(0, 997)
+      .select($"id", ($"id" % 13).as("v"), ($"id" % 7).cast("double").as("w"))
+    for (sort <- Seq(
+        Seq($"v", $"id"),
+        Seq($"v".desc, $"id"),
+        Seq($"w".desc, $"v", $"id"))) {
+      val want = df.withColumn("rn", row_number().over(Window.orderBy(sort: _*)).cast("long"))
+        .select($"id", $"rn").as[(Long, Long)].collect().toMap
+      val got = Ranking.globalRowNumber(df, sort, "rn")
+        .select($"id", $"rn").as[(Long, Long)].collect().toMap
+      assert(got === want, s"sort=$sort")
+    }
+  }
+
+  test("Ranking.globalRunningSum == window cumulative decimal sum, exactly") {
+    import extensions.Ranking
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 500)
+      .select($"id", (($"id" * 37 % 101).cast("decimal(18,2)") / 4).as("v"))
+    val sort = Seq($"v".desc, $"id")
+    val w = Window.orderBy(sort: _*).rowsBetween(Window.unboundedPreceding, 0)
+    val want = df.withColumn("cum", sum($"v").over(w))
+      .select($"id", $"cum".cast("string")).as[(Long, String)].collect().toMap
+    val out = Ranking.globalRunningSum(df, sort, $"v", "rn", "cum")
+    val got = out.select($"id", $"cum".cast("string")).as[(Long, String)].collect().toMap
+    assert(got === want)
+    // and the rank agrees with the running count
+    val rks = out.select($"rn").as[Long].collect().sorted
+    assert(rks.toSeq === (1L to 500L))
+  }
+
+  test("Ranking.ntileFromRank matches SQL ntile for uneven and degenerate splits") {
+    import extensions.Ranking
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(3, 5, 7, 23, 100); k <- Seq(2, 5, 8)) {
+      val df = spark.range(1, n + 1).select($"id".as("rk"))
+        .withColumn("n", lit(n.toLong))
+      val got = df.select($"rk",
+          Ranking.ntileFromRank($"rk", $"n", k).as("b"))
+        .as[(Long, Int)].collect().toMap
+      val want = spark.range(1, n + 1)
+        .select($"id", ntile(k).over(Window.orderBy($"id")).as("b"))
+        .as[(Long, Int)].collect().toMap
+      assert(got === want, s"n=$n k=$k")
+    }
+  }
+
+  test("concentration: monopoly → HHI 1 Gini 0; equal split → HHI 1/n Gini 0") {
+    import extensions.Stats
+    val df = Seq(
+      ("mono", 1L, 100.0),
+      ("equal", 1L, 25.0), ("equal", 2L, 25.0),
+      ("equal", 3L, 25.0), ("equal", 4L, 25.0),
+      // one entity holds 70 of 100 across 4: hand-computed
+      ("skew", 1L, 10.0), ("skew", 2L, 10.0),
+      ("skew", 3L, 10.0), ("skew", 4L, 70.0)
+    ).toDF("g", "k", "v")
+    val out = Stats.concentration(df, "g", "v", "k")
+      .orderBy("g").as[(String, Long, Double, Double, Double)].collect()
+    val byG = out.map(r => r._1 -> r).toMap
+    assert(byG("mono") === (("mono", 1L, 100.0, 1.0, 0.0)))
+    assert(byG("equal")._4 === 0.25 && byG("equal")._5 === 0.0)
+    // skew: HHI = (3·100 + 4900)/10000 = 0.52
+    assert(byG("skew")._4 === 0.52)
+    // gini = (2·(10+20+30+280) − 5·100)/(4·100) = (680−500)/400 = 0.45
+    assert(byG("skew")._5 === 0.45)
+  }
+
+  test("rfmSegments: scores span 1..5, composite encodes them, monotone vs metrics") {
+    import extensions.Segmentation
+    val out = Segmentation.rfmSegments(Tables.orders(spark, sf),
+      "o_custkey", "o_orderdate", "o_totalprice", "1998-12-01")
+    val rows = out.select($"entity_id", $"recency_days", $"frequency",
+        $"monetary", $"r_score", $"f_score", $"m_score", $"rfm")
+      .as[(Long, Int, Long, Double, Int, Int, Int, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r._5 >= 1 && r._5 <= 5 && r._6 >= 1 && r._6 <= 5 && r._7 >= 1 && r._7 <= 5)
+      assert(r._8 === r._5 * 100 + r._6 * 10 + r._7)
+    }
+    // monotone: a strictly higher monetary value never gets a lower m_score
+    val byM = rows.sortBy(_._4)
+    byM.sliding(2).foreach {
+      case Array(a, b) => if (a._4 < b._4) assert(a._7 <= b._7)
+      case _ =>
+    }
+    // quintiles are balanced: bucket sizes differ by at most one
+    val sizes = rows.groupBy(_._7).values.map(_.length)
+    assert(sizes.max - sizes.min <= 1)
+  }
+
   test("decileBuckets: partitions all rows into ordered non-overlapping ranges") {
     val docs = Tables.documents(spark, sf)
       .select(size(extensions.TextOps.tokens($"text")).cast("long").as("n_tokens"))
