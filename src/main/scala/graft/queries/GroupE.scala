@@ -452,6 +452,48 @@ object GroupE {
       .orderBy("n_name", "metric")
   }
 
+  /** TPC-H Q3 (shipping priority) shape through the engine: selective
+    * dim filter broadcast into a two-join star, revenue as the exact
+    * decimal `extprice·(1−discount)` sum, global top-10 by (revenue desc,
+    * date, key) — which must plan as TakeOrderedAndProject (per-partition
+    * heap + driver merge of 10 rows), never a full global sort. Revenue
+    * doubles order identically in both engines because they render the
+    * same exact decimals.
+    */
+  val e15 = Q(
+    "e15_topn_join_agg",
+    """SELECT l_orderkey,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate_s,
+      |  o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1996-06-01'
+      |  AND l_shipdate > TIMESTAMP '1996-06-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, orderdate_s, l_orderkey
+      |LIMIT 10""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1996-06-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1996-06-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(3,2)"))).cast("double")
+        .as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate_s"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("orderdate_s"), col("l_orderkey"))
+      .limit(10)
+  }
+
   val all: Seq[Q] =
-    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14)
+    Seq(e1, e2, e3, e4, e5, e6, e7, e8, e9, e10, e11, e12, e13, e14, e15)
 }

@@ -540,6 +540,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("e15 (TPC-H Q3 shape): top-10 plans as TakeOrderedAndProject over broadcast star") {
+    val p = planStr(qdf("e15_topn_join_agg"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // both date filters push into their scans
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate") ||
+      p.contains("LessThan(o_orderdate"), p)
+    assert(p.contains("GreaterThan(l_shipdate"), p)
+  }
+
   test("h89/h90 global ranking is two-phase: range shuffle, no corpus-global window") {
     // the two-phase Ranking construction: the entity-sized data flows
     // through an Exchange rangepartitioning, and EVERY window spec is

@@ -494,6 +494,70 @@ class Round6Spec extends SparkSpec {
     assert(sizes.max - sizes.min <= 1)
   }
 
+  test("Quality.check: hand-built violations count exactly; one row per rule") {
+    import extensions.Quality, Quality.Expectation
+    val df = Seq(
+      (1L, Some(5.0), "ok"), (2L, None, "ok"),
+      (3L, Some(-1.0), "bad"), (4L, None, "bad")
+    ).toDF("id", "v", "s")
+    val out = Quality.check(df, Seq(
+        Expectation("v_not_null", $"v".isNull),
+        Expectation("v_positive", $"v".isNotNull && $"v" <= 0),
+        Expectation("never_fires", lit(false))))
+      .orderBy("rule_id")
+      .as[(String, Long, Long, Double)].collect()
+    assert(out.toSeq === Seq(
+      ("never_fires", 0L, 4L, 0.0),
+      ("v_not_null", 2L, 4L, 0.5),
+      ("v_positive", 1L, 4L, 0.25)))
+  }
+
+  test("Quality.check evaluates all rules in ONE scan (stack reshape, single aggregate)") {
+    import extensions.Quality, Quality.Expectation
+    val li = Tables.lineitem(spark, sf)
+    val df = Quality.check(li, Seq(
+      Expectation("a", $"l_quantity".isNull),
+      Expectation("b", $"l_discount" > 0.5)))
+    df.collect()
+    // unwrap AQE: toString on the adaptive root prints initial AND final
+    // plans, double-counting every node
+    val p = (df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case o => o
+    }).toString
+    assert(p.contains("stack"), p)
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"expected a single lineitem scan, got $scans\n$p")
+  }
+
+  test("Attribution.linearByPosition: hand-checked 3-touch and 1-touch conversions") {
+    import extensions.Attribution
+    def t(s: String) = s
+    val touches = Seq(
+      (7L, "2024-01-01 10:00:00", 101L), // first for p1
+      (7L, "2024-01-01 11:00:00", 102L), // middle
+      (7L, "2024-01-01 12:00:00", 103L), // last
+      (8L, "2024-01-02 09:00:00", 201L), // sole touch for p2
+      (8L, "2023-12-25 09:00:00", 202L)  // outside window — ignored
+    ).toDF("user_id", "s", "c_event_id")
+      .select($"user_id", $"s".cast("timestamp").as("c_ts"), $"c_event_id")
+    val convs = Seq(
+      (7L, "2024-01-01 12:30:00", 901L, 10.0),
+      (8L, "2024-01-02 10:00:00", 902L, 5.0)
+    ).toDF("user_id", "s", "p_event_id", "value")
+      .select($"user_id", $"s".cast("timestamp").as("p_ts"), $"p_event_id", $"value")
+    val out = Attribution.linearByPosition(touches, convs,
+        "user_id", "c_ts", "c_event_id", "p_ts", "p_event_id", "value",
+        windowSeconds = 24L * 3600)
+      .orderBy("position").as[(String, Long, Long, Double)].collect()
+    // p1: 1000¢·10⁴ div 3 = 3333333 per touch; p2: 500¢·10⁴ div 1 = 5000000
+    assert(out.toSeq === Seq(
+      ("first", 2L, 3333333L + 5000000L, 8.333333),
+      ("last", 1L, 3333333L, 3.333333),
+      ("middle", 1L, 3333333L, 3.333333)))
+  }
+
   test("decileBuckets: partitions all rows into ordered non-overlapping ranges") {
     val docs = Tables.documents(spark, sf)
       .select(size(extensions.TextOps.tokens($"text")).cast("long").as("n_tokens"))
