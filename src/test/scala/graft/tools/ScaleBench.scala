@@ -44,6 +44,36 @@ object ScaleBench {
       .parquet(s"$scaleDir/embeddings.parquet")
   }
 
+  /** 10× transactional star, scaled the way each operator's input grows:
+    * fact keys (orderkey) and ranked-entity keys (custkey, partkey,
+    * user_id) shift per copy — 10× orders/lineitem/events AND 10× distinct
+    * customers/parts/users (the two-phase ranking inputs) — while
+    * l_suppkey stays put so the supplier/nation dim joins stay intact
+    * (concentration's per-group output is dim-sized by design). Referential
+    * integrity holds within each copy (orderkey shifts match on both
+    * sides).
+    */
+  private def buildStar10x(spark: SparkSession, sfDir: String): Unit = {
+    def blow(table: String, shifts: Map[String, Long]): Unit = {
+      val base = spark.read.parquet(s"$sfDir/$table.parquet")
+      val out = (0 until 10).map { k =>
+        shifts.foldLeft(base) { case (df, (c, step)) =>
+          df.withColumn(c, col(c) + lit(k * step)) }
+      }.reduce(_ unionByName _)
+      out.repartition(32).write.mode("overwrite")
+        .parquet(s"$scaleDir/$table.parquet")
+    }
+    blow("orders", Map("o_orderkey" -> 10000000L, "o_custkey" -> 1000000L))
+    blow("lineitem", Map("l_orderkey" -> 10000000L, "l_partkey" -> 1000000L))
+    blow("events", Map("event_id" -> 100000000L, "user_id" -> 1000000L))
+    blow("customer", Map("c_custkey" -> 1000000L))
+    // dims ride along verbatim (joins by unshifted keys)
+    Seq("region", "nation", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$scaleDir/$t.parquet")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -55,6 +85,8 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     if (!new java.io.File(s"$scaleDir/documents.parquet").exists())
       build10x(spark, sfDir)
+    if (!new java.io.File(s"$scaleDir/lineitem.parquet").exists())
+      buildStar10x(spark, sfDir)
     spark.read.parquet(s"$scaleDir/documents.parquet").selectExpr("count(*)").collect()
     spark.range(100000).selectExpr("sum(id % 7)").collect()
 
@@ -67,7 +99,14 @@ object ScaleBench {
       // round-6 graph analytics over the near-dup pairs: propagation rounds
       // (join+vote per round) and the wedge-join triangle enumeration (the
       // Σ deg² check — the one shape here with a super-linear failure mode)
-      "h66_label_propagation", "h67_dup_graph_triangles")
+      "h66_label_propagation", "h67_dup_graph_triangles",
+      // round-6 batch: two-phase global ranking (10× ranked entities —
+      // RFM over customers, ABC over parts), per-nation concentration
+      // (10× fact rows into fixed dims), single-scan DQ rules over the
+      // 10× fact join, banded attribution join over 10× users, and the
+      // TPC-H Q3 top-10 star
+      "h89_rfm_segments", "h90_pareto_abc", "h91_concentration",
+      "h92_dq_expectations", "h93_touch_attribution", "e15_topn_join_agg")
     def time(name: String, dir: String): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
