@@ -107,5 +107,134 @@ object GroupH12 {
       .orderBy("position")
   }
 
-  val all: Seq[Q] = Seq(h92, h93)
+  /** k-NN label voting — the classification step a labeled corpus supports
+    * once similarity search exists: each query vector takes the majority
+    * label of its 5 nearest neighbors (Similarity.bruteForceTopK — the
+    * exact recall baseline; at real scale the candidate generator swaps
+    * for ivfTopK with the same vote tail). Vote counts are integers; the
+    * winner is row_number over (votes desc, label asc) — fully ordered, so
+    * both engines elect the same label including ties.
+    */
+  val h94 = Q(
+    "h94_knn_label_vote",
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      |  WHERE vec_id >= 8 AND vec_id < 28),
+      |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings),
+      |norms AS (
+      |  SELECT vec_id,
+      |    sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')) AS nrm
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, neighbor_id, label,
+      |    floor(list_aggregate(
+      |      list_transform(generate_series(1, len(qv)), i -> qv[i]::DOUBLE * cv[i]::DOUBLE),
+      |      'sum') / (nq.nrm * nc.nrm) * 10000 + 0.5) / 10000 AS cos
+      |  FROM q JOIN c ON query_id <> neighbor_id
+      |  JOIN norms nq ON nq.vec_id = query_id
+      |  JOIN norms nc ON nc.vec_id = neighbor_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM scored),
+      |votes AS (
+      |  SELECT query_id, label, count(*) AS votes
+      |  FROM ranked WHERE rank <= 5 GROUP BY query_id, label),
+      |won AS (
+      |  SELECT query_id, label AS pred_label, votes,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY votes DESC, label) AS w
+      |  FROM votes)
+      |SELECT query_id, pred_label, votes FROM won WHERE w = 1
+      |ORDER BY query_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val embs = Tables.embeddings(s, d)
+    val topk = graft.extensions.Similarity.bruteForceTopK(
+      embs, embs.filter(col("vec_id") >= 8 && col("vec_id") < 28),
+      "vec_id", "embedding", 5)
+    val labels = embs.select(col("vec_id").as("neighbor_id"), col("label"))
+    topk.join(broadcast(labels), "neighbor_id")
+      .groupBy("query_id", "label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("w", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("votes").desc, col("label"))))
+      .filter(col("w") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+      .orderBy("query_id")
+  }
+
+  /** Robust outlier screen per event type: median and MAD (median absolute
+    * deviation) via the e6 exact-interpolated-percentile device — Spark's
+    * `percentile` and the oracle's hand-rolled `lo + (hi−lo)·frac` compute
+    * identical IEEE chains — then the modified z-score
+    * `0.6745·(v−med)/mad > 3.5` counted with identical per-row ops. The
+    * classical mean/σ screen (e12) breaks under the heavy tail this data
+    * has; MAD is the robust form. Two aggregation passes + a broadcast
+    * join back; scale-safe.
+    */
+  val h95 = Q(
+    "h95_robust_outliers_mad",
+    """WITH ev AS (
+      |  SELECT event_type, event_id, value AS v FROM events
+      |  WHERE value IS NOT NULL),
+      |ranked AS (
+      |  SELECT event_type, v,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY v) - 1 AS idx,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM ev),
+      |medp AS (
+      |  SELECT event_type, n,
+      |    max(CASE WHEN idx = CAST(floor(0.5*(n-1)) AS BIGINT) THEN v END) AS lo,
+      |    max(CASE WHEN idx = CAST(ceil(0.5*(n-1)) AS BIGINT) THEN v END) AS hi
+      |  FROM ranked GROUP BY event_type, n),
+      |med AS (
+      |  SELECT event_type, n,
+      |    lo + (hi - lo) * (0.5*(n-1) - floor(0.5*(n-1))) AS med
+      |  FROM medp),
+      |dev AS (
+      |  SELECT e.event_type, e.v, m.med, m.n, abs(e.v - m.med) AS dv
+      |  FROM ev e JOIN med m USING (event_type)),
+      |dranked AS (
+      |  SELECT event_type, med, n, dv,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY dv) - 1 AS idx
+      |  FROM dev),
+      |madp AS (
+      |  SELECT event_type, med, n,
+      |    max(CASE WHEN idx = CAST(floor(0.5*(n-1)) AS BIGINT) THEN dv END) AS lo,
+      |    max(CASE WHEN idx = CAST(ceil(0.5*(n-1)) AS BIGINT) THEN dv END) AS hi
+      |  FROM dranked GROUP BY event_type, med, n),
+      |mad AS (
+      |  SELECT event_type, med, n,
+      |    lo + (hi - lo) * (0.5*(n-1) - floor(0.5*(n-1))) AS mad
+      |  FROM madp)
+      |SELECT d.event_type, m.n,
+      |  floor(m.med * 10000 + 0.5) / 10000 AS median_v,
+      |  floor(m.mad * 10000 + 0.5) / 10000 AS mad_v,
+      |  CAST(sum(CASE WHEN m.mad > 0
+      |    AND abs(0.6745 * (d.v - m.med) / m.mad) > 3.5
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dev d JOIN mad m USING (event_type)
+      |GROUP BY d.event_type, m.n, m.med, m.mad
+      |ORDER BY d.event_type""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value").as("v"))
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(v, 0.5D)").as("med"), count(lit(1)).as("n"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dv", abs(col("v") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(dv, 0.5D)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"), col("n"), col("med"), col("mad"))
+      .agg(sum(when(col("mad") > 0 &&
+        abs(lit(0.6745) * (col("v") - col("med")) / col("mad")) > 3.5, 1L)
+        .otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n"),
+        graft.extensions.Det.floorRound(col("med"), 4).as("median_v"),
+        graft.extensions.Det.floorRound(col("mad"), 4).as("mad_v"),
+        col("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(h92, h93, h94, h95)
 }
