@@ -54,4 +54,37 @@ object AsOf {
       leftCols.map(col) ++
         payloadCols.map(p => col("__match").getField(p).as(s"asof_$p")): _*)
   }
+
+  /** Forward as-of: for each left row, the EARLIEST right row with
+    * `right.ts >= left.ts` in the key group (left-outer; ties on ts break
+    * toward the larger tiebreak, mirroring [[asOfJoin]]). Same union + one
+    * window construction — the traversal just runs in descending ts, so
+    * the running match is the nearest following right row. One shuffle,
+    * O(1) window state, no cross product: the time-to-next-conversion
+    * join at corpus scale.
+    */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      tsCol: String, tieCol: String, payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payload = struct(payloadCols.map(col): _*)
+    val r = right.filter(col(tsCol).isNotNull).select(
+      keyCols.map(col) ++ Seq(col(tsCol), col(tieCol).as("__tie"),
+        lit(0).as("__side"), payload.as("__r")): _*)
+    val l = left.select(
+      keyCols.map(col) ++ Seq(col(tsCol), col(tieCol).as("__tie"),
+        lit(1).as("__side"), lit(null).cast(r.schema("__r").dataType).as("__r")) ++
+        leftCols.filterNot(c => keyCols.contains(c) || c == tsCol).map(col): _*)
+    // ts DESC walk: right rows still sort before left at equal ts (side
+    // 0 < 1), so "at or after" includes ts equality; among equal-ts right
+    // rows the tie-ASC order makes the LAST seen (= larger tie) win.
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).desc, col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    matched.select(
+      leftCols.map(col) ++
+        payloadCols.map(p => col("__match").getField(p).as(s"next_$p")): _*)
+  }
 }

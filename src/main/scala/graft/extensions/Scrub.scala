@@ -33,4 +33,17 @@ object Scrub {
   def emailCount(text: Column): Column = regexp_count(text, lit(emailRe))
 
   def phoneCount(text: Column): Column = regexp_count(text, lit(phoneRe))
+
+  /** Deterministic salted pseudonymization: a stable 16-hex-char token
+    * `substr(md5(salt || ':' || value), 1, 16)` — the GDPR-style
+    * key-tokenization that keeps JOINS working (equal inputs map to equal
+    * tokens across every table tokenized with the same salt) while the
+    * original identifier never leaves the boundary. Pure scan-stage
+    * projection (md5 is codegen'd and engine-portable — the Splits/
+    * Sampling device), zero shuffle; re-identification requires the salt.
+    * 64 bits of token: birthday-collision-safe to ~10⁹ distinct keys;
+    * take more hex chars beyond that.
+    */
+  def pseudonymize(value: Column, salt: String): Column =
+    substring(md5(concat_ws(":", lit(salt), value.cast("string"))), 1, 16)
 }

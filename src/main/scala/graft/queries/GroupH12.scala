@@ -236,5 +236,137 @@ object GroupH12 {
       .orderBy("event_type")
   }
 
-  val all: Seq[Q] = Seq(h92, h93, h94, h95)
+  /** Zipf rank-frequency slope of the corpus vocabulary: least-squares fit
+    * of ln(freq) against ln(rank) over the top-100 terms — the one-number
+    * "is this natural language" screen (natural text ≈ −1). Per-term log
+    * products quantize to micro-unit integers (the h68/h55 device) so the
+    * regression moment sums are exact; the closed-form slope is then ONE
+    * fixed IEEE chain over identical doubles. The top-100 is bounded by
+    * construction (TakeOrdered 100 rows), so the rank window is never
+    * corpus-sized.
+    */
+  val h96 = Q(
+    "h96_zipf_slope",
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |                       t -> len(t) > 0)) AS token
+      |  FROM documents),
+      |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+      |top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 100),
+      |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank
+      |      FROM top),
+      |m AS (SELECT count(*) AS n,
+      |  CAST(sum(CAST(floor(ln(rank) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+      |  CAST(sum(CAST(floor(ln(cnt) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sy,
+      |  CAST(sum(CAST(floor(ln(rank) * ln(cnt) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sxy,
+      |  CAST(sum(CAST(floor(ln(rank) * ln(rank) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sx2
+      |  FROM r)
+      |SELECT n AS n_terms,
+      |  floor((n * (CAST(sxy AS DOUBLE) / 1000000)
+      |      - (CAST(sx AS DOUBLE) / 1000000) * (CAST(sy AS DOUBLE) / 1000000))
+      |    / (n * (CAST(sx2 AS DOUBLE) / 1000000)
+      |      - (CAST(sx AS DOUBLE) / 1000000) * (CAST(sx AS DOUBLE) / 1000000))
+      |    * 1000000 + 0.5) / 1000000 AS zipf_slope
+      |FROM m""".stripMargin) { (s, d) =>
+    import graft.extensions.TextOps
+    val tok = Tables.documents(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+    val top = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(100)
+    val r = top.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("token"))))
+    def mic(c: org.apache.spark.sql.Column) =
+      sum(floor(c * 1000000 + 0.5).cast("long"))
+    val m = r.agg(count(lit(1)).as("n"),
+      mic(log(col("rank"))).as("sx"), mic(log(col("cnt"))).as("sy"),
+      mic(log(col("rank")) * log(col("cnt"))).as("sxy"),
+      mic(log(col("rank")) * log(col("rank"))).as("sx2"))
+    val dx = col("sx").cast("double") / 1000000
+    val dy = col("sy").cast("double") / 1000000
+    m.select(col("n").as("n_terms"),
+      graft.extensions.Det.floorRound(
+        (col("n") * (col("sxy").cast("double") / 1000000) - dx * dy) /
+        (col("n") * (col("sx2").cast("double") / 1000000) - dx * dx), 6)
+        .as("zipf_slope"))
+  }
+
+  /** Forward as-of join (AsOf.asOfJoinForward): each click picks up its
+    * NEXT same-user purchase at-or-after — the time-to-convert join —
+    * via the union + one-descending-window construction: one shuffle,
+    * O(1) window state, no per-key cross product (the lateral form the
+    * oracle uses would explode at scale).
+    */
+  val h97 = Q(
+    "h97_next_conversion",
+    """WITH l AS (
+      |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+      |r AS (
+      |  SELECT user_id, event_id, ts, value FROM events
+      |  WHERE event_type = 'purchase')
+      |SELECT l.user_id, l.event_id,
+      |  strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+      |  m.p_event_id AS next_event_id,
+      |  strftime(m.p_ts, '%Y-%m-%d %H:%M:%S') AS next_ts_s,
+      |  CAST(date_diff('second', l.ts, m.p_ts) AS BIGINT) AS wait_s
+      |FROM l LEFT JOIN LATERAL (
+      |  SELECT r.event_id AS p_event_id, r.ts AS p_ts
+      |  FROM r
+      |  WHERE r.user_id = l.user_id AND r.ts >= l.ts
+      |  ORDER BY r.ts ASC, r.event_id DESC LIMIT 1) m ON TRUE
+      |ORDER BY l.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    graft.extensions.AsOf.asOfJoinForward(
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("ts")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts")),
+        Seq("user_id"), "ts", "event_id", Seq("event_id", "ts"))
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("next_event_id"),
+        date_format(col("next_ts"), "yyyy-MM-dd HH:mm:ss").as("next_ts_s"),
+        (unix_timestamp(col("next_ts")) - unix_timestamp(col("ts")))
+          .as("wait_s"))
+      .orderBy("event_id")
+  }
+
+  /** Deterministic salted pseudonymization (Scrub.pseudonymize): customer
+    * keys tokenize to 16-hex md5 tokens in BOTH orders and customer, the
+    * join runs ON THE TOKENS, and the per-segment rollup proves referential
+    * integrity survives tokenization (counts identical to the raw-key
+    * join). Pure scan-stage projections; md5 is the engine-portable
+    * Splits/Sampling device.
+    */
+  val h98 = Q(
+    "h98_pseudonymized_join",
+    """WITH c AS (
+      |  SELECT substr(md5('pepper:' || CAST(c_custkey AS VARCHAR)), 1, 16) AS token,
+      |    c_mktsegment
+      |  FROM customer),
+      |o AS (
+      |  SELECT substr(md5('pepper:' || CAST(o_custkey AS VARCHAR)), 1, 16) AS token,
+      |    o_orderkey
+      |  FROM orders)
+      |SELECT c_mktsegment, count(*) AS n_orders,
+      |  count(DISTINCT c.token) AS n_customers
+      |FROM c JOIN o ON c.token = o.token
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    import graft.extensions.Scrub
+    val c = Tables.customer(s, d).select(
+      Scrub.pseudonymize(col("c_custkey"), "pepper").as("token"),
+      col("c_mktsegment"))
+    val o = Tables.orders(s, d).select(
+      Scrub.pseudonymize(col("o_custkey"), "pepper").as("token"),
+      col("o_orderkey"))
+    c.join(o, "token")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("token")).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  val all: Seq[Q] = Seq(h92, h93, h94, h95, h96, h97, h98)
 }
