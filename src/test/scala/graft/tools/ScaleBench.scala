@@ -106,7 +106,11 @@ object ScaleBench {
       // 10× fact join, banded attribution join over 10× users, and the
       // TPC-H Q3 top-10 star
       "h89_rfm_segments", "h90_pareto_abc", "h91_concentration",
-      "h92_dq_expectations", "h93_touch_attribution", "e15_topn_join_agg")
+      "h92_dq_expectations", "h93_touch_attribution", "e15_topn_join_agg",
+      // final batch: union+descending-window forward as-of over 10× events,
+      // scan-stage tokenized join over 10× orders, top-100-bounded Zipf fit
+      // over the 10× corpus
+      "h97_next_conversion", "h98_pseudonymized_join", "h96_zipf_slope")
     def time(name: String, dir: String): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
