@@ -31,8 +31,9 @@ object Bench {
     // worst documented HOST freeze measured ~127 s on a ~1 s query — the cap
     // sits above that so a freeze costs one discarded attempt, not a kill.
     val queryCapSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_CAP_SEC", "150").toDouble
-    // Global budget: 121 queries x 2 attempts measure ~3-4 min of query time
-    // on a healthy host and ~13 min wall-clock in an observed 3x-slow window;
+    // Global budget: ~150 queries x 2 attempts measure ~4-5 min of query time
+    // on a healthy host (151-query triples ran 112-128 s of summed best-of-2
+    // times, ~11 min wall-clock each) and ~2x that in an observed slow window;
     // 40 min absorbs that plus several freeze-length stalls while staying
     // inside the driver's external timeout (round 5 was killed somewhere past
     // ~47 min of silence; worst-case overshoot past the budget check is one
