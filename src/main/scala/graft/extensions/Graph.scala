@@ -50,6 +50,16 @@ object Graph {
     * one candidate row per (dst,label)). k rounds = k bounded shuffle
     * chains, the [[Dedup.pageRank]] stage discipline; for long chains,
     * localCheckpoint per round would truncate lineage the same way.
+    *
+    * Storage lifecycle: the canonical edge list is localCheckpoint'd (lazy)
+    * so the k rounds share ONE computed pair construction. The checkpoint
+    * blocks belong to the SparkSession and are NOT freed when the returned
+    * DataFrame is dropped — they are reclaimed when the session stops or
+    * when the checkpointed RDD becomes unreachable and the ContextCleaner
+    * collects it. Fine for query-per-session use (Bench/Verify); a
+    * long-lived service calling this repeatedly should bound its own edge
+    * inputs' lifetime (same caller-owns-the-cache posture as
+    * [[Dedup.connectedComponents]]).
     */
   def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
       seeds: DataFrame, nodeCol: String, labelCol: String,
@@ -151,6 +161,9 @@ object Graph {
     // wedge join); without materialization each branch would recompute the
     // upstream pair construction (observed 7.4 s → ~construction-once at
     // sf0.1). localCheckpoint shares one computed RDD across all branches.
+    // Lifecycle: blocks are session-owned until the RDD is GC'd (see the
+    // labelPropagation scaladoc note) — query-per-session callers pay
+    // nothing; long-lived services own their inputs' lifetime.
     val e = canonical(pairs, aCol, bCol).localCheckpoint(false)
     val deg = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))

@@ -29,6 +29,14 @@ object Quality {
     */
   def check(source: DataFrame, rules: Seq[Expectation]): DataFrame = {
     require(rules.nonEmpty)
+    // rule ids are interpolated into a selectExpr stack(...) below — restrict
+    // them to identifier characters so a quote/space/paren in an id fails
+    // loudly here instead of producing broken SQL (or an injected expression)
+    // at analysis time; duplicates would silently collide on agg column names
+    rules.foreach(r => require(r.id.matches("[A-Za-z0-9_]+"),
+      s"rule id must match [A-Za-z0-9_]+: '${r.id}'"))
+    require(rules.map(_.id).distinct.size == rules.size,
+      s"duplicate rule ids: ${rules.map(_.id).diff(rules.map(_.id).distinct).distinct.mkString(",")}")
     val aggs = count(lit(1)).as("_total") +:
       rules.map(r => sum(when(r.violated, 1L).otherwise(0L)).as(s"_v_${r.id}"))
     val one = source.agg(aggs.head, aggs.tail: _*)

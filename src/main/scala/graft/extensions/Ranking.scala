@@ -25,16 +25,36 @@ import org.apache.spark.sql.functions._
   * Running sums use the same offsets with an exact DECIMAL value column —
   * order-independent integer arithmetic, so Spark and the oracle agree
   * bit-for-bit regardless of partitioning.
+  *
+  * CORRECTNESS INVARIANT — exchange reuse: the `local` subtree (range
+  * exchange + local ranks) feeds BOTH the output join and the `offsets`
+  * aggregate. RangePartitioner samples boundaries with a per-exchange
+  * seed, so the construction is only correct because Catalyst's
+  * ReuseExchange collapses the two identical exchanges into ONE — both
+  * subtrees then see the same boundaries and partition ids. With
+  * `spark.sql.exchange.reuse=false` the two subtrees could sample
+  * DIFFERENT boundaries and the offsets would be applied to mismatched
+  * partition ids, silently corrupting every rank — so these helpers
+  * fail fast if the config is disabled rather than hinge on a default.
   */
 object Ranking {
 
   private val PID = "_rk_pid"
   private val LRN = "_rk_lrn"
 
+  // see "CORRECTNESS INVARIANT" above: without ReuseExchange the local-rank
+  // and offsets subtrees may range-partition on different sampled boundaries
+  private def requireExchangeReuse(df: DataFrame): Unit =
+    require(df.sparkSession.conf.get("spark.sql.exchange.reuse", "true").toBoolean,
+      "Ranking's two-phase construction requires spark.sql.exchange.reuse=true " +
+        "(the local-rank and offsets subtrees must share one range exchange; " +
+        "RangePartitioner boundary sampling varies per exchange)")
+
   /** `row_number() OVER (ORDER BY sort…)` as two-phase range-partitioned
     * rank. `sort` must be a unique total order.
     */
   def globalRowNumber(df: DataFrame, sort: Seq[Column], out: String): DataFrame = {
+    requireExchangeReuse(df)
     val local = df.repartitionByRange(sort: _*)
       .withColumn(PID, spark_partition_id())
       .withColumn(LRN, row_number().over(Window.partitionBy(PID).orderBy(sort: _*)))
@@ -54,6 +74,7 @@ object Ranking {
     */
   def globalRunningSum(df: DataFrame, sort: Seq[Column], value: Column,
       outRank: String, outCum: String): DataFrame = {
+    requireExchangeReuse(df)
     val w = Window.partitionBy(PID).orderBy(sort: _*)
     val local = df.repartitionByRange(sort: _*)
       .withColumn(PID, spark_partition_id())

@@ -79,7 +79,7 @@ object GroupH11 {
     Segmentation.paretoAbc(rev, "l_partkey", col("v"))
       .groupBy("abc_class")
       .agg(count(lit(1)).as("n_parts"),
-        sum("_vdec").as("_cv"), max("_tot").as("_t"))
+        sum("value_dec").as("_cv"), max("total_dec").as("_t"))
       .select(col("abc_class"), col("n_parts"),
         col("_cv").cast("double").as("class_value"),
         Det.floorRound(col("_cv").cast("double") / col("_t").cast("double"), 6)

@@ -487,9 +487,7 @@ object GroupH5 {
       |SELECT node AS doc_id, score AS pr_micro,
       |  CAST(score AS DOUBLE) / 1000000.0 AS pagerank
       |FROM s3 ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val pairs = graft.extensions.Dedup.simhashNearDupPairs(
-      Tables.documents(s, d), "doc_id", "text",
-      maxHamming = 2, bands = 4, sigBits = 32)
+    val pairs = DupGraph.pairs(s, d)
     graft.extensions.Dedup.pageRank(pairs, "id_a", "id_b", iterations = 3)
       .select(col("node").as("doc_id"), col("pr_micro"), col("pagerank"))
       .orderBy("doc_id")

@@ -44,9 +44,7 @@ object GroupH6 {
       |  WHERE bit_count(xor(a.sig, b.sig)) <= 2)""".stripMargin
 
   private def dupPairs(s: org.apache.spark.sql.SparkSession, d: String) =
-    graft.extensions.Dedup.simhashNearDupPairs(
-      Tables.documents(s, d), "doc_id", "text",
-      maxHamming = 2, bands = 4, sigBits = 32)
+    DupGraph.pairs(s, d)
 
   /** Label propagation over the near-dup graph: every 5th doc is a trusted
     * seed labeled with its `source`; two deterministic voting rounds spread

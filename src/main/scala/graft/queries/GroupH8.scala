@@ -100,9 +100,7 @@ object GroupH8 {
       |SELECT node AS doc_id, score AS wpr_micro,
       |  CAST(score AS DOUBLE) / 1000000.0 AS weighted_pagerank
       |FROM s3 ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val pairs = graft.extensions.Dedup.simhashNearDupPairs(
-      Tables.documents(s, d), "doc_id", "text",
-      maxHamming = 2, bands = 4, sigBits = 32)
+    val pairs = DupGraph.pairs(s, d)
       .withColumn("w", lit(3) - col("hamming"))
     Graph.weightedPageRank(pairs, "id_a", "id_b", "w", iterations = 3)
       .select(col("node").as("doc_id"), col("wpr_micro"),

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.extensions.{Quality, Ranking, Segmentation}
+import graft.queries.DupGraph
+
+/** Round-7 tests: the fused single-pass RFM ranking, the shared near-dup
+  * pair-graph materialization (Bench opt-in), and the round-7 ADVICE
+  * hardenings — Quality rule-id validation, Ranking's exchange-reuse
+  * fail-fast, Attribution floor-division for negative conversion values.
+  */
+class Round7Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("rfmSegments fused pass == three independent ntile(5) references") {
+    // reference: plain single-partition-window ntile per metric (fine at
+    // test scale), exactly the oracle's construction
+    val orders = Tables.orders(spark, sf)
+    val out = Segmentation.rfmSegments(orders,
+      "o_custkey", "o_orderdate", "o_totalprice", "1998-12-01")
+    val m = orders.groupBy(col("o_custkey").as("entity_id"))
+      .agg(max(col("o_orderdate").cast("date")).as("_last"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("_mon"))
+      .withColumn("recency_days", datediff(lit("1998-12-01").cast("date"), col("_last")))
+    import org.apache.spark.sql.expressions.Window
+    val ref = m
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy(col("recency_days").desc, col("entity_id"))))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(col("frequency"), col("entity_id"))))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(col("_mon"), col("entity_id"))))
+      .select(col("entity_id"), col("r_score"), col("f_score"), col("m_score"))
+    val got = out.select("entity_id", "r_score", "f_score", "m_score")
+      .as[(Long, Int, Int, Int)].collect().toSet
+    val want = ref.as[(Long, Int, Int, Int)].collect().toSet
+    assert(got === want)
+  }
+
+  test("DupGraph: materialized pair graph is row-identical to the per-call build") {
+    val direct = DupGraph.pairs(spark, sf).collect().toSet
+    DupGraph.enableMaterialization()
+    try {
+      val cached1 = DupGraph.pairs(spark, sf)
+      val cached2 = DupGraph.pairs(spark, sf)
+      // same DataFrame instance → the construction genuinely runs once
+      assert(cached1 eq cached2)
+      assert(cached1.collect().toSet === direct)
+    } finally DupGraph.reset()
+  }
+
+  test("Quality.check rejects injectable or duplicate rule ids") {
+    val df = Seq((1, "x")).toDF("v", "s")
+    intercept[IllegalArgumentException] {
+      Quality.check(df, Seq(Quality.Expectation("bad id", col("v").isNull)))
+    }
+    intercept[IllegalArgumentException] {
+      Quality.check(df, Seq(Quality.Expectation("a', v) AS (x -- ", col("v").isNull)))
+    }
+    intercept[IllegalArgumentException] {
+      Quality.check(df, Seq(
+        Quality.Expectation("dup", col("v").isNull),
+        Quality.Expectation("dup", col("v") < 0)))
+    }
+    // clean ids still work
+    assert(Quality.check(df, Seq(Quality.Expectation("ok_1", col("v").isNull)))
+      .count() === 1)
+  }
+
+  test("Ranking fails fast when spark.sql.exchange.reuse is disabled") {
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try intercept[IllegalArgumentException] {
+      Ranking.globalRowNumber(df, Seq(col("k")), "rn")
+    } finally spark.conf.set("spark.sql.exchange.reuse", "true")
+    assert(Ranking.globalRowNumber(df, Seq(col("k")), "rn").count() === 2)
+  }
+
+  test("Attribution credit uses floor division (negative refund values)") {
+    // one conversion of -10.01 across 3 touches: cents=-1001,
+    // -1001*10000 // 3 = floor(-3336666.67) = -3336667 per touch
+    // (truncation would give -3336666 — one micro-unit higher)
+    val touches = Seq(
+      (1L, "2024-01-01 10:00:00", 101L),
+      (1L, "2024-01-01 10:05:00", 102L),
+      (1L, "2024-01-01 10:10:00", 103L)
+    ).toDF("user_id", "ts", "touch_id")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val conv = Seq((1L, "2024-01-01 11:00:00", 9L, -10.01))
+      .toDF("user_id", "cts", "conv_id", "value")
+      .withColumn("cts", col("cts").cast("timestamp"))
+    val out = graft.extensions.Attribution.linearByPosition(
+      touches, conv, "user_id", "ts", "touch_id", "cts", "conv_id", "value",
+      windowSeconds = 7200L)
+      .select("position", "credit_micro").as[(String, Long)].collect().toMap
+    assert(out("first") === -3336667L)
+    assert(out("middle") === -3336667L)
+    assert(out("last") === -3336667L)
+  }
+}

@@ -19,18 +19,28 @@ import org.apache.spark.sql.functions._
 object ScaleBench {
 
   private val scaleDir = "/root/repo/target/scale10"
+  private val scale30Dir = "/root/repo/target/scale30"
 
-  private def build10x(spark: SparkSession, sfDir: String): Unit = {
+  /** N disjoint-vocabulary copies of the documents table (per-copy token
+    * prefix c$k — see the object scaladoc for why verbatim copies would
+    * measure fixture combinatorics, not the engine).
+    */
+  private def buildDocsNx(spark: SparkSession, sfDir: String, outDir: String,
+      copies: Int): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val docs10 = (0 until 10).map { k =>
+    val docsN = (0 until copies).map { k =>
       val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
       docs.select(
         (col("doc_id") + lit(k * 1000000L)).as("doc_id"),
         concat(lit(s"c$k"), regexp_replace(norm, " ", s" c$k")).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
-    docs10.repartition(32).write.mode("overwrite")
-      .parquet(s"$scaleDir/documents.parquet")
+    docsN.repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+  }
+
+  private def build10x(spark: SparkSession, sfDir: String): Unit = {
+    buildDocsNx(spark, sfDir, scaleDir, 10)
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val dim = embs.select(size(col("embedding"))).head().getInt(0)
     val embs10 = (0 until 10).map { k =>
@@ -74,6 +84,34 @@ object ScaleBench {
     }
   }
 
+  /** Second-decade mode (`runMain … ScaleBench <sfDir> 30x`): times ONLY
+    * the two worst-growing composites — h16 (end-to-end corpus dedup) and
+    * h23 (transitive dedup clusters), both ~4-5× per 10× in the 10× runs —
+    * on a 30× disjoint-vocabulary corpus, to confirm the O(n log n)-ish
+    * trajectory holds for another decade (a candidate-pair or CC-round
+    * blow-up would bend these superlinear well before 100 TB).
+    */
+  private def run30x(spark: SparkSession, sfDir: String): Unit = {
+    if (!new java.io.File(s"$scale30Dir/documents.parquet").exists())
+      buildDocsNx(spark, sfDir, scale30Dir, 30)
+    spark.read.parquet(s"$scale30Dir/documents.parquet")
+      .selectExpr("count(*)").collect()
+    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val js = Seq("h16_dedup_corpus_keep", "h23_dedup_clusters").map { n =>
+      def once(dir: String): Double = {
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(n)(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t1 = math.min(once(sfDir), once(sfDir))
+      val t30 = math.min(once(scale30Dir), once(scale30Dir))
+      println(s"[scale] $n sf0.1=${f3(t1)}s 30x=${f3(t30)}s ratio=${f3(t30 / t1)}")
+      s""""${n.takeWhile(_ != '_')}":{"base":${f3(t1)},"x30":${f3(t30)},"ratio":${f3(t30 / t1)}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale30","queries":$js}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -83,6 +121,11 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.lift(1).contains("30x")) {
+      run30x(spark, sfDir)
+      spark.stop()
+      return
+    }
     if (!new java.io.File(s"$scaleDir/documents.parquet").exists())
       build10x(spark, sfDir)
     if (!new java.io.File(s"$scaleDir/lineitem.parquet").exists())
