@@ -568,4 +568,28 @@ class PlanSpec extends SparkSpec {
         assert(spec.contains("_rk_pid"), s"$name window not pid-anchored: $spec"))
     }
   }
+
+  test("h89: the three RFM rankings are FUSED — exactly one range exchange") {
+    // round 7 replaced three sequential two-phase ranking passes with one
+    // union-tagged pass (metric, sort_value, entity). The executed physical
+    // plan must carry exactly ONE materialized range Exchange (the offsets
+    // subtree reuses it — ReusedExchange/AQE stage reuse, not a second
+    // sampling): two or more means someone un-fused the metrics back into
+    // chained passes and reintroduced ~8 stages of sampling-job latency.
+    val df = qdf("h89_rfm_segments")
+    df.collect()
+    val fin = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    // REPARTITION_BY_COL = the ranking's explicit repartitionByRange (the
+    // output-order sort exchange is ENSURE_REQUIREMENTS — not counted).
+    // All mentions (original + ReusedExchange) must share ONE plan_id.
+    val p = fin.toString
+    val ids = "Exchange rangepartitioning\\([^)]*\\), REPARTITION_BY_COL, \\[plan_id=(\\d+)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(ids.nonEmpty, s"no ranking range exchange found:\n$p")
+    assert(ids.distinct.size == 1,
+      s"expected ONE fused ranking exchange, got plan_ids $ids:\n$p")
+  }
 }
