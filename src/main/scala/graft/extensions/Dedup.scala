@@ -277,10 +277,28 @@ object Dedup {
     // (2)+(3) LSH candidates among representatives, exact-Jaccard verified
     val verified = verifiedNearDupPairs(reps, idCol, textCol, minJaccard,
       numHashes, bands, persistShingles = persistIntermediate)
-    // (4) greedy keep: drop the larger id of each verified near-dup pair
-    reps.select(col(idCol))
-      .join(verified.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+    dedupCorpusFromPairs(reps, verified, idCol)
   }
+
+  /** Step 4 of [[dedupCorpus]] as standalone API: the greedy keep-list from
+    * an ALREADY-MATERIALIZED verified-pair table (id_a < id_b). This is the
+    * production decomposition the [[dedupCorpus]]/[[incrementalDedup]]
+    * scaladocs describe — signatures and verified pairs materialized once
+    * per run into tables, every downstream consumer (keep-list, clusters,
+    * graph analytics) reading them — made callable directly.
+    */
+  def dedupCorpusFromPairs(reps: DataFrame, verifiedPairs: DataFrame,
+      idCol: String): DataFrame =
+    reps.select(col(idCol))
+      .join(verifiedPairs.select(col("id_b").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+
+  /** [[dedupClusters]]' clustering stage from an already-materialized
+    * verified-pair table — see [[dedupCorpusFromPairs]].
+    */
+  def dedupClustersFromPairs(verifiedPairs: DataFrame, idCol: String): DataFrame =
+    connectedComponents(verifiedPairs, "id_a", "id_b")
+      .select(col("id").as(idCol), col("comp").as("cluster_rep"))
 
   /** Incremental dedup — the daily-ingest companion to [[dedupCorpus]]:
     * admit only those `incoming` docs that are neither exact nor verified
@@ -565,8 +583,7 @@ object Dedup {
       minJaccard: Double = 0.5, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val reps = exactReps(docs, idCol, textCol)
     val pairs = verifiedNearDupPairs(reps, idCol, textCol, minJaccard, numHashes, bands)
-    connectedComponents(pairs, "id_a", "id_b")
-      .select(col("id").as(idCol), col("comp").as("cluster_rep"))
+    dedupClustersFromPairs(pairs, idCol)
   }
 
   /** Benchmark decontamination — the pass an LLM data pipeline runs before

@@ -4,11 +4,18 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** THE near-dup pair graph — the one SimHash construction
-  * ([[graft.extensions.Dedup.simhashNearDupPairs]] at maxHamming=2,
-  * bands=4, sigBits=32 over `documents`) consumed by four declared queries:
-  * h65 (PageRank), h66 (label propagation), h67 (triangles), h78 (weighted
-  * PageRank).
+/** The shared near-dup constructions over `documents`:
+  *
+  *   - [[pairs]]: THE SimHash pair graph
+  *     ([[graft.extensions.Dedup.simhashNearDupPairs]] at maxHamming=2,
+  *     bands=4, sigBits=32) consumed by four declared queries: h65
+  *     (PageRank), h66 (label propagation), h67 (triangles), h78 (weighted
+  *     PageRank).
+  *   - [[verifiedPairs]]: THE MinHash+LSH→exact-Jaccard verified pair table
+  *     ([[graft.extensions.Dedup.verifiedNearDupPairs]] over
+  *     [[graft.extensions.Dedup.exactReps]] at minJaccard=0.5, 16 hashes,
+  *     4 bands) consumed by h16 (greedy keep-list) and h23 (transitive
+  *     clusters).
   *
   * By default every call builds the graph from scratch — each query stays a
   * self-contained plan, which is what the correctness gate and the plan-shape
@@ -29,14 +36,17 @@ object DupGraph {
 
   @volatile private var materialize = false
   private val memo = new ConcurrentHashMap[String, DataFrame]()
+  private val memoVerified = new ConcurrentHashMap[String, DataFrame]()
 
-  /** Opt this process into one-shot graph materialization (Bench). */
+  /** Opt this process into one-shot construction materialization (Bench). */
   def enableMaterialization(): Unit = { materialize = true }
 
-  /** Drop cached graphs (blocks are freed by ContextCleaner once the RDDs
-    * are unreferenced) and return to build-per-call.
+  /** Drop cached constructions (blocks are freed by ContextCleaner once the
+    * RDDs are unreferenced) and return to build-per-call.
     */
-  def reset(): Unit = { memo.clear(); materialize = false }
+  def reset(): Unit = {
+    memo.clear(); memoVerified.clear(); materialize = false
+  }
 
   /** The standard near-dup pair graph (id_a, id_b, hamming) for `dir`'s
     * documents table — built per call, or built-once-and-shared after
@@ -51,5 +61,26 @@ object DupGraph {
     // pair RDD and pins it; a cancelled first job just defers the pin to the
     // next action. ~pair-count rows (1292 at sf0.1), trivially memory-safe.
     else memo.computeIfAbsent(dir, _ => build().localCheckpoint(false))
+  }
+
+  /** The standard verified near-dup pair table (id_a, id_b) for `dir`'s
+    * documents — [[graft.extensions.Dedup.verifiedNearDupPairs]] over the
+    * exact-collapse representatives at the declared-query parameters
+    * (minJaccard=0.5, 16 MinHashes, 4 bands). Built per call, or
+    * built-once-and-shared after [[enableMaterialization]] — the
+    * "materialize the verified-pair table, then run keep-list AND
+    * clustering from it" posture named in the dedupCorpus scaladoc,
+    * exposed through [[graft.extensions.Dedup.dedupCorpusFromPairs]] /
+    * dedupClustersFromPairs.
+    */
+  def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    def build(): DataFrame = {
+      val docs = graft.Tables.documents(s, dir)
+      graft.extensions.Dedup.verifiedNearDupPairs(
+        graft.extensions.Dedup.exactReps(docs, "doc_id", "text"),
+        "doc_id", "text", minJaccard = 0.5, numHashes = 16, bands = 4)
+    }
+    if (!materialize) build()
+    else memoVerified.computeIfAbsent(dir, _ => build().localCheckpoint(false))
   }
 }

@@ -544,8 +544,12 @@ object GroupH {
       |ORDER BY r.doc_id""".stripMargin) { (s, d) =>
     // no persistIntermediate: for a ONE-SHOT run, persist materializes reps
     // serially before any consumer starts (measured ~3x slower cold); the
-    // knob pays off only when the dedup plan is executed repeatedly
-    Dedup.dedupCorpus(Tables.documents(s, d), "doc_id", "text", minJaccard = 0.5)
+    // knob pays off only when the dedup plan is executed repeatedly.
+    // The verified-pair table routes through DupGraph so Bench can opt
+    // into building it once for h16 AND h23 (identical plan by default).
+    Dedup.dedupCorpusFromPairs(
+        Dedup.exactReps(Tables.documents(s, d), "doc_id", "text"),
+        DupGraph.verifiedPairs(s, d), "doc_id")
       .orderBy("doc_id")
   }
 
@@ -836,7 +840,7 @@ object GroupH {
       |SELECT u AS doc_id, least(u, min(v)) AS cluster_rep
       |FROM reach GROUP BY u
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    Dedup.dedupClusters(Tables.documents(s, d), "doc_id", "text", minJaccard = 0.5)
+    Dedup.dedupClustersFromPairs(DupGraph.verifiedPairs(s, d), "doc_id")
       .orderBy("doc_id")
   }
 

@@ -51,6 +51,30 @@ class Round7Spec extends SparkSpec {
     } finally DupGraph.reset()
   }
 
+  test("DupGraph: materialized verified-pair table matches, and h16/h23 agree with the monolithic ops") {
+    import graft.extensions.Dedup
+    val docs = Tables.documents(spark, sf)
+    val direct = DupGraph.verifiedPairs(spark, sf).collect().toSet
+    DupGraph.enableMaterialization()
+    try {
+      val cached = DupGraph.verifiedPairs(spark, sf)
+      assert(cached eq DupGraph.verifiedPairs(spark, sf))
+      assert(cached.collect().toSet === direct)
+      // the decomposed FromPairs path (what h16/h23 now run) produces the
+      // same rows as the original monolithic operators
+      val keepDecomposed = graft.queries.GroupH.h16.run(spark, sf)
+        .collect().toSet
+      val keepMonolithic = Dedup.dedupCorpus(docs, "doc_id", "text",
+        minJaccard = 0.5).orderBy("doc_id").collect().toSet
+      assert(keepDecomposed === keepMonolithic)
+      val clustersDecomposed = graft.queries.GroupH.h23.run(spark, sf)
+        .collect().toSet
+      val clustersMonolithic = Dedup.dedupClusters(docs, "doc_id", "text",
+        minJaccard = 0.5).orderBy("doc_id").collect().toSet
+      assert(clustersDecomposed === clustersMonolithic)
+    } finally DupGraph.reset()
+  }
+
   test("Quality.check rejects injectable or duplicate rule ids") {
     val df = Seq((1, "x")).toDF("v", "s")
     intercept[IllegalArgumentException] {
