@@ -84,12 +84,14 @@ object ScaleBench {
     }
   }
 
-  /** Second-decade mode (`runMain … ScaleBench <sfDir> 30x`): times ONLY
-    * the two worst-growing composites — h16 (end-to-end corpus dedup) and
-    * h23 (transitive dedup clusters), both ~4-5× per 10× in the 10× runs —
-    * on a 30× disjoint-vocabulary corpus, to confirm the O(n log n)-ish
-    * trajectory holds for another decade (a candidate-pair or CC-round
-    * blow-up would bend these superlinear well before 100 TB).
+  /** Second-decade mode (`runMain … ScaleBench <sfDir> 30x`): times the
+    * data-bound dedup composites — h16 (end-to-end corpus dedup) and h23
+    * (transitive clusters), the two worst growers at ~4-5× per 10×, plus
+    * h41 (SimHash banding) and h6 (exact Jaccard verify), the other two
+    * pillars whose cost grows with the corpus — on a 30× disjoint-
+    * vocabulary corpus, to confirm the O(n log n)-ish trajectory holds for
+    * another decade (a candidate-pair or CC-round blow-up would bend these
+    * superlinear well before 100 TB).
     */
   private def run30x(spark: SparkSession, sfDir: String): Unit = {
     if (!new java.io.File(s"$scale30Dir/documents.parquet").exists())
@@ -97,7 +99,8 @@ object ScaleBench {
     spark.read.parquet(s"$scale30Dir/documents.parquet")
       .selectExpr("count(*)").collect()
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val js = Seq("h16_dedup_corpus_keep", "h23_dedup_clusters").map { n =>
+    val js = Seq("h16_dedup_corpus_keep", "h23_dedup_clusters",
+      "h41_simhash_near_dup", "h6_ngram_jaccard").map { n =>
       def once(dir: String): Double = {
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(n)(spark, dir)
