@@ -75,6 +75,38 @@ class Round7Spec extends SparkSpec {
     } finally DupGraph.reset()
   }
 
+  test("rfmSegments degenerate inputs: fewer entities than buckets, heavy ties") {
+    // 3 entities, 5 buckets: ntile(5) gives buckets 1..3 (one row each);
+    // ties on every metric resolve by entity id (the unique total order)
+    val activity = Seq(
+      // entity 1: two txns, same amounts as entity 2 → tie on f and m
+      (1L, "2024-01-05", 10.0), (1L, "2024-01-08", 10.0),
+      (2L, "2024-01-05", 10.0), (2L, "2024-01-08", 10.0),
+      (3L, "2024-01-08", 30.0)
+    ).toDF("cust", "d", "amt")
+    val out = Segmentation.rfmSegments(activity, "cust", "d", "amt", "2024-01-10")
+      .orderBy("entity_id")
+      .select("entity_id", "recency_days", "frequency", "r_score", "f_score", "m_score")
+      .as[(Long, Int, Long, Int, Int, Int)].collect()
+    // recency: all last-active 01-08 → recency 2 for everyone; desc order
+    // ties → entity asc ⇒ ranks 1,2,3 ⇒ buckets 1,2,3
+    assert(out.map(_._2).toSeq === Seq(2, 2, 2))
+    assert(out.map(_._4).toSeq === Seq(1, 2, 3))
+    // frequency: (2,2,1) asc with id tiebreak ⇒ order 3,1,2 ⇒ buckets
+    // f(3)=1, f(1)=2, f(2)=3
+    assert(out.map(_._5).toSeq === Seq(2, 3, 1))
+    // monetary: (20,20,30) asc with id tiebreak ⇒ order 1,2,3
+    assert(out.map(_._6).toSeq === Seq(1, 2, 3))
+  }
+
+  test("rfmSegments single entity: all scores are bucket 1") {
+    val one = Seq((7L, "2024-01-01", 5.0)).toDF("cust", "d", "amt")
+    val out = Segmentation.rfmSegments(one, "cust", "d", "amt", "2024-01-02")
+      .select("entity_id", "r_score", "f_score", "m_score", "rfm")
+      .as[(Long, Int, Int, Int, Int)].collect()
+    assert(out.toSeq === Seq((7L, 1, 1, 1, 111)))
+  }
+
   test("Quality.check rejects injectable or duplicate rule ids") {
     val df = Seq((1, "x")).toDF("v", "s")
     intercept[IllegalArgumentException] {
