@@ -180,4 +180,44 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("rfmSegments fused ranking == driver-side ntile reference (generated activity)") {
+    // random activity tables with deliberate ties (few distinct amounts and
+    // dates) drive the fused union-rank path; a driver-side fold re-derives
+    // ntile(5) per metric from the standard bucket law
+    val txnGen = for {
+      ent <- Gen.choose(1L, 12L)
+      day <- Gen.choose(1, 28)
+      amt <- Gen.oneOf(5.0, 10.0, 10.0, 25.0) // repeated → monetary ties
+    } yield (ent, f"2024-01-$day%02d", amt)
+    check(Prop.forAll(Gen.nonEmptyListOf(txnGen)) { txns =>
+      val df = txns.toDF("cust", "d", "amt")
+      val got = graft.extensions.Segmentation
+        .rfmSegments(df, "cust", "d", "amt", "2024-02-01")
+        .select("entity_id", "r_score", "f_score", "m_score")
+        .as[(Long, Int, Int, Int)].collect()
+        .map { case (e, a, b, c) => e -> ((a, b, c)) }.toMap
+      // driver reference: aggregate, then ntile by the standard law
+      val agg = txns.groupBy(_._1).map { case (e, rows) =>
+        val rec = java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse(rows.map(_._2).max),
+          java.time.LocalDate.parse("2024-02-01")).toInt
+        val mon = BigDecimal(rows.map(_._3).sum).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)
+        (e, rec, rows.size.toLong, mon)
+      }.toSeq
+      val n = agg.size
+      def ntile(rank: Int): Int = {
+        val base = n / 5; val rem = n % 5; val cut = (base + 1) * rem
+        if (rank <= cut) (rank - 1) / (base + 1) + 1
+        else rem + (rank - cut - 1) / base + 1
+      }
+      def scores(sorted: Seq[Long]): Map[Long, Int] =
+        sorted.zipWithIndex.map { case (e, i) => e -> ntile(i + 1) }.toMap
+      val r = scores(agg.sortBy(a => (-a._2, a._1)).map(_._1))
+      val f = scores(agg.sortBy(a => (a._3, a._1)).map(_._1))
+      val m = scores(agg.sortBy(a => (a._4, a._1)).map(_._1))
+      agg.forall { case (e, _, _, _) => got(e) == ((r(e), f(e), m(e))) }
+    })
+  }
 }
