@@ -12,13 +12,13 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: the conversion value quantizes to exact cents with ONE
   * IEEE multiply (`floor(value·100 + 0.5)` — identical on identical
-  * doubles), each touch's credit is the exact integer FLOOR division of
-  * `cents·10⁴` by n_touches (micro-dollar units). Floor — not Spark
-  * `div`'s truncation-toward-zero — because the DuckDB oracle's `//`
-  * floors: for a NEGATIVE conversion value (a refund) truncation and
-  * floor differ by one micro-unit per touch, so the Spark side adjusts
-  * the truncated quotient down when the remainder is non-zero and the
-  * dividend negative. All sums are integer sums.
+  * doubles), each touch's credit is the exact integer division of
+  * `cents·10⁴` by n_touches (micro-dollar units). Both Spark's `div`
+  * and DuckDB's integer `//` truncate toward zero (verified empirically
+  * on duckdb 1.0.0: `SELECT CAST(-7 AS BIGINT) // CAST(2 AS BIGINT)`
+  * = -3, same as Spark `-7L div 2L`), so plain `div` matches the
+  * oracle exactly — including for NEGATIVE conversion values (refunds).
+  * All sums are integer sums.
   *
   * 100 TB posture: the touch×conversion pairing is
   * [[RangeJoin.bandedRangeJoin]] — user-key + time-bucket equi-join, never
@@ -55,12 +55,9 @@ object Attribution {
       .withColumn("_rk", row_number().over(
         w.orderBy(col(touchTs), col(touchId))))
       .withColumn("credit_micro",
-        // exact floor division (DuckDB `//` semantics): Spark `div`
-        // truncates toward zero, so negative refund values would disagree
-        // with the oracle by one micro-unit per touch; _n = count ≥ 1
-        expr("""(_cents * 10000) div _n
-               | - (CASE WHEN _cents < 0 AND (_cents * 10000) % _n != 0
-               |     THEN 1 ELSE 0 END)""".stripMargin))
+        // Spark `div` and DuckDB `//` both truncate toward zero, so this
+        // matches the oracle for negative (refund) values too; _n ≥ 1
+        expr("(_cents * 10000) div _n"))
       .withColumn("position",
         when(col("_rk") === 1, "first")
           .when(col("_rk") === col("_n"), "last")

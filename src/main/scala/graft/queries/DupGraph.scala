@@ -27,16 +27,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * banding four times. Bench opts in (round-7 change); Verify and the test
   * suites do not, so oracle comparisons always exercise the full build.
   *
-  * Lifecycle: the cache is process-scoped and keyed by data dir. Checkpoint
-  * blocks live until the SparkSession stops or the cached RDD is GC'd
-  * (Spark's ContextCleaner unpersists dropped RDDs); `reset()` drops the
-  * references for long-lived services.
+  * Lifecycle: the cache is process-scoped and keyed by data dir, but a
+  * cached DataFrame is bound to the SparkSession that built it — so each
+  * lookup validates `df.sparkSession eq s` and rebuilds on mismatch (a
+  * process that stops/recreates its session, or runs two sessions, never
+  * sees a DataFrame referencing a stopped context). Checkpoint blocks live
+  * until the SparkSession stops or the cached RDD is GC'd (Spark's
+  * ContextCleaner unpersists dropped RDDs); `reset()` drops the references
+  * for long-lived services.
   */
 object DupGraph {
 
   @volatile private var materialize = false
   private val memo = new ConcurrentHashMap[String, DataFrame]()
   private val memoVerified = new ConcurrentHashMap[String, DataFrame]()
+
+  /** Memoized build, revalidated against the live session: a hit built by a
+    * different (possibly stopped) SparkSession is discarded and rebuilt.
+    */
+  private def cachedFor(m: ConcurrentHashMap[String, DataFrame],
+      dir: String, s: SparkSession)(build: () => DataFrame): DataFrame =
+    m.compute(dir, (_, prev) =>
+      if (prev != null && (prev.sparkSession eq s)) prev
+      else build().localCheckpoint(false))
 
   /** Opt this process into one-shot construction materialization (Bench). */
   def enableMaterialization(): Unit = { materialize = true }
@@ -60,7 +73,7 @@ object DupGraph {
     // lazy checkpoint: the first action over the first consumer computes the
     // pair RDD and pins it; a cancelled first job just defers the pin to the
     // next action. ~pair-count rows (1292 at sf0.1), trivially memory-safe.
-    else memo.computeIfAbsent(dir, _ => build().localCheckpoint(false))
+    else cachedFor(memo, dir, s)(build)
   }
 
   /** The standard verified near-dup pair table (id_a, id_b) for `dir`'s
@@ -81,6 +94,6 @@ object DupGraph {
         "doc_id", "text", minJaccard = 0.5, numHashes = 16, bands = 4)
     }
     if (!materialize) build()
-    else memoVerified.computeIfAbsent(dir, _ => build().localCheckpoint(false))
+    else cachedFor(memoVerified, dir, s)(build)
   }
 }

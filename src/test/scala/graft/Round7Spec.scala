@@ -8,7 +8,8 @@ import graft.queries.DupGraph
 /** Round-7 tests: the fused single-pass RFM ranking, the shared near-dup
   * pair-graph materialization (Bench opt-in), and the round-7 ADVICE
   * hardenings — Quality rule-id validation, Ranking's exchange-reuse
-  * fail-fast, Attribution floor-division for negative conversion values.
+  * fail-fast, Attribution truncating division matching DuckDB `//` for
+  * negative conversion values (round-8: verified against the real DuckDB).
   */
 class Round7Spec extends SparkSpec {
   import spark.implicits._
@@ -134,10 +135,12 @@ class Round7Spec extends SparkSpec {
     assert(Ranking.globalRowNumber(df, Seq(col("k")), "rn").count() === 2)
   }
 
-  test("Attribution credit uses floor division (negative refund values)") {
-    // one conversion of -10.01 across 3 touches: cents=-1001,
-    // -1001*10000 // 3 = floor(-3336666.67) = -3336667 per touch
-    // (truncation would give -3336666 — one micro-unit higher)
+  test("Attribution credit truncates like DuckDB // (negative refund values)") {
+    // DuckDB 1.0.0 integer `//` truncates toward zero, exactly like Spark
+    // `div` (verified: SELECT CAST(-7 AS BIGINT) // CAST(2 AS BIGINT) = -3).
+    // One conversion of -10.01 across 3 touches: cents=-1001,
+    // (-1001*10000) div 3 = -3336666 per touch (floor would give -3336667 —
+    // one micro-unit lower, and would DIVERGE from the oracle).
     val touches = Seq(
       (1L, "2024-01-01 10:00:00", 101L),
       (1L, "2024-01-01 10:05:00", 102L),
@@ -151,8 +154,57 @@ class Round7Spec extends SparkSpec {
       touches, conv, "user_id", "ts", "touch_id", "cts", "conv_id", "value",
       windowSeconds = 7200L)
       .select("position", "credit_micro").as[(String, Long)].collect().toMap
-    assert(out("first") === -3336667L)
-    assert(out("middle") === -3336667L)
-    assert(out("last") === -3336667L)
+    assert(out("first") === -3336666L)
+    assert(out("middle") === -3336666L)
+    assert(out("last") === -3336666L)
+  }
+
+  test("h93 Spark output == DuckDB h93 oracle SQL on a negative-value row") {
+    // The sf data has no negative purchase values (min 0.01), so the driver
+    // gate can never exercise the refund path; this test runs the REAL h93
+    // oracle SQL through the actual DuckDB binary over a tiny events table
+    // that includes a -10.01 refund, and compares per-position credit.
+    import scala.sys.process._
+    val haveDuck = try {
+      Seq("python3", "-c", "import duckdb").! == 0
+    } catch { case _: java.io.IOException => false }
+    assume(haveDuck, "python3 + duckdb not available in this environment")
+
+    val dir = java.nio.file.Files.createTempDirectory("h93oracle").toString
+    // events schema: event_id, ts, user_id, event_type, value, props
+    Seq(
+      (101L, "2024-01-01 10:00:00", 1L, "click", 0.0, ""),
+      (102L, "2024-01-01 10:05:00", 1L, "click", 0.0, ""),
+      (103L, "2024-01-01 10:10:00", 1L, "click", 0.0, ""),
+      (9L,   "2024-01-01 11:00:00", 1L, "purchase", -10.01, ""),
+      (201L, "2024-01-02 09:00:00", 2L, "click", 0.0, ""),
+      (8L,   "2024-01-02 09:30:00", 2L, "purchase", 25.37, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val h93 = graft.queries.GroupH12.h93
+    val got = h93.run(spark, dir)
+      .select("position", "n_touches", "credit_micro")
+      .as[(String, Long, Long)].collect().toSeq.sorted
+
+    val sqlFile = java.nio.file.Files.createTempFile("h93", ".sql")
+    java.nio.file.Files.writeString(sqlFile, h93.oracle.get)
+    val py =
+      s"""import duckdb
+         |con = duckdb.connect()
+         |con.execute("CREATE VIEW events AS SELECT * FROM "
+         |            "parquet_scan('$dir/events.parquet/*.parquet')")
+         |sql = open('$sqlFile').read()
+         |for r in con.execute(sql).fetchall():
+         |    print('%s,%d,%d' % (r[0], r[1], r[2]))
+         |""".stripMargin
+    val want = Seq("python3", "-c", py).!!.trim.split("\n").toSeq
+      .map { l =>
+        val Array(p, n, c) = l.split(","); (p, n.toLong, c.toLong) }
+      .sorted
+    assert(got === want)
+    // and the refund credit is the truncated quotient, summing exactly
+    assert(got.map(_._3).sum === -3336666L * 3 + (2537L * 10000L))
   }
 }
