@@ -322,55 +322,117 @@ object Dedup {
     * signature/fingerprint tables bucketed by (band, bucket) and reused —
     * the bucket join then touches only buckets the new batch occupies, and
     * the Jaccard verify touches only candidate pairs' shingle rows (cost ∝
-    * batch size, never corpus size). The local formulation recomputes the
-    * existing side for self-containment; the plan shapes are identical.
+    * batch size, never corpus size). That decomposition is now the real
+    * implementation: this method just builds [[corpusIndex]] inline and
+    * delegates to [[incrementalDedupFromIndex]] — callers that own a
+    * materialized index (see [[graft.queries.DupGraph.h61CorpusIndex]])
+    * call the latter directly and skip every corpus-sized recomputation.
     *
     * Output: admitted incoming doc ids.
     */
   def incrementalDedup(existing: DataFrame, incoming: DataFrame, idCol: String,
       textCol: String, minJaccard: Double = 0.5, numHashes: Int = 16,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4): DataFrame =
+    incrementalDedupFromIndex(
+      corpusIndex(existing, idCol, textCol, numHashes, bands),
+      incoming, idCol, textCol, minJaccard, numHashes, bands)
+
+  /** The existing-corpus side tables of [[incrementalDedup]] — exactly the
+    * three relations a production pipeline MATERIALIZES once per corpus
+    * (bucketed by their join keys) and reuses across every daily batch:
+    *   - `fingerprints`: distinct normalized-content md5s (exact layer);
+    *   - `bandRows`: (id, band, bucket) LSH band rows of the MinHash
+    *     signatures (candidate generation);
+    *   - `shingles`: distinct (doc, xxhash64(shingle)) rows (exact-Jaccard
+    *     verify);
+    *   - `sizes`: per-doc distinct-shingle counts (the Jaccard denominator
+    *     — derivable from `shingles`, carried so the steady-state run pays
+    *     no corpus-sized groupBy).
+    * All are per-doc constructions, so building them for the corpus and the
+    * batch separately is row-identical to building them over the union —
+    * which is why [[incrementalDedup]] simply delegates here.
+    */
+  final case class CorpusIndex(fingerprints: DataFrame, bandRows: DataFrame,
+      shingles: DataFrame, sizes: DataFrame)
+
+  /** Build [[CorpusIndex]] for `existing` — one corpus scan feeding three
+    * scan-side constructions (normalize+md5, MinHash banding, shingle
+    * hashing); each output is ∝ corpus size with bounded row width.
+    */
+  def corpusIndex(existing: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4): CorpusIndex = {
     require(bands > 0 && numHashes % bands == 0,
       s"bands ($bands) must evenly divide numHashes ($numHashes)")
-    // (1) exact layer: within-batch collapse (X1 groupBy-min), then drop
-    // batch reps whose content fingerprint already exists in the corpus
-    val inReps = exactReps(incoming, idCol, textCol)
-    val exFp = existing
-      .select(md5(TextOps.normalized(col(textCol))).as("__fp")).distinct()
-    val fresh = inReps
-      .withColumn("__fp", md5(TextOps.normalized(col(textCol))))
-      .join(exFp, Seq("__fp"), "left_anti")
-      .drop("__fp")
-    // (2) near-dup layer over the union, with a precedence flag: existing
-    // docs (ord 0) dominate every fresh doc (ord 1)
-    val u = existing.select(col(idCol), col(textCol), lit(0).as("__ord"))
-      .unionByName(fresh.select(col(idCol), col(textCol), lit(1).as("__ord")))
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignatures(u, idCol, textCol, numHashes)
+    val fp = existing
+      .select(md5(TextOps.normalized(col(textCol))).as("__fp")).distinct()
+    val sig = minhashSignatures(existing, idCol, textCol, numHashes)
     val bucketCols = (0 until bands).map { b =>
       md5(concat((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
     }
     val bandRows = sig
       .select(col(idCol).as("id"), posexplode(array(bucketCols: _*)))
       .toDF("id", "band", "bucket")
-      .join(u.select(col(idCol).as("id"), col("__ord")), "id")
+    val sh = existing
+      .select(col(idCol).as("doc"),
+        explode(TextOps.shingles3(TextOps.tokens(col(textCol)))).as("sh"))
+      .select(col("doc"), xxhash64(col("sh")).as("sh"))
+      .distinct()
+    CorpusIndex(fp, bandRows, sh, sh.groupBy("doc").agg(count(lit(1)).as("n")))
+  }
+
+  /** [[incrementalDedup]] against an ALREADY-MATERIALIZED [[CorpusIndex]] —
+    * the steady-state shape of the daily run: every corpus-sized input is a
+    * table read, all per-run work (batch fingerprints/signatures/shingles,
+    * bucket join, candidate verify) is ∝ batch size. `numHashes`/`bands`
+    * must match the values the index was built with (band-row shape).
+    */
+  def incrementalDedupFromIndex(index: CorpusIndex, incoming: DataFrame,
+      idCol: String, textCol: String, minJaccard: Double = 0.5,
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must evenly divide numHashes ($numHashes)")
+    // (1) exact layer: within-batch collapse (X1 groupBy-min), then drop
+    // batch reps whose content fingerprint already exists in the corpus
+    val inReps = exactReps(incoming, idCol, textCol)
+    val fresh = inReps
+      .withColumn("__fp", md5(TextOps.normalized(col(textCol))))
+      .join(index.fingerprints, Seq("__fp"), "left_anti")
+      .drop("__fp")
+    // (2) near-dup layer: corpus band rows (ord 0) dominate every fresh
+    // doc's band rows (ord 1); domination order is (ord, id)
+    val rowsPerBand = numHashes / bands
+    val sig = minhashSignatures(fresh, idCol, textCol, numHashes)
+    val bucketCols = (0 until bands).map { b =>
+      md5(concat((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
+    }
+    val bandRows = index.bandRows.withColumn("__ord", lit(0))
+      .unionByName(sig
+        .select(col(idCol).as("id"), posexplode(array(bucketCols: _*)))
+        .toDF("id", "band", "bucket")
+        .withColumn("__ord", lit(1)))
     val a = bandRows.select(col("id").as("id_a"), col("band"), col("bucket"),
       col("__ord").as("ord_a"))
     val b = bandRows.select(col("id").as("id_b"), col("band"), col("bucket"),
       col("__ord").as("ord_b"))
-    // only fresh docs can be dominated; domination order is (ord, id)
+    // only fresh docs can be dominated
     val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("ord_b") === 1 &&
         struct(col("ord_a"), col("id_a")) < struct(col("ord_b"), col("id_b")))
       .select("id_a", "id_b")
       .distinct()
-    // (3) exact-Jaccard verify on candidates only (the h6/h16 shape)
-    val ds = u
+    // (3) exact-Jaccard verify on candidates only (the h6/h16 shape); ids
+    // are unique across corpus and batch, so the per-side distincts union
+    // to exactly the union's distinct, and per-side size tables union to
+    // the union's groupBy — no corpus-sized groupBy in the steady state
+    val freshSh = fresh
       .select(col(idCol).as("doc"),
         explode(TextOps.shingles3(TextOps.tokens(col(textCol)))).as("sh"))
       .select(col("doc"), xxhash64(col("sh")).as("sh"))
       .distinct()
-    val sizes = ds.groupBy("doc").agg(count(lit(1)).as("n"))
+    val ds = index.shingles.unionByName(freshSh)
+    val sizes = index.sizes.unionByName(
+      freshSh.groupBy("doc").agg(count(lit(1)).as("n")))
     val inter = cand
       .join(ds.toDF("id_a", "sh"), "id_a")
       .join(ds.toDF("id_b", "sh"), Seq("id_b", "sh"))

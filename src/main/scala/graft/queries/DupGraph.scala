@@ -16,6 +16,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     [[graft.extensions.Dedup.exactReps]] at minJaccard=0.5, 16 hashes,
   *     4 bands) consumed by h16 (greedy keep-list) and h23 (transitive
   *     clusters).
+  *   - [[h61CorpusIndex]]: h61's declared "existing corpus"
+  *     (documents with even doc_id) as a
+  *     [[graft.extensions.Dedup.CorpusIndex]] — the fingerprint / LSH
+  *     band-row / shingle tables the incremental-dedup daily run reads
+  *     instead of re-scanning the accumulated corpus per batch.
   *
   * By default every call builds the graph from scratch — each query stays a
   * self-contained plan, which is what the correctness gate and the plan-shape
@@ -58,7 +63,7 @@ object DupGraph {
     * RDDs are unreferenced) and return to build-per-call.
     */
   def reset(): Unit = {
-    memo.clear(); memoVerified.clear(); materialize = false
+    memo.clear(); memoVerified.clear(); memoIndex.clear(); materialize = false
   }
 
   /** The standard near-dup pair graph (id_a, id_b, hamming) for `dir`'s
@@ -95,5 +100,34 @@ object DupGraph {
     }
     if (!materialize) build()
     else cachedFor(memoVerified, dir, s)(build)
+  }
+
+  private val memoIndex =
+    new ConcurrentHashMap[String, graft.extensions.Dedup.CorpusIndex]()
+
+  /** h61's existing-corpus index (documents with doc_id % 2 = 0, 16 hashes,
+    * 4 bands — the query's declared parameters): three corpus-sized tables
+    * ([[graft.extensions.Dedup.CorpusIndex]]) that a daily incremental-dedup
+    * pipeline materializes once per corpus. Built per call by default;
+    * built-once-and-shared (each table localCheckpoint'd) after
+    * [[enableMaterialization]].
+    */
+  def h61CorpusIndex(s: SparkSession, dir: String): graft.extensions.Dedup.CorpusIndex = {
+    def build(): graft.extensions.Dedup.CorpusIndex =
+      graft.extensions.Dedup.corpusIndex(
+        graft.Tables.documents(s, dir)
+          .filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+        "doc_id", "text", numHashes = 16, bands = 4)
+    if (!materialize) build()
+    else memoIndex.compute(dir, (_, prev) =>
+      if (prev != null && (prev.fingerprints.sparkSession eq s)) prev
+      else {
+        val idx = build()
+        graft.extensions.Dedup.CorpusIndex(
+          idx.fingerprints.localCheckpoint(false),
+          idx.bandRows.localCheckpoint(false),
+          idx.shingles.localCheckpoint(false),
+          idx.sizes.localCheckpoint(false))
+      })
   }
 }

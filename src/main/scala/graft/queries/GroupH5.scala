@@ -333,8 +333,11 @@ object GroupH5 {
       |WHERE NOT EXISTS (SELECT 1 FROM drop_ids d WHERE d.id_b = f.doc_id)
       |ORDER BY f.doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    graft.extensions.Dedup.incrementalDedup(
-      docs.filter(col("doc_id") % 2 === 0),
+    // existing-corpus side via the (optionally Bench-materialized) index —
+    // identical plan to incrementalDedup when built per call, and the
+    // documented materialize-once daily-run posture when Bench opts in
+    graft.extensions.Dedup.incrementalDedupFromIndex(
+      DupGraph.h61CorpusIndex(s, d),
       docs.filter(col("doc_id") % 2 === 1),
       "doc_id", "text", minJaccard = 0.5)
       .orderBy("doc_id")

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.extensions.Dedup
+import graft.queries.DupGraph
+
+/** Round-8 tests: the incremental-dedup corpus-index decomposition (h61's
+  * materialize-once posture), DupGraph's materialized ≡ per-call guarantee
+  * for the new index, and the stale-session rebuild guard on the memo.
+  */
+class Round8Spec extends SparkSpec {
+
+  private def evenDocs = Tables.documents(spark, sf)
+    .filter(col("doc_id") % 2 === 0)
+  private def oddDocs = Tables.documents(spark, sf)
+    .filter(col("doc_id") % 2 === 1)
+
+  test("incrementalDedupFromIndex(corpusIndex) == monolithic admit set") {
+    // incrementalDedup now delegates, so build the index EXPLICITLY here and
+    // assert the decomposed path admits exactly the same doc ids — guarding
+    // any future drift between corpusIndex and the inline construction
+    val idx = Dedup.corpusIndex(evenDocs, "doc_id", "text")
+    val viaIndex = Dedup.incrementalDedupFromIndex(
+        idx, oddDocs, "doc_id", "text", minJaccard = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    val direct = Dedup.incrementalDedup(
+        evenDocs, oddDocs, "doc_id", "text", minJaccard = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaIndex === direct)
+    assert(viaIndex.nonEmpty)
+    // every admitted id is an incoming (odd) id
+    assert(viaIndex.forall(_ % 2 == 1))
+  }
+
+  test("h61 materialized corpus index == per-call build") {
+    val perCall = queries.GroupH5.h61.run(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    DupGraph.reset()
+    DupGraph.enableMaterialization()
+    try {
+      val mat = queries.GroupH5.h61.run(spark, sf)
+        .collect().map(_.getLong(0)).toSeq
+      // second call must hit the memo (same checkpointed tables) and agree
+      val mat2 = queries.GroupH5.h61.run(spark, sf)
+        .collect().map(_.getLong(0)).toSeq
+      assert(mat === perCall)
+      assert(mat2 === perCall)
+    } finally DupGraph.reset()
+  }
+
+  test("DupGraph memo rebuilds for a different SparkSession") {
+    DupGraph.reset()
+    DupGraph.enableMaterialization()
+    try {
+      val a = DupGraph.pairs(spark, sf)
+      assert(a.sparkSession eq spark)
+      // a cloned session is a DIFFERENT session object over the same
+      // context — the memo must not hand back a's DataFrame
+      val s2 = spark.newSession()
+      val b = DupGraph.pairs(s2, sf)
+      assert(b.sparkSession eq s2)
+      // and the rebuilt entry is now the cached one for s2
+      assert(DupGraph.pairs(s2, sf) eq b)
+      val idxA = DupGraph.h61CorpusIndex(spark, sf)
+      assert(idxA.fingerprints.sparkSession eq spark)
+      val idxB = DupGraph.h61CorpusIndex(s2, sf)
+      assert(idxB.fingerprints.sparkSession eq s2)
+    } finally DupGraph.reset()
+  }
+}
