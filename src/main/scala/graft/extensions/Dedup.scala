@@ -61,26 +61,49 @@ object Dedup {
         (col("doc_id") === col("keeper")).as("kept"))
   }
 
+  /** The exploded 3-gram shingle relation (`idCol`[, carried cols],
+    * `shingle`) every shingle-based construction starts from — tokenize +
+    * shingle + explode, pure scan-side codegen work with zero shuffle. In a
+    * production pipeline this is the table you MATERIALIZE once per corpus
+    * (it is the most expensive shared prefix of the MinHash signature pass
+    * and the exact-Jaccard verify, both of which re-run the regex tokenizer
+    * if built from raw text) — [[graft.queries.DupGraph.shingleRows]] does
+    * exactly that for the declared queries under Bench's opt-in. Docs with
+    * <3 tokens produce no rows (no shingle is defined for them), matching
+    * the monolithic forms.
+    */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String,
+      carryCols: Seq[String] = Nil): DataFrame =
+    docs.select(col(idCol) +: carryCols.map(col) :+
+      explode(TextOps.shingles3(TextOps.tokens(col(textCol)))).as("shingle"): _*)
+
   /** MinHash signatures: `numHashes` min-hash values per doc from 3-gram
     * word shingles. Docs with <3 tokens have no shingles and are excluded
-    * (no signature is defined for them).
-    *
-    * Shape: explode shingles to rows, hash each shingle `numHashes` ways in
-    * ONE projection, then `groupBy(doc).agg(min...)`. Tokenize+shingle runs
-    * exactly once per document (a column-per-hash formulation would let
-    * CollapseProject inline the shingle expression into every minhash column
-    * — numHashes× recomputation of the regex tokenizer). The aggregate is
-    * map-side partial, so only 16 values per doc per partition shuffle —
-    * linear scan cost at 100 TB.
+    * (no signature is defined for them). Delegates to
+    * [[minhashSignaturesFromShingles]] over [[shingleRows]], so the
+    * monolithic and materialized-shingle paths cannot drift.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16): DataFrame =
+    minhashSignaturesFromShingles(shingleRows(docs, idCol, textCol), idCol,
+      numHashes)
+
+  /** [[minhashSignatures]] from an ALREADY-BUILT shingle relation
+    * (`idCol`, `shingle` [, others — ignored]).
+    *
+    * Shape: hash each shingle `numHashes` ways in ONE projection, then
+    * `groupBy(doc).agg(min...)`. Tokenize+shingle runs exactly once per
+    * document (a column-per-hash formulation would let CollapseProject
+    * inline the shingle expression into every minhash column — numHashes×
+    * recomputation of the regex tokenizer). The aggregate is map-side
+    * partial, so only 16 values per doc per partition shuffle — linear
+    * scan cost at 100 TB.
+    */
+  def minhashSignaturesFromShingles(rows: DataFrame, idCol: String,
       numHashes: Int = 16): DataFrame = {
-    val shingleRows = docs.select(
-      col(idCol),
-      explode(TextOps.shingles3(TextOps.tokens(col(textCol)))).as("__shingle"))
     val mins = (0 until numHashes).map(k =>
-      min(md5(concat(lit(s"$k:"), col("__shingle")))).as(s"mh$k"))
-    shingleRows.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      min(md5(concat(lit(s"$k:"), col("shingle")))).as(s"mh$k"))
+    rows.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding: hash `rowsPerBand` consecutive signature values per band;
@@ -90,12 +113,20 @@ object Dedup {
     * subplan per branch).
     */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4): DataFrame =
+    lshCandidatePairsFromShingles(shingleRows(docs, idCol, textCol), idCol,
+      numHashes, bands)
+
+  /** [[lshCandidatePairs]] from an already-built shingle relation — the
+    * h5 surface over a materialized shingle table (see [[shingleRows]]).
+    */
+  def lshCandidatePairsFromShingles(rows: DataFrame, idCol: String,
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
     require(bands > 0 && numHashes % bands == 0,
       s"bands ($bands) must evenly divide numHashes ($numHashes); " +
         "otherwise trailing signature values are silently ignored")
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignatures(docs, idCol, textCol, numHashes)
+    val sig = minhashSignaturesFromShingles(rows, idCol, numHashes)
     val bucketCols = (0 until bands).map { b =>
       md5(concat((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
     }
@@ -219,19 +250,26 @@ object Dedup {
     * Returned similarity is rounded to 4dp for cross-engine stability.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, minJaccard: Double): DataFrame =
+    ngramJaccardPairsFromShingles(
+      shingleRows(docs, idCol, textCol, carryCols = Seq(blockCol)),
+      idCol, blockCol, minJaccard)
+
+  /** [[ngramJaccardPairs]] from an already-built shingle relation
+    * (`idCol`, `blockCol`, `shingle`) — the h6 surface over a materialized
+    * shingle table (see [[shingleRows]]).
+    */
+  def ngramJaccardPairsFromShingles(rows: DataFrame, idCol: String,
       blockCol: String, minJaccard: Double): DataFrame = {
-    val base = docs.select(col(idCol).as("doc"), col(blockCol).as("blk"),
-      TextOps.shingles3(TextOps.tokens(col(textCol))).as("sh"))
-      .filter(size(col("sh")) > 0)
     // Distinct (doc, shingle) rows — relational set representation. Shingles
     // are folded to 64-bit xxhash64 keys before the shuffle: set sizes and
     // intersections are identical (modulo 2^-64 collisions) while the
     // distinct + self-join shuffle moves 8-byte longs instead of ~20-byte
     // strings. The single physical exchange below `ds` is shared by all
     // three consumers (sizes + both join sides) via ReuseExchange.
-    val ds = base
-      .select(col("doc"), col("blk"), explode(col("sh")).as("shingle"))
-      .select(col("doc"), col("blk"), xxhash64(col("shingle")).as("shingle"))
+    val ds = rows
+      .select(col(idCol).as("doc"), col(blockCol).as("blk"),
+        xxhash64(col("shingle")).as("shingle"))
       .distinct()
     val sizes = ds.groupBy("doc").agg(count(lit(1)).as("n"))
     val inter = ds.toDF("doc_a", "blk", "shingle")

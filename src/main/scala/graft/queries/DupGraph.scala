@@ -21,6 +21,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     [[graft.extensions.Dedup.CorpusIndex]] — the fingerprint / LSH
   *     band-row / shingle tables the incremental-dedup daily run reads
   *     instead of re-scanning the accumulated corpus per batch.
+  *   - [[shingleRows]]: the exploded (doc_id, source, shingle) relation —
+  *     the shared tokenise+shingle prefix of h5 (MinHash+LSH candidates)
+  *     and h6 (exact n-gram Jaccard).
   *
   * By default every call builds the graph from scratch — each query stays a
   * self-contained plan, which is what the correctness gate and the plan-shape
@@ -63,7 +66,28 @@ object DupGraph {
     * RDDs are unreferenced) and return to build-per-call.
     */
   def reset(): Unit = {
-    memo.clear(); memoVerified.clear(); memoIndex.clear(); materialize = false
+    memo.clear(); memoVerified.clear(); memoIndex.clear()
+    memoShingles.clear(); materialize = false
+  }
+
+  private val memoShingles = new ConcurrentHashMap[String, DataFrame]()
+
+  /** The exploded (doc_id, source, shingle) 3-gram shingle relation over
+    * `dir`'s documents ([[graft.extensions.Dedup.shingleRows]]) — the
+    * shared scan-side prefix of h5 (MinHash banding re-hashes every shingle
+    * 16×) and h6 (exact-Jaccard distinct + self-join). Built per call by
+    * default; built-once-and-shared after [[enableMaterialization]] — the
+    * "tokenize/shingle the corpus once into a table, run every
+    * signature/verify pass from it" posture, the largest shared prefix a
+    * dedup pipeline materializes (at 100 TB this is a bucketed table, not
+    * a checkpoint).
+    */
+  def shingleRows(s: SparkSession, dir: String): DataFrame = {
+    def build(): DataFrame = graft.extensions.Dedup.shingleRows(
+      graft.Tables.documents(s, dir), "doc_id", "text",
+      carryCols = Seq("source"))
+    if (!materialize) build()
+    else cachedFor(memoShingles, dir, s)(build)
   }
 
   /** The standard near-dup pair graph (id_a, id_b, hamming) for `dir`'s

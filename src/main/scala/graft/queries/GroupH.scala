@@ -123,7 +123,11 @@ object GroupH {
       |FROM sig a JOIN sig b ON a.band = b.band AND a.bucket = b.bucket
       |  AND a.doc_id < b.doc_id
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-    Dedup.lshCandidatePairs(Tables.documents(s, d), "doc_id", "text")
+    // the shingle relation routes through DupGraph so Bench can opt into
+    // the materialize-once posture; per-call build (≡ the monolithic
+    // lshCandidatePairs) everywhere else
+    Dedup.lshCandidatePairsFromShingles(
+        DupGraph.shingleRows(s, d).select("doc_id", "shingle"), "doc_id")
       .orderBy("id_a", "id_b")
   }
 
@@ -153,7 +157,8 @@ object GroupH {
       |JOIN sizes sb ON doc_b = sb.doc_id
       |WHERE floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 10000 + 0.5) / 10000 >= 0.1
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", "source", 0.1)
+    Dedup.ngramJaccardPairsFromShingles(
+        DupGraph.shingleRows(s, d), "doc_id", "source", 0.1)
       .orderBy("doc_a", "doc_b")
   }
 

@@ -49,6 +49,49 @@ class Round8Spec extends SparkSpec {
     } finally DupGraph.reset()
   }
 
+  test("h5/h6 from-shingles decomposition == monolithic forms") {
+    val docs = Tables.documents(spark, sf)
+    val rows = Dedup.shingleRows(docs, "doc_id", "text",
+      carryCols = Seq("source"))
+    // h5 surface: candidates from the prebuilt shingle relation
+    val lshVia = Dedup.lshCandidatePairsFromShingles(
+        rows.select("doc_id", "shingle"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshDirect = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshVia === lshDirect)
+    assert(lshVia.nonEmpty)
+    // h6 surface: exact Jaccard from the same relation
+    val jacVia = Dedup.ngramJaccardPairsFromShingles(
+        rows, "doc_id", "source", 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val jacDirect = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        "source", 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(jacVia === jacDirect)
+    assert(jacVia.nonEmpty)
+  }
+
+  test("h5/h6 materialized shared shingle relation == per-call build") {
+    val h5PerCall = queries.GroupH.h5.run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val h6PerCall = queries.GroupH.h6.run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    DupGraph.reset()
+    DupGraph.enableMaterialization()
+    try {
+      val h5Mat = queries.GroupH.h5.run(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // second consumer must hit the SAME memoized relation and agree
+      val h6Mat = queries.GroupH.h6.run(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(h5Mat === h5PerCall)
+      assert(h6Mat === h6PerCall)
+      assert(DupGraph.shingleRows(spark, sf) eq
+        DupGraph.shingleRows(spark, sf))
+    } finally DupGraph.reset()
+  }
+
   test("DupGraph memo rebuilds for a different SparkSession") {
     DupGraph.reset()
     DupGraph.enableMaterialization()

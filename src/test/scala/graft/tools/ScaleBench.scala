@@ -115,6 +115,68 @@ object ScaleBench {
     println(s"""{"metric":"scale30","queries":$js}""")
   }
 
+  /** Materialized-construction second-decade mode (`… ScaleBench <sfDir>
+    * 30xmat`): the steady-state number a real cluster sees. The 30×
+    * per-query-build points (run30x) charge every consumer the full corpus
+    * scan + signature/banding build; a production pipeline materializes
+    * those constructions ONCE per corpus and runs all downstream analytics
+    * over the tables. This mode does exactly that — DupGraph
+    * materialization on, each shared construction prebuilt under its own
+    * timing against the 30× corpus, then the consumers timed steady-state:
+    * keep-list (h16), clustering (h23), the four graph analytics
+    * (h65/h66/h67/h78), incremental dedup (h61), MinHash banding (h5) and
+    * exact Jaccard (h6). Emits one JSON line with BOTH the one-time
+    * prebuild cost and the per-consumer steady-state times, so the
+    * artifact carries the full accounting.
+    */
+  private def run30xMat(spark: SparkSession, sfDir: String): Unit = {
+    if (!new java.io.File(s"$scale30Dir/documents.parquet").exists())
+      buildDocsNx(spark, sfDir, scale30Dir, 30)
+    spark.read.parquet(s"$scale30Dir/documents.parquet")
+      .selectExpr("count(*)").collect()
+    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    import graft.queries.DupGraph
+    DupGraph.reset()
+    DupGraph.enableMaterialization()
+    def mat(label: String)(dfs: => Seq[DataFrame]): (String, Double) = {
+      val t0 = System.nanoTime()
+      dfs.foreach(_.write.mode("overwrite").format("noop").save())
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(s"[scale] prebuild $label ${f3(sec)}s")
+      (label, sec)
+    }
+    val pre = Seq(
+      mat("pairs")(Seq(DupGraph.pairs(spark, scale30Dir))),
+      mat("verified_pairs")(Seq(DupGraph.verifiedPairs(spark, scale30Dir))),
+      mat("h61_corpus_index") {
+        val idx = DupGraph.h61CorpusIndex(spark, scale30Dir)
+        Seq(idx.fingerprints, idx.bandRows, idx.shingles, idx.sizes)
+      },
+      mat("shingle_rows")(Seq(DupGraph.shingleRows(spark, scale30Dir))))
+    val names = Seq("h16_dedup_corpus_keep", "h23_dedup_clusters",
+      "h65_dup_graph_pagerank", "h66_label_propagation",
+      "h67_dup_graph_triangles", "h78_weighted_pagerank",
+      "h61_incremental_dedup", "h5_minhash_lsh_pairs", "h6_ngram_jaccard")
+    val rows = names.map { n =>
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(n)(spark, scale30Dir)
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t = math.min(once(), once())
+      println(s"[scale] $n 30x_mat=${f3(t)}s")
+      (n, t)
+    }
+    DupGraph.reset()
+    val preJs = pre.map { case (l, s) => s""""$l":${f3(s)}""" }
+      .mkString("{", ",", "}")
+    val qJs = rows.map { case (n, t) =>
+      s""""${n.takeWhile(_ != '_')}":${f3(t)}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale30mat","prebuild_sec":${
+      f3(pre.map(_._2).sum)},"prebuild":$preJs,"queries":$qJs}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -126,6 +188,11 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     if (args.lift(1).contains("30x")) {
       run30x(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (args.lift(1).contains("30xmat")) {
+      run30xMat(spark, sfDir)
       spark.stop()
       return
     }
