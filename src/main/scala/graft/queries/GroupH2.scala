@@ -381,10 +381,11 @@ object GroupH2 {
       |  WHERE bit_count(xor(a.sig, b.sig)) <= 2)
       |SELECT id_a, id_b, hamming FROM cand
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-    graft.extensions.Dedup.simhashNearDupPairs(
-      Tables.documents(s, d), "doc_id", "text",
-      maxHamming = 2, bands = 4, sigBits = 32)
-      .orderBy("id_a", "id_b")
+    // h41 IS the shared pair-graph construction (same parameters), so it
+    // routes through DupGraph like its four graph-analytics consumers:
+    // per-call simhashNearDupPairs everywhere, the materialized graph
+    // under Bench's opt-in
+    DupGraph.pairs(s, d).orderBy("id_a", "id_b")
   }
 
   val all: Seq[Q] = Seq(h29, h30, h31, h32, h33, h34, h35, h36, h37, h38,

@@ -92,6 +92,26 @@ class Round8Spec extends SparkSpec {
     } finally DupGraph.reset()
   }
 
+  test("h41 == the shared pair-graph construction, materialized or not") {
+    val perCall = queries.GroupH2.h41.run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // the query must equal the raw construction it now delegates to
+    val direct = Dedup.simhashNearDupPairs(
+        Tables.documents(spark, sf), "doc_id", "text",
+        maxHamming = 2, bands = 4, sigBits = 32)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(perCall === direct)
+    assert(perCall.nonEmpty)
+    DupGraph.reset()
+    DupGraph.enableMaterialization()
+    try {
+      val mat = queries.GroupH2.h41.run(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      assert(mat === perCall)
+    } finally DupGraph.reset()
+  }
+
   test("DupGraph memo rebuilds for a different SparkSession") {
     DupGraph.reset()
     DupGraph.enableMaterialization()

@@ -156,7 +156,8 @@ object ScaleBench {
     val names = Seq("h16_dedup_corpus_keep", "h23_dedup_clusters",
       "h65_dup_graph_pagerank", "h66_label_propagation",
       "h67_dup_graph_triangles", "h78_weighted_pagerank",
-      "h61_incremental_dedup", "h5_minhash_lsh_pairs", "h6_ngram_jaccard")
+      "h61_incremental_dedup", "h5_minhash_lsh_pairs", "h6_ngram_jaccard",
+      "h41_simhash_near_dup")
     val rows = names.map { n =>
       def once(): Double = {
         val t0 = System.nanoTime()
