@@ -41,12 +41,13 @@ object Bench {
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2400").toDouble
     // Stall-retry threshold: a best-of-2 above this is treated as a host
     // freeze, not a plan (one extra sample taken, audit trail on stderr).
-    // Derivation: slowest pinned per-query median in BASELINE.md ≈ 4.1 s
-    // (h23 at the round-7 pin), ×2 for the documented slow-host windows
-    // ≈ 8 s worst legitimate best-of-2, ×3 safety ≈ 25 — a trip can only
-    // mean a stall. The constant is sf0.1-specific BY CONSTRUCTION: at
-    // another SF or after adding a slower query family, re-derive as
-    // ~3× (2× the slowest pinned median) or override via env.
+    // Derivation: slowest pinned per-query median in BASELINE.md ≈ 2.1 s
+    // steady-state at the round-8 pin (h61; ~3 s with per-query builds in
+    // a dev BENCH_ONLY run), ×2 for the documented slow-host windows ≈ 6 s
+    // worst legitimate best-of-2, ×3+ safety ≈ 25 — a trip can only mean a
+    // stall. The constant is sf0.1-specific BY CONSTRUCTION: at another SF
+    // or after adding a slower query family, re-derive as ~3× (2× the
+    // slowest pinned median) or override via env.
     val stallSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_STALL_SEC", "25").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -112,6 +112,30 @@ class Round8Spec extends SparkSpec {
     } finally DupGraph.reset()
   }
 
+  test("materialized consumers read the checkpointed relation, not parquet") {
+    // THE steady-state claim behind every Bench/30xmat number: once a
+    // shared construction is materialized, a consumer's plan must source
+    // it from the checkpointed RDD — no documents.parquet re-scan, no
+    // re-run of the tokenize/signature subplan. Pin it on the plans.
+    DupGraph.reset()
+    DupGraph.enableMaterialization()
+    try {
+      // force materialization (what Bench's eager prebuild does)
+      DupGraph.pairs(spark, sf).write.mode("overwrite")
+        .format("noop").save()
+      DupGraph.shingleRows(spark, sf).write.mode("overwrite")
+        .format("noop").save()
+      val h41Plan = queries.GroupH2.h41.run(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      assert(h41Plan.contains("LogicalRDD"), h41Plan)
+      assert(!h41Plan.contains("documents.parquet"), h41Plan)
+      val h5Plan = queries.GroupH.h5.run(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      assert(h5Plan.contains("LogicalRDD"), h5Plan)
+      assert(!h5Plan.contains("documents.parquet"), h5Plan)
+    } finally DupGraph.reset()
+  }
+
   test("DupGraph memo rebuilds for a different SparkSession") {
     DupGraph.reset()
     DupGraph.enableMaterialization()
