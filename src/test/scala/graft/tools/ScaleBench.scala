@@ -14,12 +14,14 @@ import org.apache.spark.sql.functions._
   * and no artificial cross-copy duplicates exist (a verbatim 10× copy would
   * make every doc a 10-way duplicate and measure the combinatorics of the
   * fixture, not the engine). Embeddings are rotated per copy for the same
-  * reason. Usage: Test/runMain graft.tools.ScaleBench [sfDir]
+  * reason. Usage: Test/runMain graft.tools.ScaleBench [sfDir] [mode] where
+  * mode is `<N>x` (per-query-build dedup pillars at N×, e.g. 30x, 100x) or
+  * `<N>xmat` (materialize-once steady-state at N×); no mode = the 10× suite.
   */
 object ScaleBench {
 
   private val scaleDir = "/root/repo/target/scale10"
-  private val scale30Dir = "/root/repo/target/scale30"
+  private def scaleNDir(copies: Int) = s"/root/repo/target/scale$copies"
 
   /** N disjoint-vocabulary copies of the documents table (per-copy token
     * prefix c$k — see the object scaladoc for why verbatim copies would
@@ -84,55 +86,57 @@ object ScaleBench {
     }
   }
 
-  /** Second-decade mode (`runMain … ScaleBench <sfDir> 30x`): times the
-    * data-bound dedup composites — h16 (end-to-end corpus dedup) and h23
-    * (transitive clusters), the two worst growers at ~4-5× per 10×, plus
-    * h41 (SimHash banding) and h6 (exact Jaccard verify), the other two
-    * pillars whose cost grows with the corpus — on a 30× disjoint-
-    * vocabulary corpus, to confirm the O(n log n)-ish trajectory holds for
-    * another decade (a candidate-pair or CC-round blow-up would bend these
-    * superlinear well before 100 TB).
+  /** Beyond-first-decade mode (`runMain … ScaleBench <sfDir> <N>x`, e.g.
+    * `30x`, `100x`): times the data-bound dedup composites — h16
+    * (end-to-end corpus dedup) and h23 (transitive clusters), the two worst
+    * growers at ~4-5× per 10×, plus h41 (SimHash banding) and h6 (exact
+    * Jaccard verify), the other two pillars whose cost grows with the
+    * corpus — on an N× disjoint-vocabulary corpus, to confirm the
+    * O(n log n)-ish trajectory holds decade over decade (a candidate-pair
+    * or CC-round blow-up would bend these superlinear well before 100 TB).
     */
-  private def run30x(spark: SparkSession, sfDir: String): Unit = {
-    if (!new java.io.File(s"$scale30Dir/documents.parquet").exists())
-      buildDocsNx(spark, sfDir, scale30Dir, 30)
-    spark.read.parquet(s"$scale30Dir/documents.parquet")
+  private def runNx(spark: SparkSession, sfDir: String, copies: Int): Unit = {
+    val dir = scaleNDir(copies)
+    if (!new java.io.File(s"$dir/documents.parquet").exists())
+      buildDocsNx(spark, sfDir, dir, copies)
+    spark.read.parquet(s"$dir/documents.parquet")
       .selectExpr("count(*)").collect()
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val js = Seq("h16_dedup_corpus_keep", "h23_dedup_clusters",
       "h41_simhash_near_dup", "h6_ngram_jaccard").map { n =>
-      def once(dir: String): Double = {
+      def once(d: String): Double = {
         val t0 = System.nanoTime()
-        graft.SparkEntry.queries(n)(spark, dir)
+        graft.SparkEntry.queries(n)(spark, d)
           .write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
       val t1 = math.min(once(sfDir), once(sfDir))
-      val t30 = math.min(once(scale30Dir), once(scale30Dir))
-      println(s"[scale] $n sf0.1=${f3(t1)}s 30x=${f3(t30)}s ratio=${f3(t30 / t1)}")
-      s""""${n.takeWhile(_ != '_')}":{"base":${f3(t1)},"x30":${f3(t30)},"ratio":${f3(t30 / t1)}}"""
+      val tN = math.min(once(dir), once(dir))
+      println(s"[scale] $n sf0.1=${f3(t1)}s ${copies}x=${f3(tN)}s ratio=${f3(tN / t1)}")
+      s""""${n.takeWhile(_ != '_')}":{"base":${f3(t1)},"x$copies":${f3(tN)},"ratio":${f3(tN / t1)}}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale30","queries":$js}""")
+    println(s"""{"metric":"scale$copies","queries":$js}""")
   }
 
-  /** Materialized-construction second-decade mode (`… ScaleBench <sfDir>
-    * 30xmat`): the steady-state number a real cluster sees. The 30×
-    * per-query-build points (run30x) charge every consumer the full corpus
-    * scan + signature/banding build; a production pipeline materializes
-    * those constructions ONCE per corpus and runs all downstream analytics
-    * over the tables. This mode does exactly that — DupGraph
-    * materialization on, each shared construction prebuilt under its own
-    * timing against the 30× corpus, then the consumers timed steady-state:
-    * keep-list (h16), clustering (h23), the four graph analytics
-    * (h65/h66/h67/h78), incremental dedup (h61), MinHash banding (h5) and
-    * exact Jaccard (h6). Emits one JSON line with BOTH the one-time
-    * prebuild cost and the per-consumer steady-state times, so the
+  /** Materialized-construction beyond-first-decade mode (`… ScaleBench
+    * <sfDir> <N>xmat`, e.g. `30xmat`, `100xmat`): the steady-state number a
+    * real cluster sees. The N× per-query-build points (runNx) charge every
+    * consumer the full corpus scan + signature/banding build; a production
+    * pipeline materializes those constructions ONCE per corpus and runs all
+    * downstream analytics over the tables. This mode does exactly that —
+    * DupGraph materialization on, each shared construction prebuilt under
+    * its own timing against the N× corpus, then the consumers timed
+    * steady-state: keep-list (h16), clustering (h23), the four graph
+    * analytics (h65/h66/h67/h78), incremental dedup (h61), MinHash banding
+    * (h5) and exact Jaccard (h6). Emits one JSON line with BOTH the
+    * one-time prebuild cost and the per-consumer steady-state times, so the
     * artifact carries the full accounting.
     */
-  private def run30xMat(spark: SparkSession, sfDir: String): Unit = {
-    if (!new java.io.File(s"$scale30Dir/documents.parquet").exists())
-      buildDocsNx(spark, sfDir, scale30Dir, 30)
-    spark.read.parquet(s"$scale30Dir/documents.parquet")
+  private def runNxMat(spark: SparkSession, sfDir: String, copies: Int): Unit = {
+    val dir = scaleNDir(copies)
+    if (!new java.io.File(s"$dir/documents.parquet").exists())
+      buildDocsNx(spark, sfDir, dir, copies)
+    spark.read.parquet(s"$dir/documents.parquet")
       .selectExpr("count(*)").collect()
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     import graft.queries.DupGraph
@@ -146,13 +150,13 @@ object ScaleBench {
       (label, sec)
     }
     val pre = Seq(
-      mat("pairs")(Seq(DupGraph.pairs(spark, scale30Dir))),
-      mat("verified_pairs")(Seq(DupGraph.verifiedPairs(spark, scale30Dir))),
+      mat("pairs")(Seq(DupGraph.pairs(spark, dir))),
+      mat("verified_pairs")(Seq(DupGraph.verifiedPairs(spark, dir))),
       mat("h61_corpus_index") {
-        val idx = DupGraph.h61CorpusIndex(spark, scale30Dir)
+        val idx = DupGraph.h61CorpusIndex(spark, dir)
         Seq(idx.fingerprints, idx.bandRows, idx.shingles, idx.sizes)
       },
-      mat("shingle_rows")(Seq(DupGraph.shingleRows(spark, scale30Dir))))
+      mat("shingle_rows")(Seq(DupGraph.shingleRows(spark, dir))))
     val names = Seq("h16_dedup_corpus_keep", "h23_dedup_clusters",
       "h65_dup_graph_pagerank", "h66_label_propagation",
       "h67_dup_graph_triangles", "h78_weighted_pagerank",
@@ -161,12 +165,12 @@ object ScaleBench {
     val rows = names.map { n =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        graft.SparkEntry.queries(n)(spark, scale30Dir)
+        graft.SparkEntry.queries(n)(spark, dir)
           .write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
       val t = math.min(once(), once())
-      println(s"[scale] $n 30x_mat=${f3(t)}s")
+      println(s"[scale] $n ${copies}x_mat=${f3(t)}s")
       (n, t)
     }
     DupGraph.reset()
@@ -174,7 +178,7 @@ object ScaleBench {
       .mkString("{", ",", "}")
     val qJs = rows.map { case (n, t) =>
       s""""${n.takeWhile(_ != '_')}":${f3(t)}""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale30mat","prebuild_sec":${
+    println(s"""{"metric":"scale${copies}mat","prebuild_sec":${
       f3(pre.map(_._2).sum)},"prebuild":$preJs,"queries":$qJs}""")
   }
 
@@ -187,15 +191,14 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (args.lift(1).contains("30x")) {
-      run30x(spark, sfDir)
-      spark.stop()
-      return
-    }
-    if (args.lift(1).contains("30xmat")) {
-      run30xMat(spark, sfDir)
-      spark.stop()
-      return
+    val NxMat = """(\d+)xmat""".r
+    val Nx = """(\d+)x""".r
+    args.lift(1) match {
+      case Some(NxMat(n)) =>
+        runNxMat(spark, sfDir, n.toInt); spark.stop(); return
+      case Some(Nx(n)) =>
+        runNx(spark, sfDir, n.toInt); spark.stop(); return
+      case _ =>
     }
     if (!new java.io.File(s"$scaleDir/documents.parquet").exists())
       build10x(spark, sfDir)
