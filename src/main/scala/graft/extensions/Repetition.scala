@@ -1,6 +1,6 @@
 package graft.extensions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Gopher-style repetition quality metrics (Rae et al. 2021, "Scaling
@@ -15,22 +15,26 @@ import org.apache.spark.sql.functions._
   *   - `dup_bigram_frac` — fraction of bigram occurrences that are
   *     repeats of an already-seen bigram (1 − distinct/total).
   *
-  * Scale shape: tokens and bigrams are derived scan-side (codegen'd
-  * split/slice/zip — the arrays_zip form, NOT a lambda capturing the token
-  * array: HOF lambdas inline captured expressions per element, see
-  * TextOps.shingles3), then ONE explode→two-level aggregation per metric
-  * family, partial-aggregated map-side. The per-(doc,token) partial agg
-  * bounds shuffle volume by the VOCABULARY per doc, not token count. The
-  * two aggregate branches join back on doc_id — both sides already hash-
-  * partitioned on doc_id, so the join reuses the exchange.
+  * Scale shape: every one of these is a PER-DOCUMENT statistic, so the
+  * whole family is computed inside the row — `size`/`array_distinct` over
+  * the scan-side token/bigram arrays, and the max token multiplicity as
+  * [[graft.functions.MaxRunLength]] over the sorted token array (one
+  * codegen'd loop; a histogram per row without building one). ZERO
+  * exchanges at any corpus size: the metric projection rides the scan's
+  * WholeStageCodegen stage, exactly like the quality/scrub projections.
+  * (The previous formulation exploded tokens and bigrams into two
+  * two-level groupBy branches joined back on doc_id — four data-dependent
+  * shuffles whose volume grows with corpus vocabulary. Per-doc metrics
+  * never needed cross-row aggregation; plan pinned exchange-free in
+  * Round8Spec, value-equality property-tested against a driver-side fold.)
   */
 object Repetition {
 
-  /** Per-doc repetition metrics. Docs with zero tokens report n_tokens=0
-    * and null ratios; docs with a single token report null
-    * dup_bigram_frac (no bigrams exist). Ratios are int/int double
-    * divisions — identical IEEE ops in every engine — displayed through
-    * [[Det.floorRound]](·, 6).
+  /** Per-doc repetition metrics. Docs with zero tokens (or null text)
+    * report n_tokens=0 and null ratios; docs with fewer than two tokens
+    * report null dup_bigram_frac (no bigrams exist). Ratios are int/int
+    * double divisions — identical IEEE ops in every engine — displayed
+    * through [[Det.floorRound]](·, 6).
     */
   def metrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"),
@@ -42,25 +46,26 @@ object Repetition {
         transform(z, s => concat_ws(" ", s.getField("0"), s.getField("1"))))
         .otherwise(array().cast("array<string>"))
     })
-    val tokStats = withBg.select(col("doc_id"), explode(col("toks")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
-        max("c").as("top_count"))
-    val bgStats = withBg.select(col("doc_id"), explode(col("bgs")).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum("c").as("n_bigrams"), count(lit(1)).as("n_distinct_bigrams"))
-    base.select(col("doc_id"))
-      .join(tokStats, Seq("doc_id"), "left")
-      .join(bgStats, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("n_types"), lit(0L)).as("n_types"),
-        Det.floorRound(col("n_types").cast("double") / col("n_tokens").cast("double"), 6).as("ttr"),
-        Det.floorRound(col("top_count").cast("double") / col("n_tokens").cast("double"), 6).as("top_frac"),
-        Det.floorRound(lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams").cast("double"), 6)
-          .as("dup_bigram_frac"))
+    val nToks = size(col("toks"))
+    val nBgs = size(col("bgs"))
+    def ratio(num: Column, den: Column): Column =
+      Det.floorRound(num.cast("double") / den.cast("double"), 6)
+    val maxRun = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.MaxRunLength(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          sort_array(col("toks")))))
+    withBg.select(
+      col("doc_id"),
+      coalesce(nToks.cast("long"), lit(0L)).as("n_tokens"),
+      coalesce(size(array_distinct(col("toks"))).cast("long"), lit(0L))
+        .as("n_types"),
+      when(nToks > 0, ratio(size(array_distinct(col("toks"))), nToks))
+        .otherwise(lit(null).cast("double")).as("ttr"),
+      when(nToks > 0, ratio(maxRun, nToks))
+        .otherwise(lit(null).cast("double")).as("top_frac"),
+      when(nBgs > 0, Det.floorRound(
+          lit(1.0) - size(array_distinct(col("bgs"))).cast("double")
+            / nBgs.cast("double"), 6))
+        .otherwise(lit(null).cast("double")).as("dup_bigram_frac"))
   }
 }

@@ -162,27 +162,27 @@ object TextAnalysis {
     * document fingerprint (guaranteed to share hashes with any copy that
     * overlaps by ≥ w+2 tokens).
     *
-    * Relational shape: posexplode shingles (scan-side), one md5 per shingle,
-    * a `min over (partition by doc order by pos rows w-1 following)` window,
-    * distinct. One shuffle on doc id; window state is w rows.
+    * Scale shape: winnowing is — per the paper's own title — a LOCAL
+    * algorithm: a document's fingerprint set depends only on its own
+    * shingles. So the whole computation stays inside the row: md5 +
+    * window-min + dedup as ONE codegen'd loop over the shingle array
+    * ([[graft.functions.WinnowMins]] — see its scaladoc for why all three
+    * are fused rather than composed from `transform`/`array_distinct`,
+    * which are CodegenFallback), then a generator to rows — all in the
+    * scan stage, ZERO exchanges at any corpus size. (The previous
+    * formulation posexploded shingles through a `min OVER (PARTITION BY
+    * doc ORDER BY pos)` window plus a distinct — two corpus-sized shuffles
+    * whose only job was reassembling rows that started adjacent in the
+    * same document row; equality to that form is pinned in Round8Spec.)
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 4): DataFrame = {
     require(w > 0, "window must be positive")
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("__pos"))
-    docs
-      .select(col(idCol),
-        posexplode(TextOps.shingles3(TextOps.tokens(col(textCol)))).as(Seq("__pos", "__sh")))
-      .withColumn("__h", md5(col("__sh")))
-      // a window starting here is full iff w-1 rows follow — the lead marker
-      // shares the moving-frame sort (an unbounded count frame would buffer
-      // whole partitions in a second frame pass)
-      .withColumn("__full", lead(col("__h"), w - 1).over(win).isNotNull)
-      .withColumn("__winmin", min(col("__h")).over(win.rowsBetween(0, w - 1)))
-      .filter(col("__full"))
-      .select(col(idCol), col("__winmin").as("fp"))
-      .distinct()
+    val fps = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.WinnowMins(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          TextOps.shingles3(TextOps.tokens(col(textCol)))), w))
+    docs.select(col(idCol), explode(fps).as("fp"))
   }
 
   /** Vocabulary build (the tokenizer-training precursor): corpus-wide token

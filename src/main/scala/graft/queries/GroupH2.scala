@@ -73,7 +73,12 @@ object GroupH2 {
       |LEFT JOIN ts ON d.doc_id = ts.doc_id
       |LEFT JOIN bs ON d.doc_id = bs.doc_id
       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    // metrics is scan-side (zero exchanges; one output row per doc). The
+    // repartition is the same materialization barrier as h17's: the display
+    // sort range-samples its child, which would run the regex tokenization
+    // twice; one exchange of the doc-sized metric rows runs it once.
     Repetition.metrics(Tables.documents(s, d), "doc_id", "text")
+      .repartition(col("doc_id"))
       .orderBy("doc_id")
   }
 

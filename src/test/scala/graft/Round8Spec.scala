@@ -136,6 +136,97 @@ class Round8Spec extends SparkSpec {
     } finally DupGraph.reset()
   }
 
+  test("h30 repetition metrics are exchange-free (per-doc scan-side plan)") {
+    // per-document statistics never need cross-row aggregation: the whole
+    // metric family must ride the scan stage — the OPERATOR plan has no
+    // exchange and no aggregate at all.
+    val opPlan = extensions.Repetition
+      .metrics(Tables.documents(spark, sf), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!opPlan.contains("Exchange"), opPlan)
+    assert(!opPlan.contains("HashAggregate"), opPlan)
+    // the declared query adds ONE doc-sized materialization barrier (the
+    // display sort would otherwise run the tokenization twice — see the
+    // GroupH2.h30 comment) plus the range sort; an explode→groupBy shape
+    // reappearing would show up as extra hashpartitioning exchanges.
+    val plan = queries.GroupH2.h30.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning".r.findAllIn(plan).size === 1, plan)
+    assert(plan.contains("rangepartitioning"), plan)
+  }
+
+  test("h30 repetition metrics match a driver-side fold over the corpus") {
+    def floorRound6(x: Double): Double =
+      math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    val expected = docs.map { case (id, text) =>
+      val toks =
+        if (text == null) Array.empty[String]
+        else text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val bgs = toks.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSeq
+      val ttr = if (toks.isEmpty) None
+        else Some(floorRound6(toks.distinct.length.toDouble / toks.length))
+      val topFrac = if (toks.isEmpty) None
+        else Some(floorRound6(
+          toks.groupBy(identity).values.map(_.length).max.toDouble / toks.length))
+      val dup = if (bgs.isEmpty) None
+        else Some(floorRound6(1.0 - bgs.distinct.length.toDouble / bgs.length))
+      (id, toks.length.toLong, toks.distinct.length.toLong, ttr, topFrac, dup)
+    }.sortBy(_._1).toSeq
+    val got = extensions.Repetition
+      .metrics(Tables.documents(spark, sf), "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("h17 winnow fingerprints are exchange-free and equal the window form") {
+    // winnowing is a per-document algorithm (SIGMOD'03, title) — the scan
+    // stage computes the fingerprint set inside the row: the OPERATOR plan
+    // has no exchange and no Window at all.
+    val opPlan = extensions.TextAnalysis
+      .winnowFingerprints(Tables.documents(spark, sf), "doc_id", "text", 4)
+      .queryExecution.executedPlan.toString
+    assert(!opPlan.contains("Exchange"), opPlan)
+    assert(!opPlan.contains("Window"), opPlan)
+    // the declared query adds ONE result-set-sized materialization barrier
+    // (see GroupH.h17 comment: a global sort range-samples its child, which
+    // would run the scan-side winnow twice) plus the display sort — and no
+    // windowed aggregation anywhere.
+    val df = queries.GroupH.h17.run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("hashpartitioning".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("rangepartitioning"), plan)
+    // equality against the pre-round-8 windowed-aggregation formulation
+    val docs = Tables.documents(spark, sf)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("__pos"))
+    val old = docs
+      .select(col("doc_id"), posexplode(
+        extensions.TextOps.shingles3(extensions.TextOps.tokens(col("text"))))
+        .as(Seq("__pos", "__sh")))
+      .withColumn("__h", md5(col("__sh")))
+      .withColumn("__full", lead(col("__h"), 3).over(win).isNotNull)
+      .withColumn("__winmin", min(col("__h")).over(win.rowsBetween(0, 3)))
+      .filter(col("__full"))
+      .select(col("doc_id"), col("__winmin").as("fp"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = extensions.TextAnalysis
+      .winnowFingerprints(docs, "doc_id", "text", w = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === old)
+    assert(got.nonEmpty)
+  }
+
   test("DupGraph memo rebuilds for a different SparkSession") {
     DupGraph.reset()
     DupGraph.enableMaterialization()
