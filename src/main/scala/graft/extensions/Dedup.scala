@@ -144,10 +144,10 @@ object Dedup {
   /** 16-bit SimHash signature per document (near-dup docs get equal or
     * near-equal signatures; weighted by token multiplicity).
     *
-    * Shape: explode tokens, md5 each token ONCE, derive all 16 ±1 votes from
-    * that one hash in a single codegen'd projection, then one partial+final
-    * aggregate per doc. (The column-per-bit HOF formulation re-hashed every
-    * token 16× in interpreted lambdas — measured 25× slower at sf0.1.)
+    * Shape: a SimHash is per-document, so it is computed inside the row by
+    * the native codegen'd [[graft.functions.SimHashLong]] — zero exchanges
+    * (see [[simhashLongs]]; this string surface derives from the same
+    * expression, keeping ONE copy of the vote formula on the Spark side).
     */
   def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     simhashesN(docs, idCol, textCol, 16)
@@ -162,42 +162,37 @@ object Dedup {
     * 1.3k pairs).
     */
   def simhashesN(docs: DataFrame, idCol: String, textCol: String,
-      bits: Int): DataFrame = {
-    require(bits >= 1 && bits <= 32, "md5 supplies at most 32 hex nibbles")
-    val tokRows = docs
-      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__tok"))
-      .withColumn("__h", md5(col("__tok")))
-    val voteCols = (1 to bits).map { j =>
-      sum(when(substring(col("__h"), j, 1)
-        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)).as(s"v$j")
-    }
-    tokRows.groupBy(col(idCol)).agg(voteCols.head, voteCols.tail: _*)
-      .select(col(idCol),
-        concat((1 to bits).map(j =>
-          when(col(s"v$j") >= 0, "1").otherwise("0")): _*).as("simhash"))
-  }
+      bits: Int): DataFrame =
+    simhashLongs(docs, idCol, textCol, bits)
+      .select(col(idCol), lpad(bin(col("sig")), bits, "0").as("simhash"))
 
   /** `bits`-bit SimHash signature as a LONG (bit `j` of [[simhashesN]]'s
     * string ↔ weight `2^(bits−j)`): integer form makes banding a
     * shift-and-mask and Hamming distance a single `bit_count(xor)` — one
     * codegen'd ALU op per candidate pair instead of `bits` substring
     * comparisons, and the identical integer expressions run in any engine.
+    *
+    * Scale shape: computed inside the row by the native codegen'd
+    * [[graft.functions.SimHashLong]] — ZERO exchanges at any corpus size.
+    * (The previous formulation exploded (doc, token) rows and summed
+    * `bits` CASE columns through a two-level hash aggregate — a
+    * corpus-token-sized shuffle every consumer of the SimHash family paid;
+    * before that, a column-per-bit HOF formulation re-hashed every token
+    * `bits`× interpreted — 25× slower still. Equality across all three
+    * generations is pinned by Round4Spec's pigeonhole-recall and
+    * string↔integer consistency tests plus the h7/h41 oracles.) Docs with
+    * no tokens have no signature — filtered here, mirroring the
+    * explode+aggregate form where they produced no output group.
     */
   def simhashLongs(docs: DataFrame, idCol: String, textCol: String,
       bits: Int): DataFrame = {
     require(bits >= 1 && bits <= 32, "md5 supplies at most 32 hex nibbles")
-    val tokRows = docs
-      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__tok"))
-      .withColumn("__h", md5(col("__tok")))
-    val voteCols = (1 to bits).map { j =>
-      sum(when(substring(col("__h"), j, 1)
-        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)).as(s"v$j")
-    }
-    tokRows.groupBy(col(idCol)).agg(voteCols.head, voteCols.tail: _*)
-      .select(col(idCol),
-        (1 to bits).map(j =>
-          when(col(s"v$j") >= 0, lit(1L << (bits - j))).otherwise(lit(0L)))
-          .reduce(_ + _).as("sig"))
+    val sig = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.SimHashLong(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          TextOps.tokens(col(textCol))), bits))
+    docs.select(col(idCol), sig.as("sig"))
+      .filter(col("sig").isNotNull)
   }
 
   /** SimHash near-dup candidate pairs: band the `sigBits`-bit signature
@@ -225,7 +220,13 @@ object Dedup {
       "exact recall needs maxHamming < bands (pigeonhole)")
     val w = sigBits / bands
     val mask = (1L << w) - 1
+    // simhashLongs is scan-side; the repartition is a materialization
+    // barrier so the self-join's two sides share ONE signature build via
+    // exchange reuse (without it each side re-runs the md5 scan pipeline).
+    // Doc-sized rows — strictly cheaper than the token-sized aggregate
+    // exchange the old explode+agg signature build paid here.
     val sigs = simhashLongs(docs, idCol, textCol, sigBits)
+      .repartition(col(idCol))
     val bk = sigs.select(col(idCol).as("__id"), col("sig").as("__sig"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),

@@ -179,7 +179,10 @@ object GroupH {
       |  string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
       |FROM votes GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // simhashes is scan-side; same display-sort materialization barrier as
+    // h17/h30 (the orderBy would re-run the md5 scan pipeline for sampling)
     Dedup.simhashes(Tables.documents(s, d), "doc_id", "text")
+      .repartition(col("doc_id"))
       .orderBy("doc_id")
   }
 
