@@ -227,6 +227,37 @@ class Round8Spec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("SimHashLong equals the explode+aggregate vote formula") {
+    // the vote formula migrated from an explode + 16-CASE-column aggregate
+    // into the native SimHashLong expression; rebuild the OLD form inline
+    // from Spark primitives (independent md5 + substring votes) and assert
+    // signature-for-signature equality — including absence semantics for
+    // docs with no tokens. Guards the formula against drift now that the
+    // aggregate form no longer exists in main.
+    val docs = Tables.documents(spark, sf)
+    val bits = 32
+    val tokRows = docs
+      .select(col("doc_id"), explode(
+        extensions.TextOps.tokens(col("text"))).as("__tok"))
+      .withColumn("__h", md5(col("__tok")))
+    val voteCols = (1 to bits).map { j =>
+      sum(when(substring(col("__h"), j, 1)
+        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
+        .as(s"v$j")
+    }
+    val oldSigs = tokRows.groupBy(col("doc_id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (1 to bits).map(j =>
+          when(col(s"v$j") >= 0, lit(1L << (bits - j))).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val newSigs = extensions.Dedup.simhashLongs(docs, "doc_id", "text", bits)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(newSigs === oldSigs)
+    assert(newSigs.nonEmpty)
+  }
+
   test("DupGraph memo rebuilds for a different SparkSession") {
     DupGraph.reset()
     DupGraph.enableMaterialization()
