@@ -91,26 +91,6 @@ object Graph {
     labels
   }
 
-  /** Per-node triangle statistics: degree, triangle count, and local
-    * clustering coefficient `2T / (deg·(deg-1))` (0 for degree-1 nodes),
-    * 4-dp floor-rounded. High clustering inside a duplicate neighborhood
-    * means a mutually-similar clique (template/boilerplate farm); low
-    * clustering means chains of borderline pairs — different curation
-    * actions for the same component size.
-    *
-    * Enumeration is the standard id-ordered wedge join: canonical a<b edges,
-    * wedges (a,b,c) with a<b<c from ONE self-equi-join on the middle node,
-    * closed by ONE more equi-join probing (a,c). Every triangle is counted
-    * exactly once; no cartesian anywhere.
-    *
-    * 100 TB posture: wedge count is Σ_v deg_hi(v)² over the HIGHER-id
-    * adjacency — on a near-dup graph (small fraction of the corpus, bounded
-    * component sizes by LSH construction) this is modest; at adversarial
-    * scale the standard refinement is degree-ordered orientation (root each
-    * edge at the lower-degree endpoint, bounding wedge work by arboricity)
-    * — same plan shape, different ordering key, noted here because the
-    * id-ordering is what makes the oracle replay exact.
-    */
   /** Weighted PageRank over an undirected weighted pair list — for the
     * near-dup graph, edge weight = similarity strength (e.g. `maxHamming+1
     * − hamming` from [[Dedup.simhashNearDupPairs]]), so authority flows
@@ -156,25 +136,91 @@ object Graph {
       (col("score").cast("double") / 1000000.0).as("weighted_pagerank"))
   }
 
+  /** Per-edge degree table over a canonical (a, b) edge list. */
+  private[graft] def degrees(e: DataFrame): DataFrame =
+    e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+
+  /** Degree-ordered orientation of a canonical (a, b) edge list: each edge
+    * is rooted at its lower-(degree, id) endpoint — `src` points to the
+    * endpoint with strictly greater (degree, id), carried alongside as the
+    * comparable key `dkey = (degree, id)` of `dst`. Ties on degree fall
+    * back to the id order, so the orientation is a total order and every
+    * edge gets exactly one direction.
+    *
+    * This is the classic arboricity-bounded triangle refinement (Chiba &
+    * Nishizeki '85; Cohen's MapReduce formulation, 2009): out-degree under
+    * this orientation is O(√m) for ANY graph — a degree-10⁶ hub whose
+    * neighbors are all degree-1 has out-degree 0, not 10⁶ — so the wedge
+    * join below does Σ_v outdeg(v)² ≤ O(m·√m) work worst-case instead of
+    * the Σ deg_hi(v)² of raw id-ordering, which a low-id hub turns
+    * quadratic. Cost of the ordering: two node-table equi-joins to attach
+    * endpoint degrees — graph-sized, never corpus-sized.
+    */
+  private[graft] def orientByDegree(e: DataFrame, deg: DataFrame): DataFrame = {
+    val ka = struct(col("da").as("d"), col("a").as("i"))
+    val kb = struct(col("db").as("d"), col("b").as("i"))
+    e.join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+      .select(
+        when(ka < kb, col("a")).otherwise(col("b")).as("src"),
+        when(ka < kb, col("b")).otherwise(col("a")).as("dst"),
+        when(ka < kb, kb).otherwise(ka).as("dkey"))
+  }
+
+  /** Open wedges (x; v, w) of an oriented edge list: two out-edges of the
+    * same root with key(v) < key(w) — the ONE self-equi-join on `src`. The
+    * dkey ordering makes each unordered out-pair appear exactly once AND
+    * guarantees the closing edge {v, w}, if present, is oriented v→w, so
+    * one more equi-join on (src, dst) closes triangles.
+    */
+  private[graft] def orientedWedges(o: DataFrame): DataFrame =
+    o.as("o1")
+      .join(o.as("o2"),
+        col("o1.src") === col("o2.src") && col("o1.dkey") < col("o2.dkey"))
+      .select(col("o1.src").as("x"), col("o1.dst").as("v"), col("o2.dst").as("w"))
+
+  /** Per-node triangle statistics: degree, triangle count, and local
+    * clustering coefficient `2T / (deg·(deg-1))` (0 for degree-1 nodes),
+    * 4-dp floor-rounded. High clustering inside a duplicate neighborhood
+    * means a mutually-similar clique (template/boilerplate farm); low
+    * clustering means chains of borderline pairs — different curation
+    * actions for the same component size.
+    *
+    * Enumeration is the degree-ordered-orientation wedge join
+    * ([[orientByDegree]]): orient every edge toward its higher-(degree, id)
+    * endpoint, enumerate out-wedges with ONE self-equi-join on the root,
+    * close with ONE more equi-join probing the (v, w) edge. Every triangle
+    * is counted exactly once; no cartesian anywhere. The per-node counts
+    * are enumeration-order-independent — identical to the id-ordered wedge
+    * join the DuckDB oracle replays — pinned in Round9Spec alongside the
+    * hub fixture showing the wedge-count collapse id-ordering can't give.
+    *
+    * 100 TB posture: wedge work is Σ_v outdeg(v)² with outdeg ≤ O(√m)
+    * under the orientation (arboricity bound) — robust to the skewed
+    * degree distributions a boilerplate-farm near-dup graph produces,
+    * where a low-id hub made the previous id-ordered join's Σ deg_hi(v)²
+    * quadratic. The two degree-attach joins this buys are graph-sized.
+    */
   def triangleStats(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    // the edge list feeds FOUR plan branches (degrees + e1/e2/e3 of the
-    // wedge join); without materialization each branch would recompute the
-    // upstream pair construction (observed 7.4 s → ~construction-once at
-    // sf0.1). localCheckpoint shares one computed RDD across all branches.
+    // the edge list feeds THREE plan branches (degrees + the two degree-
+    // attach joins of the orientation); without materialization each branch
+    // would recompute the upstream pair construction (observed 7.4 s →
+    // ~construction-once at sf0.1). localCheckpoint shares one computed RDD.
     // Lifecycle: blocks are session-owned until the RDD is GC'd (see the
     // labelPropagation scaladoc note) — query-per-session callers pay
     // nothing; long-lived services own their inputs' lifetime.
     val e = canonical(pairs, aCol, bCol).localCheckpoint(false)
-    val deg = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("degree"))
-    val wedges = e.as("e1")
-      .join(e.as("e2"), col("e1.b") === col("e2.a"))
-      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
-    val tris = wedges
-      .join(e.as("e3"), col("x") === col("e3.a") && col("z") === col("e3.b"))
-      .select(col("x"), col("y"), col("z"))
+    val deg = degrees(e)
+    // the oriented list feeds three branches of its own (o1/o2 of the wedge
+    // join + the closing probe); checkpoint it too — edge-count rows, and
+    // the orientation joins then run once instead of three times
+    val o = orientByDegree(e, deg).localCheckpoint(false)
+    val tris = orientedWedges(o)
+      .join(o.as("o3"), col("v") === col("o3.src") && col("w") === col("o3.dst"))
+      .select(col("x"), col("v"), col("w"))
     val perNode = tris
-      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .select(explode(array(col("x"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
     deg.join(perNode, Seq("node"), "left")
       .select(col("node"), col("degree"),

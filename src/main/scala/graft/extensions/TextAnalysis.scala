@@ -174,6 +174,15 @@ object TextAnalysis {
     * doc ORDER BY pos)` window plus a distinct — two corpus-sized shuffles
     * whose only job was reassembling rows that started adjacent in the
     * same document row; equality to that form is pinned in Round8Spec.)
+    *
+    * Precondition: `idCol` must be unique per row (one row = one document).
+    * Fingerprint dedup is per-document — [[graft.functions.WinnowMins]]
+    * deduplicates within each row's shingle array — so two input rows
+    * carrying the same id each emit their own (id, fp) rows. The retired
+    * window form ended in a GLOBAL distinct that would have collapsed such
+    * cross-row duplicates; that global contract is intentionally gone (it
+    * cost a corpus-sized exchange to guard against malformed input), and
+    * multiplicity under a duplicated id is pinned in Round8Spec.
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 4): DataFrame = {

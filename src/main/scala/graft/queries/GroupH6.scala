@@ -100,8 +100,10 @@ object GroupH6 {
 
   /** Per-node triangle count + local clustering coefficient over the
     * near-dup graph — clique-y duplicate neighborhoods (template farms)
-    * versus chains of borderline pairs. Oracle replays the id-ordered wedge
-    * join exactly.
+    * versus chains of borderline pairs. The oracle replays the simpler
+    * id-ordered wedge join; the engine enumerates via degree-ordered
+    * orientation ([[graft.extensions.Graph.orientByDegree]]) — per-node
+    * counts are enumeration-order-independent, so the two agree exactly.
     */
   val h67 = Q(
     "h67_dup_graph_triangles",

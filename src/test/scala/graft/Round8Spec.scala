@@ -220,11 +220,26 @@ class Round8Spec extends SparkSpec {
       .select(col("doc_id"), col("__winmin").as("fp"))
       .distinct()
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    val got = extensions.TextAnalysis
+    val gotRows = extensions.TextAnalysis
       .winnowFingerprints(docs, "doc_id", "text", w = 4)
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    assert(got === old)
-    assert(got.nonEmpty)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // set equality AND multiplicity: on unique-doc_id input (the operator's
+    // documented precondition) the per-document dedup yields globally
+    // distinct rows, so row count must equal distinct count — a duplicate-
+    // row regression can't hide behind the .toSet comparison
+    assert(gotRows.toSet === old)
+    assert(gotRows.size === gotRows.toSet.size)
+    assert(gotRows.nonEmpty)
+    // and the documented duplicate-id multiplicity: a doc row repeated
+    // twice emits its (id, fp) set twice (per-document dedup only — the
+    // old global-distinct contract is intentionally retired)
+    val one = docs.orderBy("doc_id").limit(1)
+    val doubled = extensions.TextAnalysis
+      .winnowFingerprints(one.unionAll(one), "doc_id", "text", w = 4)
+    val single = extensions.TextAnalysis
+      .winnowFingerprints(one, "doc_id", "text", w = 4)
+    assert(doubled.count() === 2 * single.count())
+    assert(single.count() > 0)
   }
 
   test("SimHashLong equals the explode+aggregate vote formula") {

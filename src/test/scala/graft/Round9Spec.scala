@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.extensions.{Dedup, Graph}
+
+/** Round-9 tests: degree-ordered orientation in the triangle enumeration —
+  * per-node counts identical to the id-ordered wedge join the oracle
+  * replays, and the hub fixture where id-ordering does Θ(n²) wedge work
+  * while the orientation does zero (the adversarial-skew case the 100 TB
+  * posture names).
+  */
+class Round9Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Canonical a<b edge list from raw (x, y) rows — the same hygiene
+    * triangleStats applies internally.
+    */
+  private def canon(edges: Seq[(Long, Long)]): DataFrame =
+    edges.toDF("x", "y")
+      .select(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))
+      .filter($"a" =!= $"b").distinct()
+
+  test("h67 hub fixture: degree orientation collapses the skewed wedge join") {
+    // star with a MID-id hub: node 20 joined to every other id in 1..41.
+    // id-ordered wedges center at the middle id of each a<b<c path, so the
+    // hub contributes (#spokes below) x (#spokes above) = 19*21 = 399 — the
+    // Sigma deg_hi^2 blow-up a skewed near-dup graph hits. Degree ordering
+    // roots every edge at its degree-1 spoke, out-degree 1 everywhere, so
+    // the wedge join has NOTHING to pair: zero wedges, same (empty)
+    // triangle set.
+    val hub = 20L
+    val e = canon((1L to 41L).filter(_ != hub).map(s => (hub, s)))
+    val idOrderedWedges = e.as("e1")
+      .join(e.as("e2"), $"e1.b" === $"e2.a").count()
+    assert(idOrderedWedges === 399L)
+    val oriented = Graph.orientByDegree(e, Graph.degrees(e))
+    assert(Graph.orientedWedges(oriented).count() === 0L)
+    // and the stats themselves: hub degree 40, spokes degree 1, no triangles
+    val stats = Graph.triangleStats(e.toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val expected = (1L to 41L).map { n =>
+      if (n == hub) (n, 40L, 0L, 0.0) else (n, 1L, 0L, 0.0)
+    }.toSet
+    assert(stats === expected)
+  }
+
+  test("triangleStats counts a known graph exactly") {
+    // K4 on {1,2,3,4} plus a pendant 5-1: each K4 node sits in 3 triangles;
+    // node 1's degree rises to 4 so its clustering is 2*3/(4*3) = 0.5
+    val k4 = for {
+      i <- 1L to 4L; j <- (i + 1) to 4L
+    } yield (i, j)
+    val e = canon(k4 :+ ((1L, 5L)))
+    val got = Graph.triangleStats(e.toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val expected = Set(
+      (1L, 4L, 3L, 0.5),
+      (2L, 3L, 3L, 1.0),
+      (3L, 3L, 3L, 1.0),
+      (4L, 3L, 3L, 1.0),
+      (5L, 1L, 0L, 0.0))
+    assert(got === expected)
+  }
+
+  test("degree-ordered triangle counts == id-ordered counts on the dup graph") {
+    // the oracle replays the id-ordered join; per-node triangle counts are
+    // enumeration-order-independent, so the engine's degree-ordered counts
+    // must agree row-for-row on the real near-dup pair graph
+    val pairs = Dedup.simhashNearDupPairs(
+      Tables.documents(spark, sf), "doc_id", "text",
+      maxHamming = 2, bands = 4, sigBits = 32)
+      .localCheckpoint(false)
+    val e = pairs
+      .select(least($"id_a", $"id_b").as("a"), greatest($"id_a", $"id_b").as("b"))
+      .filter($"a" =!= $"b").distinct().localCheckpoint(false)
+    val oldTris = e.as("e1")
+      .join(e.as("e2"), $"e1.b" === $"e2.a")
+      .select($"e1.a".as("x"), $"e1.b".as("y"), $"e2.b".as("z"))
+      .join(e.as("e3"), $"x" === $"e3.a" && $"z" === $"e3.b")
+      .select(explode(array($"x", $"y", $"z")).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = Graph.triangleStats(pairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got.filter(_._2 > 0L) === oldTris.filter(_._2 > 0L))
+    // triangleStats keeps triangle-free nodes (count 0); the id-ordered
+    // aggregate only emits triangle carriers — so its keys must be a subset
+    assert(oldTris.keySet.subsetOf(got.keySet))
+    assert(got.nonEmpty)
+  }
+}

@@ -193,11 +193,19 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     val NxMat = """(\d+)xmat""".r
     val Nx = """(\d+)x""".r
+    // mode regex accepts any digit string — reject 0 (and 0xmat etc.) with
+    // a clear message instead of crashing on an empty reduce deep inside
+    // the corpus build
+    def copies(n: String): Int = {
+      val c = n.toInt
+      require(c >= 1, s"scale mode needs N >= 1 copies, got ${c}x")
+      c
+    }
     args.lift(1) match {
       case Some(NxMat(n)) =>
-        runNxMat(spark, sfDir, n.toInt); spark.stop(); return
+        runNxMat(spark, sfDir, copies(n)); spark.stop(); return
       case Some(Nx(n)) =>
-        runNx(spark, sfDir, n.toInt); spark.stop(); return
+        runNx(spark, sfDir, copies(n)); spark.stop(); return
       case _ =>
     }
     if (!new java.io.File(s"$scaleDir/documents.parquet").exists())
