@@ -24,6 +24,47 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private def now(): String = java.time.Instant.now().toString
 
+  /** Per-query pin medians (seconds, sf0.1, short keys) from the BASELINE.md
+    * HEAD triple — the adaptive stall-retry reference: a best-of-2 above
+    * min(stallSec, 3 × pin) takes a third sample, and a best-of-3 still
+    * above it is flagged in the JSON's `stall_suspect` list so a driver
+    * artifact can never silently carry an 8× phantom regression on
+    * untouched code (the BENCH_r08 failure mode — see BASELINE.md's
+    * "stall-retry rule"). 3× sits above the documented ~2× slow-host-window
+    * drift, so a trip means freeze (or a real plan regression, which a
+    * re-run under QTime distinguishes: regressions reproduce, stalls
+    * don't). Queries absent here (added after the pin) fall back to the
+    * absolute stallSec cap. Regenerate from the raw triple JSONs when
+    * BASELINE.md re-pins (tools note in BASELINE.md).
+    */
+  private val pinMedianSec: Map[String, Double] = Map(
+    "a1" -> 0.666, "a2" -> 0.637, "a3" -> 0.257, "a4" -> 0.628, "a5" -> 0.142, "a6" -> 0.147,
+    "a7" -> 0.205, "a8" -> 0.425, "b1" -> 0.236, "c1" -> 1.108, "c2" -> 0.36, "c3" -> 0.461,
+    "c4" -> 0.547, "d1" -> 0.473, "d2" -> 0.572, "d3" -> 0.379, "d4" -> 0.282, "d5" -> 0.245,
+    "d6" -> 1.131, "d7" -> 0.301, "d8" -> 0.258, "e1" -> 0.875, "e10" -> 0.597, "e11" -> 0.302,
+    "e12" -> 0.405, "e13" -> 0.299, "e14" -> 0.268, "e15" -> 0.697, "e2" -> 0.566, "e3" -> 0.362,
+    "e4" -> 0.614, "e5" -> 0.32, "e6" -> 1.514, "e7" -> 0.248, "e8" -> 0.783, "e9" -> 0.414,
+    "f1" -> 0.342, "f10" -> 0.487, "f11" -> 0.211, "f2" -> 0.484, "f3" -> 0.56, "f4" -> 0.179,
+    "f5" -> 0.292, "f6" -> 0.377, "f7" -> 0.275, "f8" -> 0.269, "f9" -> 0.515, "g1" -> 0.198,
+    "g2" -> 0.398, "g3" -> 1.044, "g4" -> 0.662, "g5" -> 0.224, "g6" -> 0.338, "h1" -> 0.271,
+    "h10" -> 0.402, "h11" -> 0.718, "h12" -> 0.476, "h13" -> 0.488, "h14" -> 0.37, "h15" -> 1.201,
+    "h16" -> 0.327, "h17" -> 1.279, "h18" -> 0.432, "h19" -> 0.656, "h2" -> 0.274, "h20" -> 0.797,
+    "h21" -> 0.161, "h22" -> 0.507, "h23" -> 0.958, "h24" -> 0.543, "h25" -> 0.823, "h26" -> 0.771,
+    "h27" -> 1.021, "h28" -> 1.635, "h29" -> 0.645, "h3" -> 0.248, "h30" -> 0.614, "h31" -> 0.317,
+    "h32" -> 0.364, "h33" -> 0.312, "h34" -> 0.219, "h35" -> 0.212, "h36" -> 0.311, "h37" -> 0.257,
+    "h38" -> 1.625, "h39" -> 0.781, "h4" -> 0.606, "h40" -> 0.715, "h41" -> 0.198, "h42" -> 0.645,
+    "h43" -> 0.423, "h44" -> 1.06, "h45" -> 0.563, "h46" -> 0.518, "h47" -> 1.687, "h48" -> 0.941,
+    "h49" -> 0.711, "h5" -> 2.278, "h50" -> 0.818, "h51" -> 0.667, "h52" -> 0.343, "h53" -> 0.451,
+    "h54" -> 0.89, "h55" -> 1.059, "h56" -> 1.318, "h57" -> 0.381, "h58" -> 0.69, "h59" -> 0.492,
+    "h6" -> 0.912, "h60" -> 1.107, "h61" -> 2.556, "h62" -> 1.819, "h63" -> 0.519, "h64" -> 0.454,
+    "h65" -> 0.834, "h66" -> 0.898, "h67" -> 1.614, "h68" -> 0.78, "h69" -> 0.347, "h7" -> 0.601,
+    "h70" -> 0.186, "h71" -> 0.194, "h72" -> 0.603, "h73" -> 0.46, "h74" -> 1.913, "h75" -> 0.991,
+    "h76" -> 0.206, "h77" -> 0.254, "h78" -> 0.876, "h79" -> 0.324, "h8" -> 0.438, "h80" -> 1.726,
+    "h81" -> 0.761, "h82" -> 0.432, "h83" -> 0.309, "h84" -> 0.394, "h85" -> 0.542, "h86" -> 0.734,
+    "h87" -> 0.677, "h88" -> 0.362, "h89" -> 1.207, "h9" -> 0.492, "h90" -> 1.051, "h91" -> 0.688,
+    "h92" -> 0.435, "h93" -> 0.481, "h94" -> 0.539, "h95" -> 0.553, "h96" -> 0.291, "h97" -> 0.434,
+    "h98" -> 0.506)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -39,15 +80,15 @@ object Bench {
     // ~47 min of silence; worst-case overshoot past the budget check is one
     // query's 3 capped attempts ≈ 450 s, total < ~50 min).
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2400").toDouble
-    // Stall-retry threshold: a best-of-2 above this is treated as a host
-    // freeze, not a plan (one extra sample taken, audit trail on stderr).
-    // Derivation: slowest pinned per-query median in BASELINE.md ≈ 2.1 s
-    // steady-state at the round-8 pin (h61; ~3 s with per-query builds in
-    // a dev BENCH_ONLY run), ×2 for the documented slow-host windows ≈ 6 s
-    // worst legitimate best-of-2, ×3+ safety ≈ 25 — a trip can only mean a
-    // stall. The constant is sf0.1-specific BY CONSTRUCTION: at another SF
-    // or after adding a slower query family, re-derive as ~3× (2× the
-    // slowest pinned median) or override via env.
+    // Absolute stall-retry cap: a best-of-2 above this is a host freeze no
+    // matter which query (worst documented freeze measured ~127 s on a ~1 s
+    // query; slowest pinned median ≈ 2.6 s, ×2 slow-window ×3+ safety ≈ 25).
+    // Round-9 change: this is now only the FALLBACK/CAP — per query the
+    // trigger is min(this, 3 × its BASELINE pin median) via pinMedianSec
+    // below, because a fixed 25 s was useless for sub-second queries: the
+    // round-8 driver artifact shipped e10 at 4.94 s vs a 0.57 s history
+    // (8×, both best-of-2 attempts stalled) with no flag. The constant is
+    // sf0.1-specific BY CONSTRUCTION; at another SF override via env.
     val stallSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_STALL_SEC", "25").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -112,7 +153,14 @@ object Bench {
 
     var failed = List.empty[String]
     var skipped = List.empty[String]
+    var stallSuspect = List.empty[String]
     var overBudget = false
+
+    // Adaptive per-query stall threshold: 3× the query's pin median,
+    // capped by the absolute stallSec; unpinned queries use the cap alone.
+    def stallThreshold(name: String): Double =
+      pinMedianSec.get(name.takeWhile(_ != '_'))
+        .map(p => math.min(stallSec, 3 * p)).getOrElse(stallSec)
 
     // One attempt on a dedicated daemon thread under a cancellable job group.
     // Job groups are thread-local, so setJobGroup must run on the submitting
@@ -161,20 +209,27 @@ object Bench {
         // BOTH attempts crash/time out — a run-1 success with a run-2 crash
         // still has a valid timing, and nothing is listed twice.
         val times = List(once(name), once(name)).flatten
-        // a multi-minute HOST freeze can span both back-to-back runs (observed
-        // 2026-08-13: a ~1 s query measured 127 s on both attempts while the
-        // rest of the run was normal — see BASELINE.md), which best-of-2
-        // cannot de-noise. A best-of-2 above stallSec (see derivation at the
-        // definition) is far more likely a stall than a plan: take one later
-        // third sample, and leave an audit trail of all samples on stderr (a
-        // genuine regression still shows — all three samples pay it).
+        // a HOST freeze can span both back-to-back runs (observed 2026-08-13:
+        // a ~1 s query measured 127 s on both attempts while the rest of the
+        // run was normal — see BASELINE.md), which best-of-2 cannot de-noise.
+        // A best-of-2 above the query's ADAPTIVE threshold (3× its pin
+        // median, capped at stallSec — see pinMedianSec) is far more likely
+        // a stall than a plan: take one later third sample, with an audit
+        // trail of all samples on stderr (a genuine regression still shows —
+        // all three samples pay it, and the query lands in stall_suspect).
+        val thr = stallThreshold(name)
         val retried =
-          if (times.nonEmpty && times.min > stallSec) {
+          if (times.nonEmpty && times.min > thr) {
             val third = once(name)
-            System.err.println(s"[bench] ${now()} $name STALL-RETRY fired; samples=${(times ++ third).map("%.2f".format(_)).mkString(",")}")
+            System.err.println(s"[bench] ${now()} $name STALL-RETRY fired (thr=${"%.2f".format(thr)}s); samples=${(times ++ third).map("%.2f".format(_)).mkString(",")}")
             times ++ third
           } else times
         if (retried.isEmpty) failed ::= name
+        // best-of-3 STILL above threshold: either a freeze spanned all three
+        // samples or the plan genuinely regressed — either way the artifact
+        // must say so instead of shipping a silent 8× phantom (BENCH_r08's
+        // e10/h98/c3/b1/h22 failure mode)
+        if (retried.nonEmpty && retried.min > thr) stallSuspect ::= name
         val best = retried.sorted.headOption.getOrElse(0.0)
         System.err.println(s"[bench] ${now()} $name best=${"%.3f".format(best)}s samples=${retried.map("%.2f".format(_)).mkString(",")} elapsed=${"%.0f".format(elapsedSec)}s")
         name -> best
@@ -209,7 +264,7 @@ object Bench {
     val prebuildSec = prebuild.map(_._2).sum
     val prebuildJson = prebuild.reverse
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","prebuild_sec":${f3(prebuildSec)},"prebuild":$prebuildJson,"queries":$qs,"failed":${names(failed)},"skipped":${names(skipped)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","prebuild_sec":${f3(prebuildSec)},"prebuild":$prebuildJson,"queries":$qs,"failed":${names(failed)},"skipped":${names(skipped)},"stall_suspect":${names(stallSuspect)},"sf":"$sfDir"}""")
     System.out.flush()
     // stop() on a best-effort thread: an abandoned stuck query thread must
     // never block JVM exit after the JSON line is already out.
