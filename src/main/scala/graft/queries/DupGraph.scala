@@ -82,27 +82,31 @@ object DupGraph {
     * dedup pipeline materializes (at 100 TB this is a bucketed table, not
     * a checkpoint).
     */
-  def shingleRows(s: SparkSession, dir: String): DataFrame = {
-    def build(): DataFrame = graft.extensions.Dedup.shingleRows(
+  private def buildShingleRows(s: SparkSession, dir: String): DataFrame =
+    graft.extensions.Dedup.shingleRows(
       graft.Tables.documents(s, dir), "doc_id", "text",
       carryCols = Seq("source"))
-    if (!materialize) build()
-    else cachedFor(memoShingles, dir, s)(build)
+
+  def shingleRows(s: SparkSession, dir: String): DataFrame = {
+    if (!materialize) buildShingleRows(s, dir)
+    else cachedFor(memoShingles, dir, s)(() => buildShingleRows(s, dir))
   }
 
   /** The standard near-dup pair graph (id_a, id_b, hamming) for `dir`'s
     * documents table — built per call, or built-once-and-shared after
     * [[enableMaterialization]].
     */
-  def pairs(s: SparkSession, dir: String): DataFrame = {
-    def build(): DataFrame = graft.extensions.Dedup.simhashNearDupPairs(
+  private def buildPairs(s: SparkSession, dir: String): DataFrame =
+    graft.extensions.Dedup.simhashNearDupPairs(
       graft.Tables.documents(s, dir), "doc_id", "text",
       maxHamming = 2, bands = 4, sigBits = 32)
-    if (!materialize) build()
+
+  def pairs(s: SparkSession, dir: String): DataFrame = {
+    if (!materialize) buildPairs(s, dir)
     // lazy checkpoint: the first action over the first consumer computes the
     // pair RDD and pins it; a cancelled first job just defers the pin to the
     // next action. ~pair-count rows (1292 at sf0.1), trivially memory-safe.
-    else cachedFor(memo, dir, s)(build)
+    else cachedFor(memo, dir, s)(() => buildPairs(s, dir))
   }
 
   /** The standard verified near-dup pair table (id_a, id_b) for `dir`'s
@@ -115,15 +119,16 @@ object DupGraph {
     * exposed through [[graft.extensions.Dedup.dedupCorpusFromPairs]] /
     * dedupClustersFromPairs.
     */
+  private def buildVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    graft.extensions.Dedup.verifiedNearDupPairs(
+      graft.extensions.Dedup.exactReps(docs, "doc_id", "text"),
+      "doc_id", "text", minJaccard = 0.5, numHashes = 16, bands = 4)
+  }
+
   def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    def build(): DataFrame = {
-      val docs = graft.Tables.documents(s, dir)
-      graft.extensions.Dedup.verifiedNearDupPairs(
-        graft.extensions.Dedup.exactReps(docs, "doc_id", "text"),
-        "doc_id", "text", minJaccard = 0.5, numHashes = 16, bands = 4)
-    }
-    if (!materialize) build()
-    else cachedFor(memoVerified, dir, s)(build)
+    if (!materialize) buildVerifiedPairs(s, dir)
+    else cachedFor(memoVerified, dir, s)(() => buildVerifiedPairs(s, dir))
   }
 
   private val memoIndex =
@@ -136,6 +141,59 @@ object DupGraph {
     * built-once-and-shared (each table localCheckpoint'd) after
     * [[enableMaterialization]].
     */
+  /** Materialize the shared constructions as BUCKETED PARQUET TABLES (via
+    * [[graft.sources.Bucketing]]) instead of localCheckpoint blocks, and
+    * install the catalog read-backs in the memo so every consumer
+    * transparently reads the bucketed tables. This is the layout the 100 TB
+    * posture names: a persistent signature/pair warehouse, not
+    * memory-resident checkpoint blocks — survives the session, and the
+    * bucket metadata carries each table's hash partitioning into consumer
+    * plans so Catalyst drops the exchanges the checkpoint path still pays:
+    *
+    *   - `shingle_rows` bucketed by `doc_id` → h5's per-doc signature
+    *     aggregate and h6's (doc_id, shingle) distinct need NO shuffle
+    *     (HashPartitioning(doc_id) satisfies both clustered distributions —
+    *     subset-key co-location);
+    *   - `pairs` / `verified_pairs` bucketed by `id_a` → pair-sized tables
+    *     whose downstream graph/CC joins re-key per iteration; persisted for
+    *     layout parity, the consumer win rides the corpus-sized relation.
+    *
+    * Returns (label, build seconds) per table. Round9Spec pins the exchange
+    * elimination and consumer equality; ScaleBench's `<N>xmatbkt` mode runs
+    * the full consumer suite over this layout.
+    *
+    * Bucket-count guidance at real scale: size so one bucket ≈ one task
+    * (128–512 MB) — see [[graft.sources.Bucketing]]; the default 8 suits
+    * the test fixtures.
+    */
+  def materializeBucketed(s: SparkSession, dir: String,
+      buckets: Int = 8): Seq[(String, Double)] = {
+    materialize = true
+    val suffix = Integer.toHexString(dir.hashCode)
+    def put(m: ConcurrentHashMap[String, DataFrame], label: String,
+        bucketCols: Seq[String], build: () => DataFrame): (String, Double) = {
+      val table = s"graft_bkt_${suffix}_$label"
+      val t0 = System.nanoTime()
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      // the in-memory catalog forgets tables across JVMs but the warehouse
+      // directory persists — a stale dir makes saveAsTable fail, so clear it
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      graft.sources.Bucketing.writeBucketed(
+        build(), table, bucketCols, buckets, sortCols = bucketCols)
+      m.put(dir, s.table(table))
+      (label, (System.nanoTime() - t0) / 1e9)
+    }
+    Seq(
+      put(memoShingles, "shingle_rows", Seq("doc_id"),
+        () => buildShingleRows(s, dir)),
+      put(memo, "pairs", Seq("id_a"), () => buildPairs(s, dir)),
+      put(memoVerified, "verified_pairs", Seq("id_a"),
+        () => buildVerifiedPairs(s, dir)))
+  }
+
   def h61CorpusIndex(s: SparkSession, dir: String): graft.extensions.Dedup.CorpusIndex = {
     def build(): graft.extensions.Dedup.CorpusIndex =
       graft.extensions.Dedup.corpusIndex(

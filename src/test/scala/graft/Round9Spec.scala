@@ -93,4 +93,40 @@ class Round9Spec extends SparkSpec {
     assert(oldTris.keySet.subsetOf(got.keySet))
     assert(got.nonEmpty)
   }
+
+  private def shuffleExchanges(name: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(
+      SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString).size
+
+  test("bucketed materialization: consumers equal per-call and shed exchanges") {
+    // DupGraph.materializeBucketed persists the shared constructions as
+    // bucketed parquet tables and installs the catalog read-backs in the
+    // memo — consumers must return bit-identical results, and the shingle
+    // consumers must LOSE shuffle exchanges because the bucket metadata
+    // already hash-partitions by doc_id (the 100 TB signature-warehouse
+    // layout, vs memory-resident checkpoint blocks)
+    import graft.queries.DupGraph
+    val names = Seq("h5_minhash_lsh_pairs", "h6_ngram_jaccard",
+      "h16_dedup_corpus_keep", "h23_dedup_clusters")
+    DupGraph.reset()
+    val perCall = names.map(n =>
+      n -> SparkEntry.queries(n)(spark, sf).collect().map(_.toString).toSeq).toMap
+    val exchPerCall = Seq("h5_minhash_lsh_pairs", "h6_ngram_jaccard")
+      .map(n => n -> shuffleExchanges(n)).toMap
+    try {
+      val timings = DupGraph.materializeBucketed(spark, sf, buckets = 4)
+      assert(timings.map(_._1) ===
+        Seq("shingle_rows", "pairs", "verified_pairs"))
+      val bucketed = names.map(n =>
+        n -> SparkEntry.queries(n)(spark, sf).collect().map(_.toString).toSeq).toMap
+      assert(bucketed === perCall)
+      for ((n, before) <- exchPerCall) {
+        val after = shuffleExchanges(n)
+        assert(after < before,
+          s"$n: expected fewer shuffle exchanges over the bucketed " +
+            s"shingle table, got $after (per-call $before)")
+      }
+    } finally DupGraph.reset()
+  }
 }

@@ -15,8 +15,12 @@ import org.apache.spark.sql.functions._
   * make every doc a 10-way duplicate and measure the combinatorics of the
   * fixture, not the engine). Embeddings are rotated per copy for the same
   * reason. Usage: Test/runMain graft.tools.ScaleBench [sfDir] [mode] where
-  * mode is `<N>x` (per-query-build dedup pillars at N×, e.g. 30x, 100x) or
-  * `<N>xmat` (materialize-once steady-state at N×); no mode = the 10× suite.
+  * mode is `<N>x` (per-query-build dedup pillars at N×, e.g. 30x, 100x),
+  * `<N>xmat` (materialize-once steady-state at N×), `<N>xmatbkt` (same,
+  * but the shared constructions persist as bucketed parquet tables —
+  * exchange-count evidence in the JSON), or `tail<N>x` (the steady-state
+  * tail: blocked fuzzy linkage, novelty, column profile, decontamination,
+  * bigram LM, basket lift at N×); no mode = the 10× suite.
   */
 object ScaleBench {
 
@@ -118,6 +122,61 @@ object ScaleBench {
     println(s"""{"metric":"scale$copies","queries":$js}""")
   }
 
+  /** Steady-state-tail mode (`… ScaleBench <sfDir> tail<N>x`, e.g.
+    * `tail10x`, `tail30x`): the six 1.6–1.9 s sf0.1 queries whose scale
+    * stories were plan-read but never measured — h74 blocked fuzzy linkage
+    * (Σ|block|²), h62 n-gram novelty (shingle-df join-back), h38 column
+    * profile (stack generator → partial agg), h28 decontamination
+    * (containment verify), h47 bigram LM (bigram explode), h80 basket lift
+    * (Σ|basket|² self-join). Inputs scale the way each operator's real
+    * input grows, into a self-contained `target/scaletail<N>` dir:
+    * documents via the disjoint-vocabulary blow-up; part with p_partkey AND
+    * p_size shifted per copy — N× parts arrive as NEW (p_type, p_size)
+    * blocks at base density, mirroring how a growing catalog adds
+    * type/size combinations (a verbatim blow-up would grow every block N×
+    * and measure the fixture's Σ|block|² quadratic, the knob h71 exists to
+    * profile — same honesty argument as the disjoint vocabularies);
+    * lineitem with shifted orderkey/partkey (N× baskets at base basket
+    * size); events with shifted ids.
+    */
+  private def runTailNx(spark: SparkSession, sfDir: String, copies: Int): Unit = {
+    val dir = s"/root/repo/target/scaletail$copies"
+    def blow(table: String, shifts: Map[String, Long]): Unit = {
+      val base = spark.read.parquet(s"$sfDir/$table.parquet")
+      val out = (0 until copies).map { k =>
+        shifts.foldLeft(base) { case (df, (c, step)) =>
+          df.withColumn(c,
+            (col(c) + lit(k * step)).cast(base.schema(c).dataType)) }
+      }.reduce(_ unionByName _)
+      out.repartition(32).write.mode("overwrite")
+        .parquet(s"$dir/$table.parquet")
+    }
+    if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+      buildDocsNx(spark, sfDir, dir, copies)
+      blow("part", Map("p_partkey" -> 1000000L, "p_size" -> 1000L))
+      blow("events", Map("event_id" -> 100000000L, "user_id" -> 1000000L))
+      blow("lineitem", Map("l_orderkey" -> 10000000L, "l_partkey" -> 1000000L))
+    }
+    spark.read.parquet(s"$dir/documents.parquet").selectExpr("count(*)").collect()
+    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val names = Seq("h74_blocked_fuzzy_match", "h62_ngram_novelty",
+      "h38_column_profile", "h28_benchmark_decontamination",
+      "h47_bigram_lm_score", "h80_basket_lift")
+    val js = names.map { n =>
+      def once(d: String): Double = {
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(n)(spark, d)
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t1 = math.min(once(sfDir), once(sfDir))
+      val tN = math.min(once(dir), once(dir))
+      println(s"[scale] $n sf0.1=${f3(t1)}s ${copies}x=${f3(tN)}s ratio=${f3(tN / t1)}")
+      s""""${n.takeWhile(_ != '_')}":{"base":${f3(t1)},"x$copies":${f3(tN)},"ratio":${f3(tN / t1)}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scaletail$copies","queries":$js}""")
+  }
+
   /** Materialized-construction beyond-first-decade mode (`… ScaleBench
     * <sfDir> <N>xmat`, e.g. `30xmat`, `100xmat`): the steady-state number a
     * real cluster sees. The N× per-query-build points (runNx) charge every
@@ -132,7 +191,8 @@ object ScaleBench {
     * one-time prebuild cost and the per-consumer steady-state times, so the
     * artifact carries the full accounting.
     */
-  private def runNxMat(spark: SparkSession, sfDir: String, copies: Int): Unit = {
+  private def runNxMat(spark: SparkSession, sfDir: String, copies: Int,
+      bucketed: Boolean = false): Unit = {
     val dir = scaleNDir(copies)
     if (!new java.io.File(s"$dir/documents.parquet").exists())
       buildDocsNx(spark, sfDir, dir, copies)
@@ -141,7 +201,6 @@ object ScaleBench {
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     import graft.queries.DupGraph
     DupGraph.reset()
-    DupGraph.enableMaterialization()
     def mat(label: String)(dfs: => Seq[DataFrame]): (String, Double) = {
       val t0 = System.nanoTime()
       dfs.foreach(_.write.mode("overwrite").format("noop").save())
@@ -149,14 +208,29 @@ object ScaleBench {
       println(s"[scale] prebuild $label ${f3(sec)}s")
       (label, sec)
     }
-    val pre = Seq(
-      mat("pairs")(Seq(DupGraph.pairs(spark, dir))),
-      mat("verified_pairs")(Seq(DupGraph.verifiedPairs(spark, dir))),
-      mat("h61_corpus_index") {
-        val idx = DupGraph.h61CorpusIndex(spark, dir)
-        Seq(idx.fingerprints, idx.bandRows, idx.shingles, idx.sizes)
-      },
-      mat("shingle_rows")(Seq(DupGraph.shingleRows(spark, dir))))
+    // bucketed: persist shingle_rows/pairs/verified_pairs as bucketed
+    // parquet tables (the 100 TB layout — bucket metadata carries the hash
+    // partitioning into every consumer plan) instead of localCheckpoint
+    // blocks; h61's index stays on the checkpoint path either way
+    val pre =
+      if (bucketed) {
+        val t = DupGraph.materializeBucketed(spark, dir, buckets = 32)
+        t.foreach { case (l, s) => println(s"[scale] prebuild(bucketed) $l ${f3(s)}s") }
+        t :+ mat("h61_corpus_index") {
+          val idx = DupGraph.h61CorpusIndex(spark, dir)
+          Seq(idx.fingerprints, idx.bandRows, idx.shingles, idx.sizes)
+        }
+      } else {
+        DupGraph.enableMaterialization()
+        Seq(
+          mat("pairs")(Seq(DupGraph.pairs(spark, dir))),
+          mat("verified_pairs")(Seq(DupGraph.verifiedPairs(spark, dir))),
+          mat("h61_corpus_index") {
+            val idx = DupGraph.h61CorpusIndex(spark, dir)
+            Seq(idx.fingerprints, idx.bandRows, idx.shingles, idx.sizes)
+          },
+          mat("shingle_rows")(Seq(DupGraph.shingleRows(spark, dir))))
+      }
     val names = Seq("h16_dedup_corpus_keep", "h23_dedup_clusters",
       "h65_dup_graph_pagerank", "h66_label_propagation",
       "h67_dup_graph_triangles", "h78_weighted_pagerank",
@@ -170,16 +244,29 @@ object ScaleBench {
         (System.nanoTime() - t0) / 1e9
       }
       val t = math.min(once(), once())
-      println(s"[scale] $n ${copies}x_mat=${f3(t)}s")
+      println(s"[scale] $n ${copies}x_mat${if (bucketed) "_bkt" else ""}=${f3(t)}s")
       (n, t)
+    }
+    // shuffle-exchange counts over the shingle-relation consumers — the
+    // bucketed layout's plan-shape evidence (HashPartitioning(doc_id) from
+    // the bucket metadata satisfies the per-doc aggregate / distinct
+    // distributions, so these drop vs the checkpoint path)
+    val exch = Seq("h5_minhash_lsh_pairs", "h6_ngram_jaccard",
+      "h16_dedup_corpus_keep", "h23_dedup_clusters").map { n =>
+      val p = graft.SparkEntry.queries(n)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val c = "Exchange hashpartitioning".r.findAllIn(p).size
+      println(s"[scale] $n shuffle_exchanges=$c")
+      (n.takeWhile(_ != '_'), c)
     }
     DupGraph.reset()
     val preJs = pre.map { case (l, s) => s""""$l":${f3(s)}""" }
       .mkString("{", ",", "}")
     val qJs = rows.map { case (n, t) =>
       s""""${n.takeWhile(_ != '_')}":${f3(t)}""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale${copies}mat","prebuild_sec":${
-      f3(pre.map(_._2).sum)},"prebuild":$preJs,"queries":$qJs}""")
+    val exJs = exch.map { case (n, c) => s""""$n":$c""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale${copies}mat${if (bucketed) "bkt" else ""}","prebuild_sec":${
+      f3(pre.map(_._2).sum)},"prebuild":$preJs,"queries":$qJs,"exchanges":$exJs}""")
   }
 
   def main(args: Array[String]): Unit = {
@@ -191,6 +278,7 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val NxMatBkt = """(\d+)xmatbkt""".r
     val NxMat = """(\d+)xmat""".r
     val Nx = """(\d+)x""".r
     // mode regex accepts any digit string — reject 0 (and 0xmat etc.) with
@@ -201,7 +289,12 @@ object ScaleBench {
       require(c >= 1, s"scale mode needs N >= 1 copies, got ${c}x")
       c
     }
+    val TailNx = """tail(\d+)x""".r
     args.lift(1) match {
+      case Some(TailNx(n)) =>
+        runTailNx(spark, sfDir, copies(n)); spark.stop(); return
+      case Some(NxMatBkt(n)) =>
+        runNxMat(spark, sfDir, copies(n), bucketed = true); spark.stop(); return
       case Some(NxMat(n)) =>
         runNxMat(spark, sfDir, copies(n)); spark.stop(); return
       case Some(Nx(n)) =>
