@@ -38,32 +38,32 @@ object Bench {
     * BASELINE.md re-pins (tools note in BASELINE.md).
     */
   private val pinMedianSec: Map[String, Double] = Map(
-    "a1" -> 0.666, "a2" -> 0.637, "a3" -> 0.257, "a4" -> 0.628, "a5" -> 0.142, "a6" -> 0.147,
-    "a7" -> 0.205, "a8" -> 0.425, "b1" -> 0.236, "c1" -> 1.108, "c2" -> 0.36, "c3" -> 0.461,
-    "c4" -> 0.547, "d1" -> 0.473, "d2" -> 0.572, "d3" -> 0.379, "d4" -> 0.282, "d5" -> 0.245,
-    "d6" -> 1.131, "d7" -> 0.301, "d8" -> 0.258, "e1" -> 0.875, "e10" -> 0.597, "e11" -> 0.302,
-    "e12" -> 0.405, "e13" -> 0.299, "e14" -> 0.268, "e15" -> 0.697, "e2" -> 0.566, "e3" -> 0.362,
-    "e4" -> 0.614, "e5" -> 0.32, "e6" -> 1.514, "e7" -> 0.248, "e8" -> 0.783, "e9" -> 0.414,
-    "f1" -> 0.342, "f10" -> 0.487, "f11" -> 0.211, "f2" -> 0.484, "f3" -> 0.56, "f4" -> 0.179,
-    "f5" -> 0.292, "f6" -> 0.377, "f7" -> 0.275, "f8" -> 0.269, "f9" -> 0.515, "g1" -> 0.198,
-    "g2" -> 0.398, "g3" -> 1.044, "g4" -> 0.662, "g5" -> 0.224, "g6" -> 0.338, "h1" -> 0.271,
-    "h10" -> 0.402, "h11" -> 0.718, "h12" -> 0.476, "h13" -> 0.488, "h14" -> 0.37, "h15" -> 1.201,
-    "h16" -> 0.327, "h17" -> 1.279, "h18" -> 0.432, "h19" -> 0.656, "h2" -> 0.274, "h20" -> 0.797,
-    "h21" -> 0.161, "h22" -> 0.507, "h23" -> 0.958, "h24" -> 0.543, "h25" -> 0.823, "h26" -> 0.771,
-    "h27" -> 1.021, "h28" -> 1.635, "h29" -> 0.645, "h3" -> 0.248, "h30" -> 0.614, "h31" -> 0.317,
-    "h32" -> 0.364, "h33" -> 0.312, "h34" -> 0.219, "h35" -> 0.212, "h36" -> 0.311, "h37" -> 0.257,
-    "h38" -> 1.625, "h39" -> 0.781, "h4" -> 0.606, "h40" -> 0.715, "h41" -> 0.198, "h42" -> 0.645,
-    "h43" -> 0.423, "h44" -> 1.06, "h45" -> 0.563, "h46" -> 0.518, "h47" -> 1.687, "h48" -> 0.941,
-    "h49" -> 0.711, "h5" -> 2.278, "h50" -> 0.818, "h51" -> 0.667, "h52" -> 0.343, "h53" -> 0.451,
-    "h54" -> 0.89, "h55" -> 1.059, "h56" -> 1.318, "h57" -> 0.381, "h58" -> 0.69, "h59" -> 0.492,
-    "h6" -> 0.912, "h60" -> 1.107, "h61" -> 2.556, "h62" -> 1.819, "h63" -> 0.519, "h64" -> 0.454,
-    "h65" -> 0.834, "h66" -> 0.898, "h67" -> 1.614, "h68" -> 0.78, "h69" -> 0.347, "h7" -> 0.601,
-    "h70" -> 0.186, "h71" -> 0.194, "h72" -> 0.603, "h73" -> 0.46, "h74" -> 1.913, "h75" -> 0.991,
-    "h76" -> 0.206, "h77" -> 0.254, "h78" -> 0.876, "h79" -> 0.324, "h8" -> 0.438, "h80" -> 1.726,
-    "h81" -> 0.761, "h82" -> 0.432, "h83" -> 0.309, "h84" -> 0.394, "h85" -> 0.542, "h86" -> 0.734,
-    "h87" -> 0.677, "h88" -> 0.362, "h89" -> 1.207, "h9" -> 0.492, "h90" -> 1.051, "h91" -> 0.688,
-    "h92" -> 0.435, "h93" -> 0.481, "h94" -> 0.539, "h95" -> 0.553, "h96" -> 0.291, "h97" -> 0.434,
-    "h98" -> 0.506)
+    "a1" -> 0.624, "a2" -> 0.53, "a3" -> 0.255, "a4" -> 0.573, "a5" -> 0.147, "a6" -> 0.158,
+    "a7" -> 0.202, "a8" -> 0.406, "b1" -> 0.227, "c1" -> 0.896, "c2" -> 0.343, "c3" -> 0.437,
+    "c4" -> 0.493, "d1" -> 0.376, "d2" -> 0.593, "d3" -> 0.356, "d4" -> 0.277, "d5" -> 0.241,
+    "d6" -> 1.153, "d7" -> 0.311, "d8" -> 0.249, "e1" -> 0.844, "e10" -> 0.592, "e11" -> 0.302,
+    "e12" -> 0.4, "e13" -> 0.291, "e14" -> 0.263, "e15" -> 0.707, "e2" -> 0.499, "e3" -> 0.366,
+    "e4" -> 0.513, "e5" -> 0.298, "e6" -> 1.436, "e7" -> 0.223, "e8" -> 0.701, "e9" -> 0.407,
+    "f1" -> 0.342, "f10" -> 0.447, "f11" -> 0.196, "f2" -> 0.448, "f3" -> 0.552, "f4" -> 0.173,
+    "f5" -> 0.261, "f6" -> 0.308, "f7" -> 0.256, "f8" -> 0.275, "f9" -> 0.547, "g1" -> 0.177,
+    "g2" -> 0.383, "g3" -> 0.943, "g4" -> 0.607, "g5" -> 0.202, "g6" -> 0.373, "h1" -> 0.218,
+    "h10" -> 0.349, "h11" -> 0.696, "h12" -> 0.486, "h13" -> 0.433, "h14" -> 0.357, "h15" -> 1.096,
+    "h16" -> 0.295, "h17" -> 1.202, "h18" -> 0.426, "h19" -> 0.641, "h2" -> 0.353, "h20" -> 0.798,
+    "h21" -> 0.163, "h22" -> 0.463, "h23" -> 0.756, "h24" -> 0.516, "h25" -> 0.753, "h26" -> 0.749,
+    "h27" -> 0.943, "h28" -> 1.728, "h29" -> 0.659, "h3" -> 0.232, "h30" -> 0.65, "h31" -> 0.34,
+    "h32" -> 0.341, "h33" -> 0.306, "h34" -> 0.202, "h35" -> 0.211, "h36" -> 0.336, "h37" -> 0.238,
+    "h38" -> 1.534, "h39" -> 0.749, "h4" -> 0.624, "h40" -> 0.667, "h41" -> 0.184, "h42" -> 0.608,
+    "h43" -> 0.434, "h44" -> 1.031, "h45" -> 0.565, "h46" -> 0.461, "h47" -> 1.69, "h48" -> 0.912,
+    "h49" -> 0.665, "h5" -> 2.175, "h50" -> 0.828, "h51" -> 0.67, "h52" -> 0.333, "h53" -> 0.478,
+    "h54" -> 0.835, "h55" -> 0.968, "h56" -> 1.239, "h57" -> 0.337, "h58" -> 0.664, "h59" -> 0.506,
+    "h6" -> 0.954, "h60" -> 1.101, "h61" -> 2.632, "h62" -> 1.75, "h63" -> 0.44, "h64" -> 0.451,
+    "h65" -> 0.822, "h66" -> 0.916, "h67" -> 1.526, "h68" -> 0.713, "h69" -> 0.34, "h7" -> 0.595,
+    "h70" -> 0.177, "h71" -> 0.186, "h72" -> 0.58, "h73" -> 0.469, "h74" -> 1.954, "h75" -> 0.992,
+    "h76" -> 0.199, "h77" -> 0.244, "h78" -> 0.859, "h79" -> 0.344, "h8" -> 0.418, "h80" -> 1.802,
+    "h81" -> 0.706, "h82" -> 0.423, "h83" -> 0.289, "h84" -> 0.336, "h85" -> 0.52, "h86" -> 0.792,
+    "h87" -> 0.7, "h88" -> 0.349, "h89" -> 1.002, "h9" -> 0.459, "h90" -> 1.036, "h91" -> 0.713,
+    "h92" -> 0.397, "h93" -> 0.476, "h94" -> 0.419, "h95" -> 0.557, "h96" -> 0.277, "h97" -> 0.425,
+    "h98" -> 0.526)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
