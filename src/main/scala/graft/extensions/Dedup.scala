@@ -433,52 +433,80 @@ object Dedup {
       s"bands ($bands) must evenly divide numHashes ($numHashes)")
     // (1) exact layer: within-batch collapse (X1 groupBy-min), then drop
     // batch reps whose content fingerprint already exists in the corpus
+    // `fresh` feeds THREE plan branches (signatures, shingles, the final
+    // anti-join) — localCheckpoint so the exact-collapse + corpus anti-join
+    // run once, not per branch. Batch-sized rows; same lifecycle note as
+    // Graph.triangleStats.
     val inReps = exactReps(incoming, idCol, textCol)
     val fresh = inReps
       .withColumn("__fp", md5(TextOps.normalized(col(textCol))))
       .join(index.fingerprints, Seq("__fp"), "left_anti")
       .drop("__fp")
-    // (2) near-dup layer: corpus band rows (ord 0) dominate every fresh
-    // doc's band rows (ord 1); domination order is (ord, id)
+      .localCheckpoint(false)
+    // (2) near-dup layer: corpus docs dominate every fresh doc sharing a
+    // band bucket, and within the batch the lower id dominates — the same
+    // (ord, id) domination order as the retired union self-join, SPLIT into
+    // corpus⋈batch ∪ batch⋈batch (round 9) so the corpus-sized relation is
+    // joined ONCE against the batch-sized one instead of riding both sides
+    // of a union self-join: band-join shuffle volume C+3B instead of
+    // 2C+2B rows (C = corpus band rows, B ∝ batch), and a corpus table
+    // bucketed by `bucket` joins with NO corpus-side exchange at all
+    // (HashPartitioning(bucket) satisfies the (band, bucket) clustering).
+    // Equality to the union form holds because corpus/batch ids are
+    // disjoint (the documented id-uniqueness contract): every union pair
+    // with ord_a=0 is a corpus⋈batch pair, every (1,id_a)<(1,id_b) pair is
+    // a batch pair with id_a<id_b.
     val rowsPerBand = numHashes / bands
     val sig = minhashSignatures(fresh, idCol, textCol, numHashes)
     val bucketCols = (0 until bands).map { b =>
       md5(concat((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
     }
-    val bandRows = index.bandRows.withColumn("__ord", lit(0))
-      .unionByName(sig
-        .select(col(idCol).as("id"), posexplode(array(bucketCols: _*)))
-        .toDF("id", "band", "bucket")
-        .withColumn("__ord", lit(1)))
-    val a = bandRows.select(col("id").as("id_a"), col("band"), col("bucket"),
-      col("__ord").as("ord_a"))
-    val b = bandRows.select(col("id").as("id_b"), col("band"), col("bucket"),
-      col("__ord").as("ord_b"))
-    // only fresh docs can be dominated
-    val cand = a.join(b, Seq("band", "bucket"))
-      .filter(col("ord_b") === 1 &&
-        struct(col("ord_a"), col("id_a")) < struct(col("ord_b"), col("id_b")))
-      .select("id_a", "id_b")
+    // three consumers (corpus join + both sides of the batch self-join);
+    // checkpoint so the 16-hash MinHash banding runs once — (id, band,
+    // bucket) rows, 4 per batch doc
+    val batchRows = sig
+      .select(col(idCol).as("id"), posexplode(array(bucketCols: _*)))
+      .toDF("id", "band", "bucket")
+      .localCheckpoint(false)
+    val candCorpus = index.bandRows
+      .select(col("id").as("id_a"), col("band"), col("bucket"))
+      .join(batchRows.select(col("id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+    val candBatch = batchRows
+      .select(col("id").as("id_a"), col("band"), col("bucket"))
+      .join(batchRows.select(col("id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+    val cand = candCorpus.select("id_a", "id_b")
+      .unionByName(candBatch.select("id_a", "id_b"))
       .distinct()
     // (3) exact-Jaccard verify on candidates only (the h6/h16 shape); ids
     // are unique across corpus and batch, so the per-side distincts union
     // to exactly the union's distinct, and per-side size tables union to
     // the union's groupBy — no corpus-sized groupBy in the steady state
+    // four consumers (id_a union, id_b join, and freshSizes twice) —
+    // checkpoint so the batch shingle explode + distinct runs once
     val freshSh = fresh
       .select(col(idCol).as("doc"),
         explode(TextOps.shingles3(TextOps.tokens(col(textCol)))).as("sh"))
       .select(col("doc"), xxhash64(col("sh")).as("sh"))
       .distinct()
+      .localCheckpoint(false)
+    // the dominated side (id_b) is ALWAYS a fresh-batch doc, so its shingle
+    // and size joins ride the batch-sized relations only (round 9 — the old
+    // form joined the full corpus∪batch union on both sides, paying a
+    // corpus-sized exchange for rows that could never match); the dominating
+    // side (id_a) can be corpus OR batch, so it keeps the union
     val ds = index.shingles.unionByName(freshSh)
-    val sizes = index.sizes.unionByName(
-      freshSh.groupBy("doc").agg(count(lit(1)).as("n")))
+    val freshSizes = freshSh.groupBy("doc").agg(count(lit(1)).as("n"))
+    val sizes = index.sizes.unionByName(freshSizes)
     val inter = cand
       .join(ds.toDF("id_a", "sh"), "id_a")
-      .join(ds.toDF("id_b", "sh"), Seq("id_b", "sh"))
+      .join(freshSh.toDF("id_b", "sh"), Seq("id_b", "sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
     val dominated = inter
       .join(sizes.toDF("id_a", "na"), "id_a")
-      .join(sizes.toDF("id_b", "nb"), "id_b")
+      .join(freshSizes.toDF("id_b", "nb"), "id_b")
       .filter(Det.floorRound(col("i") / (col("na") + col("nb") - col("i")), 4) >= minJaccard)
       .select(col("id_b").as(idCol))
       .distinct()

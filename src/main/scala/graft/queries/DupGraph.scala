@@ -170,8 +170,9 @@ object DupGraph {
       buckets: Int = 8): Seq[(String, Double)] = {
     materialize = true
     val suffix = Integer.toHexString(dir.hashCode)
-    def put(m: ConcurrentHashMap[String, DataFrame], label: String,
-        bucketCols: Seq[String], build: () => DataFrame): (String, Double) = {
+    // write one bucketed table, return the catalog read-back + timing
+    def writeTbl(label: String, bucketCols: Seq[String],
+        build: () => DataFrame): (DataFrame, (String, Double)) = {
       val table = s"graft_bkt_${suffix}_$label"
       val t0 = System.nanoTime()
       s.sql(s"DROP TABLE IF EXISTS $table")
@@ -183,15 +184,36 @@ object DupGraph {
       if (fs.exists(loc)) fs.delete(loc, true)
       graft.sources.Bucketing.writeBucketed(
         build(), table, bucketCols, buckets, sortCols = bucketCols)
-      m.put(dir, s.table(table))
-      (label, (System.nanoTime() - t0) / 1e9)
+      (s.table(table), (label, (System.nanoTime() - t0) / 1e9))
     }
-    Seq(
+    def put(m: ConcurrentHashMap[String, DataFrame], label: String,
+        bucketCols: Seq[String], build: () => DataFrame): (String, Double) = {
+      val (df, timing) = writeTbl(label, bucketCols, build)
+      m.put(dir, df)
+      timing
+    }
+    val base = Seq(
       put(memoShingles, "shingle_rows", Seq("doc_id"),
         () => buildShingleRows(s, dir)),
       put(memo, "pairs", Seq("id_a"), () => buildPairs(s, dir)),
       put(memoVerified, "verified_pairs", Seq("id_a"),
         () => buildVerifiedPairs(s, dir)))
+    // h61's corpus index: four tables, each bucketed by ITS join key in the
+    // incremental-dedup plan — fingerprints by the anti-join fingerprint,
+    // band rows by the LSH bucket (HashPartitioning(bucket) satisfies the
+    // (band, bucket) clustering), shingles/sizes by doc — so the
+    // corpus-sized side of every steady-state join arrives pre-partitioned
+    val idx = graft.extensions.Dedup.corpusIndex(
+      graft.Tables.documents(s, dir)
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+      "doc_id", "text", numHashes = 16, bands = 4)
+    val (fpT, fpTime) = writeTbl("h61_fingerprints", Seq("__fp"), () => idx.fingerprints)
+    val (brT, brTime) = writeTbl("h61_band_rows", Seq("bucket"), () => idx.bandRows)
+    val (shT, shTime) = writeTbl("h61_shingles", Seq("doc"), () => idx.shingles)
+    val (szT, szTime) = writeTbl("h61_sizes", Seq("doc"), () => idx.sizes)
+    memoIndex.put(dir,
+      graft.extensions.Dedup.CorpusIndex(fpT, brT, shT, szT))
+    base ++ Seq(fpTime, brTime, shTime, szTime)
   }
 
   def h61CorpusIndex(s: SparkSession, dir: String): graft.extensions.Dedup.CorpusIndex = {

@@ -108,16 +108,18 @@ class Round9Spec extends SparkSpec {
     // layout, vs memory-resident checkpoint blocks)
     import graft.queries.DupGraph
     val names = Seq("h5_minhash_lsh_pairs", "h6_ngram_jaccard",
-      "h16_dedup_corpus_keep", "h23_dedup_clusters")
+      "h16_dedup_corpus_keep", "h23_dedup_clusters", "h61_incremental_dedup")
     DupGraph.reset()
     val perCall = names.map(n =>
       n -> SparkEntry.queries(n)(spark, sf).collect().map(_.toString).toSeq).toMap
-    val exchPerCall = Seq("h5_minhash_lsh_pairs", "h6_ngram_jaccard")
+    val exchPerCall = Seq("h5_minhash_lsh_pairs", "h6_ngram_jaccard",
+      "h61_incremental_dedup")
       .map(n => n -> shuffleExchanges(n)).toMap
     try {
       val timings = DupGraph.materializeBucketed(spark, sf, buckets = 4)
       assert(timings.map(_._1) ===
-        Seq("shingle_rows", "pairs", "verified_pairs"))
+        Seq("shingle_rows", "pairs", "verified_pairs", "h61_fingerprints",
+          "h61_band_rows", "h61_shingles", "h61_sizes"))
       val bucketed = names.map(n =>
         n -> SparkEntry.queries(n)(spark, sf).collect().map(_.toString).toSeq).toMap
       assert(bucketed === perCall)

@@ -208,18 +208,15 @@ object ScaleBench {
       println(s"[scale] prebuild $label ${f3(sec)}s")
       (label, sec)
     }
-    // bucketed: persist shingle_rows/pairs/verified_pairs as bucketed
-    // parquet tables (the 100 TB layout — bucket metadata carries the hash
-    // partitioning into every consumer plan) instead of localCheckpoint
-    // blocks; h61's index stays on the checkpoint path either way
+    // bucketed: persist shingle_rows/pairs/verified_pairs AND the four h61
+    // corpus-index tables as bucketed parquet tables (the 100 TB layout —
+    // bucket metadata carries each table's hash partitioning into every
+    // consumer plan) instead of localCheckpoint blocks
     val pre =
       if (bucketed) {
         val t = DupGraph.materializeBucketed(spark, dir, buckets = 32)
         t.foreach { case (l, s) => println(s"[scale] prebuild(bucketed) $l ${f3(s)}s") }
-        t :+ mat("h61_corpus_index") {
-          val idx = DupGraph.h61CorpusIndex(spark, dir)
-          Seq(idx.fingerprints, idx.bandRows, idx.shingles, idx.sizes)
-        }
+        t
       } else {
         DupGraph.enableMaterialization()
         Seq(
@@ -252,7 +249,8 @@ object ScaleBench {
     // the bucket metadata satisfies the per-doc aggregate / distinct
     // distributions, so these drop vs the checkpoint path)
     val exch = Seq("h5_minhash_lsh_pairs", "h6_ngram_jaccard",
-      "h16_dedup_corpus_keep", "h23_dedup_clusters").map { n =>
+      "h16_dedup_corpus_keep", "h23_dedup_clusters",
+      "h61_incremental_dedup").map { n =>
       val p = graft.SparkEntry.queries(n)(spark, dir)
         .queryExecution.executedPlan.toString
       val c = "Exchange hashpartitioning".r.findAllIn(p).size
