@@ -123,7 +123,7 @@ object Bench {
     // that built per query. Verify and the test suites do NOT opt in —
     // correctness always exercises the full per-query build.
     val consumerNames = Set("h65", "h66", "h67", "h78", "h16", "h23", "h61",
-      "h5", "h6", "h41")
+      "h5", "h6", "h41", "h62", "h28")
     var prebuild = List.empty[(String, Double)]
     if (only.forall(f => f.exists(n => consumerNames.contains(n.takeWhile(_ != '_'))))) {
       graft.queries.DupGraph.enableMaterialization()

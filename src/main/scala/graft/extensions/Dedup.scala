@@ -731,14 +731,29 @@ object Dedup {
     * and the corpus side streams through one map-side join.
     */
   def contaminationPairs(corpus: DataFrame, bench: DataFrame, idCol: String,
-      textCol: String, minContainment: Double): DataFrame = {
-    def shingleSet(df: DataFrame, as: String): DataFrame = df
-      .select(col(idCol).as(as),
-        explode(TextOps.shingles3(TextOps.tokens(col(textCol)))).as("sh"))
-      .select(col(as), xxhash64(col("sh")).as("sh"))
+      textCol: String, minContainment: Double): DataFrame =
+    contaminationPairsFromShingles(
+      shingleRows(corpus, idCol, textCol), shingleRows(bench, idCol, textCol),
+      idCol, "shingle", minContainment)
+
+  /** [[contaminationPairs]] from ALREADY-BUILT shingle relations for the
+    * two sides (`idCol`, `shingleCol` [, others — ignored]) — the
+    * [[shingleRows]] decomposition. When the benchmark set is a slice of
+    * the corpus (the declared h28 shape), BOTH sides filter from one
+    * materialized relation and the corpus is tokenized exactly once
+    * pipeline-wide. [[contaminationPairs]] delegates here, so the paths
+    * cannot drift. Shingles fold to xxhash64 here, not in the stored
+    * relation, keeping the shared table reusable by consumers that need
+    * raw shingles (novelty df, Jaccard).
+    */
+  def contaminationPairsFromShingles(corpusShingles: DataFrame,
+      benchShingles: DataFrame, idCol: String, shingleCol: String,
+      minContainment: Double): DataFrame = {
+    def fold(df: DataFrame, as: String): DataFrame = df
+      .select(col(idCol).as(as), xxhash64(col(shingleCol)).as("sh"))
       .distinct()
-    val cs = shingleSet(corpus, "doc_id")
-    val bs = shingleSet(bench, "bench_id")
+    val cs = fold(corpusShingles, "doc_id")
+    val bs = fold(benchShingles, "bench_id")
     val sizes = bs.groupBy("bench_id").agg(count(lit(1)).as("nb"))
     bs.join(cs, "sh")
       .filter(col("bench_id") =!= col("doc_id"))

@@ -330,10 +330,22 @@ object TextAnalysis {
     * engine-identical. Docs with < 3 tokens have no shingles and are
     * absent, both engines.
     */
-  def noveltyScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ds = docs
-      .select(col(idCol).as("doc_id"),
-        explode(TextOps.shingles3(TextOps.tokens(col(textCol)))).as("sh"))
+  def noveltyScores(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    noveltyScoresFromShingles(
+      Dedup.shingleRows(docs, idCol, textCol), idCol, "shingle")
+
+  /** [[noveltyScores]] from an ALREADY-BUILT shingle relation (`idCol`,
+    * `shingleCol` [, others — ignored]) — the [[Dedup.shingleRows]]
+    * decomposition (the h5/h6 pattern): a pipeline that materializes the
+    * exploded shingle relation once runs novelty, MinHash and Jaccard from
+    * the same table instead of re-tokenizing the corpus per consumer.
+    * [[noveltyScores]] delegates here, so the monolithic and materialized
+    * paths cannot drift.
+    */
+  def noveltyScoresFromShingles(shingles: DataFrame, idCol: String,
+      shingleCol: String): DataFrame = {
+    val ds = shingles
+      .select(col(idCol).as("doc_id"), col(shingleCol).as("sh"))
       .distinct()
     val dfs = ds.groupBy("sh").agg(count(lit(1)).as("df"))
     ds.join(dfs, "sh")

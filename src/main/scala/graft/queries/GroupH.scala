@@ -1012,9 +1012,14 @@ object GroupH {
       |FROM inter JOIN nb USING (bench_id)
       |WHERE floor(CAST(i AS DOUBLE) / CAST(nb AS DOUBLE) * 10000 + 0.5) / 10000 >= 0.5
       |ORDER BY bench_id, doc_id""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
-    Dedup.contaminationPairs(docs, docs.filter(col("doc_id") % 10 === 0),
-      "doc_id", "text", minContainment = 0.5)
+    // both sides derive from the shared exploded shingle relation — the
+    // benchmark set is a slice of the corpus here, so the bench shingles
+    // FILTER from the same (materialized, in Bench) table the corpus side
+    // reads; per-call identical to contaminationPairs over the raw docs
+    val sr = DupGraph.shingleRows(s, d)
+    Dedup.contaminationPairsFromShingles(
+      sr, sr.filter(col("doc_id") % 10 === 0),
+      "doc_id", "shingle", minContainment = 0.5)
       .orderBy("bench_id", "doc_id")
   }
 

@@ -367,7 +367,11 @@ object GroupH5 {
       |FROM ds JOIN dfs USING (shingle)
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    TextAnalysis.noveltyScores(Tables.documents(s, d), "doc_id", "text")
+    // consume the shared exploded shingle relation (the h5/h6 pattern) —
+    // per-call identical to noveltyScores; in Bench the tokenize+shingle
+    // prefix is the materialized table every shingle consumer shares
+    TextAnalysis.noveltyScoresFromShingles(
+      DupGraph.shingleRows(s, d), "doc_id", "shingle")
       .orderBy("doc_id")
   }
 

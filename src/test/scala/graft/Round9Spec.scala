@@ -131,4 +131,23 @@ class Round9Spec extends SparkSpec {
       }
     } finally DupGraph.reset()
   }
+
+  test("h62/h28 shared-shingle routing: materialized == per-call") {
+    // both queries now consume DupGraph.shingleRows (the h5/h6 pattern);
+    // the checkpoint-materialized path must return exactly the per-call
+    // rows — the Round8Spec materialized≡per-call guarantee extended to
+    // the two new consumers
+    import graft.queries.DupGraph
+    val names = Seq("h62_ngram_novelty", "h28_benchmark_decontamination")
+    DupGraph.reset()
+    val perCall = names.map(n =>
+      n -> SparkEntry.queries(n)(spark, sf).collect().map(_.toString).toSeq).toMap
+    try {
+      DupGraph.enableMaterialization()
+      val mat = names.map(n =>
+        n -> SparkEntry.queries(n)(spark, sf).collect().map(_.toString).toSeq).toMap
+      assert(mat === perCall)
+      assert(perCall.values.forall(_.nonEmpty))
+    } finally DupGraph.reset()
+  }
 }
