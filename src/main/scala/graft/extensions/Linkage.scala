@@ -25,6 +25,16 @@ object Linkage {
   /** Within-block fuzzy self-pairs: rows sharing `blockCols` whose
     * lowercased `nameCol` values are within `maxDist` edits; `id_a < id_b`
     * canonical orientation, self-pairs excluded by the strict inequality.
+    *
+    * Verify-cost bounds (round 9), both result-identical to the plain
+    * `levenshtein ≤ maxDist` filter the oracle replays:
+    *   - a length-difference pre-prune (`levenshtein(x,y) ≥ |len x − len y|`
+    *     always, so pairs failing it can never pass the verify) discards
+    *     candidates for the cost of two length lookups;
+    *   - the THRESHOLDED `levenshtein(_, _, maxDist)` builtin runs the
+    *     banded O(len·maxDist) DP instead of the full O(len²) matrix and
+    *     returns −1 above the bound — for survivors it returns the exact
+    *     distance, so kept rows carry identical values.
     */
   def blockedFuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
       blockCols: Seq[String], maxDist: Int): DataFrame = {
@@ -35,9 +45,11 @@ object Linkage {
       (col(idCol).as("id_b") +: col(nameCol).as("name_b") +:
         blockCols.map(col)): _*)
     a.join(b, blockCols, "inner")
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(lower(col("name_a")), lower(col("name_b"))))
-      .filter(col("dist") <= maxDist)
+      .filter(col("id_a") < col("id_b") &&
+        abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .withColumn("dist",
+        levenshtein(lower(col("name_a")), lower(col("name_b")), maxDist))
+      .filter(col("dist") =!= -1)
       .select((Seq(col("id_a"), col("id_b")) ++ blockCols.map(col) ++
         Seq(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"))): _*)
   }
