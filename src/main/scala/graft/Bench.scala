@@ -38,32 +38,32 @@ object Bench {
     * BASELINE.md re-pins (tools note in BASELINE.md).
     */
   private val pinMedianSec: Map[String, Double] = Map(
-    "a1" -> 0.624, "a2" -> 0.53, "a3" -> 0.255, "a4" -> 0.573, "a5" -> 0.147, "a6" -> 0.158,
-    "a7" -> 0.202, "a8" -> 0.406, "b1" -> 0.227, "c1" -> 0.896, "c2" -> 0.343, "c3" -> 0.437,
-    "c4" -> 0.493, "d1" -> 0.376, "d2" -> 0.593, "d3" -> 0.356, "d4" -> 0.277, "d5" -> 0.241,
-    "d6" -> 1.153, "d7" -> 0.311, "d8" -> 0.249, "e1" -> 0.844, "e10" -> 0.592, "e11" -> 0.302,
-    "e12" -> 0.4, "e13" -> 0.291, "e14" -> 0.263, "e15" -> 0.707, "e2" -> 0.499, "e3" -> 0.366,
-    "e4" -> 0.513, "e5" -> 0.298, "e6" -> 1.436, "e7" -> 0.223, "e8" -> 0.701, "e9" -> 0.407,
-    "f1" -> 0.342, "f10" -> 0.447, "f11" -> 0.196, "f2" -> 0.448, "f3" -> 0.552, "f4" -> 0.173,
-    "f5" -> 0.261, "f6" -> 0.308, "f7" -> 0.256, "f8" -> 0.275, "f9" -> 0.547, "g1" -> 0.177,
-    "g2" -> 0.383, "g3" -> 0.943, "g4" -> 0.607, "g5" -> 0.202, "g6" -> 0.373, "h1" -> 0.218,
-    "h10" -> 0.349, "h11" -> 0.696, "h12" -> 0.486, "h13" -> 0.433, "h14" -> 0.357, "h15" -> 1.096,
-    "h16" -> 0.295, "h17" -> 1.202, "h18" -> 0.426, "h19" -> 0.641, "h2" -> 0.353, "h20" -> 0.798,
-    "h21" -> 0.163, "h22" -> 0.463, "h23" -> 0.756, "h24" -> 0.516, "h25" -> 0.753, "h26" -> 0.749,
-    "h27" -> 0.943, "h28" -> 1.728, "h29" -> 0.659, "h3" -> 0.232, "h30" -> 0.65, "h31" -> 0.34,
-    "h32" -> 0.341, "h33" -> 0.306, "h34" -> 0.202, "h35" -> 0.211, "h36" -> 0.336, "h37" -> 0.238,
-    "h38" -> 1.534, "h39" -> 0.749, "h4" -> 0.624, "h40" -> 0.667, "h41" -> 0.184, "h42" -> 0.608,
-    "h43" -> 0.434, "h44" -> 1.031, "h45" -> 0.565, "h46" -> 0.461, "h47" -> 1.69, "h48" -> 0.912,
-    "h49" -> 0.665, "h5" -> 2.175, "h50" -> 0.828, "h51" -> 0.67, "h52" -> 0.333, "h53" -> 0.478,
-    "h54" -> 0.835, "h55" -> 0.968, "h56" -> 1.239, "h57" -> 0.337, "h58" -> 0.664, "h59" -> 0.506,
-    "h6" -> 0.954, "h60" -> 1.101, "h61" -> 2.632, "h62" -> 1.75, "h63" -> 0.44, "h64" -> 0.451,
-    "h65" -> 0.822, "h66" -> 0.916, "h67" -> 1.526, "h68" -> 0.713, "h69" -> 0.34, "h7" -> 0.595,
-    "h70" -> 0.177, "h71" -> 0.186, "h72" -> 0.58, "h73" -> 0.469, "h74" -> 1.954, "h75" -> 0.992,
-    "h76" -> 0.199, "h77" -> 0.244, "h78" -> 0.859, "h79" -> 0.344, "h8" -> 0.418, "h80" -> 1.802,
-    "h81" -> 0.706, "h82" -> 0.423, "h83" -> 0.289, "h84" -> 0.336, "h85" -> 0.52, "h86" -> 0.792,
-    "h87" -> 0.7, "h88" -> 0.349, "h89" -> 1.002, "h9" -> 0.459, "h90" -> 1.036, "h91" -> 0.713,
-    "h92" -> 0.397, "h93" -> 0.476, "h94" -> 0.419, "h95" -> 0.557, "h96" -> 0.277, "h97" -> 0.425,
-    "h98" -> 0.526)
+    "a1" -> 0.743, "a2" -> 0.528, "a3" -> 0.259, "a4" -> 0.634, "a5" -> 0.145, "a6" -> 0.148,
+    "a7" -> 0.213, "a8" -> 0.434, "b1" -> 0.253, "c1" -> 1.032, "c2" -> 0.348, "c3" -> 0.449,
+    "c4" -> 0.489, "d1" -> 0.377, "d2" -> 0.57, "d3" -> 0.38, "d4" -> 0.291, "d5" -> 0.259,
+    "d6" -> 1.227, "d7" -> 0.327, "d8" -> 0.278, "e1" -> 0.965, "e10" -> 0.656, "e11" -> 0.276,
+    "e12" -> 0.447, "e13" -> 0.317, "e14" -> 0.29, "e15" -> 0.757, "e2" -> 0.623, "e3" -> 0.355,
+    "e4" -> 0.509, "e5" -> 0.341, "e6" -> 1.402, "e7" -> 0.241, "e8" -> 0.722, "e9" -> 0.464,
+    "f1" -> 0.326, "f10" -> 0.497, "f11" -> 0.199, "f2" -> 0.499, "f3" -> 0.682, "f4" -> 0.178,
+    "f5" -> 0.306, "f6" -> 0.365, "f7" -> 0.276, "f8" -> 0.291, "f9" -> 0.534, "g1" -> 0.188,
+    "g2" -> 0.416, "g3" -> 0.993, "g4" -> 0.611, "g5" -> 0.225, "g6" -> 0.31, "h1" -> 0.26,
+    "h10" -> 0.351, "h11" -> 0.714, "h12" -> 0.501, "h13" -> 0.504, "h14" -> 0.346, "h15" -> 1.293,
+    "h16" -> 0.335, "h17" -> 1.245, "h18" -> 0.458, "h19" -> 0.65, "h2" -> 0.227, "h20" -> 0.797,
+    "h21" -> 0.156, "h22" -> 0.494, "h23" -> 0.919, "h24" -> 0.484, "h25" -> 0.716, "h26" -> 0.89,
+    "h27" -> 0.924, "h28" -> 0.667, "h29" -> 0.661, "h3" -> 0.243, "h30" -> 0.625, "h31" -> 0.336,
+    "h32" -> 0.328, "h33" -> 0.334, "h34" -> 0.206, "h35" -> 0.191, "h36" -> 0.334, "h37" -> 0.252,
+    "h38" -> 1.417, "h39" -> 0.758, "h4" -> 0.621, "h40" -> 0.712, "h41" -> 0.183, "h42" -> 0.632,
+    "h43" -> 0.484, "h44" -> 1.066, "h45" -> 0.545, "h46" -> 0.514, "h47" -> 1.67, "h48" -> 0.959,
+    "h49" -> 0.77, "h5" -> 2.052, "h50" -> 0.843, "h51" -> 0.653, "h52" -> 0.309, "h53" -> 0.447,
+    "h54" -> 0.953, "h55" -> 1.074, "h56" -> 1.23, "h57" -> 0.392, "h58" -> 0.668, "h59" -> 0.519,
+    "h6" -> 1.019, "h60" -> 0.997, "h61" -> 2.791, "h62" -> 0.689, "h63" -> 0.429, "h64" -> 0.41,
+    "h65" -> 0.771, "h66" -> 0.896, "h67" -> 1.557, "h68" -> 0.745, "h69" -> 0.365, "h7" -> 0.546,
+    "h70" -> 0.191, "h71" -> 0.2, "h72" -> 0.71, "h73" -> 0.46, "h74" -> 1.945, "h75" -> 0.998,
+    "h76" -> 0.218, "h77" -> 0.251, "h78" -> 1.009, "h79" -> 0.376, "h8" -> 0.406, "h80" -> 1.789,
+    "h81" -> 0.788, "h82" -> 0.416, "h83" -> 0.373, "h84" -> 0.361, "h85" -> 0.563, "h86" -> 0.785,
+    "h87" -> 0.686, "h88" -> 0.352, "h89" -> 1.007, "h9" -> 0.473, "h90" -> 1.017, "h91" -> 0.767,
+    "h92" -> 0.398, "h93" -> 0.493, "h94" -> 0.465, "h95" -> 0.652, "h96" -> 0.263, "h97" -> 0.446,
+    "h98" -> 0.53)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
