@@ -94,6 +94,32 @@ class Round9Spec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("triangleStats matches a driver-side brute force on random graphs") {
+    // seeded-random Erdős–Rényi graphs vs an independent adjacency-set
+    // count — guards the orientation against structural edge cases (ties
+    // on degree, isolated cliques, high-degree nodes) beyond the fixtures
+    val rnd = new scala.util.Random(20260814L)
+    for (_ <- 1 to 5) {
+      val n = 12 + rnd.nextInt(20)
+      val edges = (for {
+        i <- 0L until n.toLong; j <- (i + 1) until n.toLong
+        if rnd.nextDouble() < 0.25
+      } yield (i, j)).toSeq
+      if (edges.nonEmpty) {
+        val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupMap(_._1)(_._2).map { case (k, v) => k -> v.toSet }
+        val expected = adj.map { case (v, nb) =>
+          val t = nb.toSeq.combinations(2)
+            .count { case Seq(a, b) => adj(a).contains(b) }
+          (v, nb.size.toLong, t.toLong)
+        }.toSet
+        val got = Graph.triangleStats(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got === expected, s"n=$n edges=${edges.size}")
+      }
+    }
+  }
+
   private def shuffleExchanges(name: String): Int =
     "Exchange hashpartitioning".r.findAllIn(
       SparkEntry.queries(name)(spark, sf)
