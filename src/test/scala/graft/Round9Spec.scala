@@ -120,6 +120,87 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("pageRank variants match a driver-side micro-unit replay on random graphs") {
+    // independent replay of the documented exact-arithmetic contract
+    // (init 1.000000; score' = 0.15 + 0.85 * sum(score_u div deg_u) in
+    // micro-units) — guards the join/aggregate plumbing against semantic
+    // drift the fixed path-graph fixture can't see
+    val rnd = new scala.util.Random(20260814L)
+    for (_ <- 1 to 3) {
+      val n = 10 + rnd.nextInt(15)
+      val raw = (for {
+        i <- 0L until n.toLong; j <- (i + 1) until n.toLong
+        if rnd.nextDouble() < 0.3
+      } yield (i, j, 1L + rnd.nextInt(9))).toSeq
+      if (raw.nonEmpty) {
+        val adj = raw.flatMap { case (a, b, _) => Seq(a -> b, b -> a) }
+        val deg = adj.groupMapReduce(_._1)(_ => 1L)(_ + _)
+        var score = deg.keys.map(_ -> 1000000L).toMap
+        for (_ <- 1 to 3) {
+          val in = adj.groupMapReduce(_._2) { case (s, _) => score(s) / deg(s) }(_ + _)
+          score = in.map { case (v, s) =>
+            v -> (150000L + math.floor(0.85 * s.toDouble).toLong)
+          }
+        }
+        val got = Dedup.pageRank(
+            raw.map(t => (t._1, t._2)).toDF("id_a", "id_b"), "id_a", "id_b")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(got === score, s"pageRank n=$n edges=${raw.size}")
+
+        val wadj = raw.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+        val wdeg = wadj.groupMapReduce(_._1)(_._3)(_ + _)
+        var wscore = wdeg.keys.map(_ -> 1000000L).toMap
+        for (_ <- 1 to 3) {
+          val in = wadj.groupMapReduce(_._2) {
+            case (s, _, w) => (wscore(s) * w) / wdeg(s)
+          }(_ + _)
+          wscore = in.map { case (v, s) =>
+            v -> (150000L + math.floor(0.85 * s.toDouble).toLong)
+          }
+        }
+        val wgot = Graph.weightedPageRank(
+            raw.toDF("id_a", "id_b", "w"), "id_a", "id_b", "w")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(wgot === wscore, s"weightedPageRank n=$n edges=${raw.size}")
+      }
+    }
+  }
+
+  test("labelPropagation matches a driver-side vote replay on random graphs") {
+    // replay: each round every node with >=1 labeled neighbor takes the
+    // most-voted label (ties -> min label), non-seed labels are rebuilt
+    // from scratch each round, seeds immutable
+    val rnd = new scala.util.Random(7L)
+    for (_ <- 1 to 3) {
+      val n = 12 + rnd.nextInt(12)
+      val edges = (for {
+        i <- 0L until n.toLong; j <- (i + 1) until n.toLong
+        if rnd.nextDouble() < 0.25
+      } yield (i, j)).toSeq
+      val seedMap = (0L until n.toLong).filter(_ => rnd.nextDouble() < 0.3)
+        .map(v => v -> (100L + rnd.nextInt(3))).toMap
+      if (edges.nonEmpty && seedMap.nonEmpty) {
+        val adjDir = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        var labels: Map[Long, Long] = seedMap
+        for (_ <- 1 to 2) {
+          val votes = adjDir
+            .flatMap { case (s, d) => labels.get(s).map(l => (d, l)) }
+            .groupMapReduce(identity)(_ => 1L)(_ + _)
+          val winners = votes.groupBy(_._1._1).map { case (d, m) =>
+            d -> m.toSeq.map { case ((_, l), v) => (l, v) }
+              .minBy { case (l, v) => (-v, l) }._1
+          }
+          labels = seedMap ++ winners.filterNot { case (d, _) => seedMap.contains(d) }
+        }
+        val expected = labels.map { case (v, l) => (v, l, seedMap.contains(v)) }.toSet
+        val out = Graph.labelPropagation(edges.toDF("id_a", "id_b"), "id_a", "id_b",
+            seedMap.toSeq.toDF("node", "label"), "node", "label", iterations = 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+        assert(out === expected, s"n=$n edges=${edges.size} seeds=${seedMap.size}")
+      }
+    }
+  }
+
   private def shuffleExchanges(name: String): Int =
     "Exchange hashpartitioning".r.findAllIn(
       SparkEntry.queries(name)(spark, sf)

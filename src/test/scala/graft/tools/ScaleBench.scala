@@ -267,6 +267,68 @@ object ScaleBench {
       f3(pre.map(_._2).sum)},"prebuild":$preJs,"queries":$qJs,"exchanges":$exJs}""")
   }
 
+  /** Adversarial-skew triangle mode (`… ScaleBench <ignored> hub<N>k`):
+    * wall-clock evidence for the degree-ordered orientation's worst case —
+    * a LOW-id hub of degree H = N·1000 (the boilerplate-farm shape the
+    * 100 TB posture names) with a path along the spokes, so every
+    * consecutive spoke pair closes a triangle through the hub. Closed
+    * forms make it self-checking: H−1 triangles total, all through the
+    * hub. The retired id-ordered enumeration roots both hub edges of a
+    * wedge at id 0 and does C(H,2) ≈ H²/2 wedge work; the shipped
+    * orientation roots every hub edge at its degree-≤3 spoke, hub
+    * out-degree 0, linear work. Emits both times and the wedge counts in
+    * one JSON line; run at two N for the trajectory (quadratic vs linear).
+    */
+  private def runHubNk(spark: SparkSession, thousands: Int): Unit = {
+    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val h = thousands * 1000L
+    // hub 0 — the minimal id, the id-ordering's adversarial placement
+    val spokes = spark.range(1L, h + 1)
+      .select(lit(0L).as("a"), col("id").as("b"))
+    val path = spark.range(1L, h)
+      .select(col("id").as("a"), (col("id") + 1L).as("b"))
+    val edges = spokes.union(path)
+      .repartition(32).localCheckpoint(true)
+    def time[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // shipped operator: degree-ordered orientation (Graph.triangleStats)
+    val (oriStats, tOri) = time {
+      graft.extensions.Graph.triangleStats(
+          edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .agg(sum("triangles").cast("long"), max("triangles").cast("long"))
+        .head()
+    }
+    require(oriStats.getLong(0) == 3 * (h - 1) && oriStats.getLong(1) == h - 1,
+      s"closed-form triangle check failed: $oriStats (expect ${3 * (h - 1)}, ${h - 1})")
+    val oriWedges = orientedWedgeCount(edges)
+    // retired enumeration: wedges root at the LOW id — the hub pairs every
+    // two of its H out-edges, Σ deg_hi² work
+    val (idTri, tId) = time {
+      val w = edges.as("e1").join(edges.as("e2"),
+        col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+        .select(col("e1.b").as("v"), col("e2.b").as("w"))
+      w.join(edges, col("v") === col("a") && col("w") === col("b")).count()
+    }
+    require(idTri == h - 1, s"id-ordered close found $idTri triangles, expect ${h - 1}")
+    // closed form — the hub's C(H,2) out-pairs are the only shared-low-id
+    // wedges in this graph (each spoke roots at most one edge)
+    val idWedges = h * (h - 1) / 2
+    println(s"[scale] hub${thousands}k oriented=${f3(tOri)}s (wedges=$oriWedges) " +
+      s"id_ordered=${f3(tId)}s (wedges=$idWedges)")
+    println(s"""{"metric":"trihub${thousands}k","hub_degree":$h,""" +
+      s""""oriented_sec":${f3(tOri)},"oriented_wedges":$oriWedges,""" +
+      s""""id_ordered_sec":${f3(tId)},"id_ordered_wedges":$idWedges}""")
+  }
+
+  private def orientedWedgeCount(edges: DataFrame): Long = {
+    import graft.extensions.Graph
+    val canon = edges.select(col("a"), col("b"))
+    Graph.orientedWedges(Graph.orientByDegree(canon, Graph.degrees(canon))).count()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -288,7 +350,10 @@ object ScaleBench {
       c
     }
     val TailNx = """tail(\d+)x""".r
+    val HubNk = """hub(\d+)k""".r
     args.lift(1) match {
+      case Some(HubNk(n)) =>
+        runHubNk(spark, copies(n)); spark.stop(); return
       case Some(TailNx(n)) =>
         runTailNx(spark, sfDir, copies(n)); spark.stop(); return
       case Some(NxMatBkt(n)) =>
