@@ -201,6 +201,38 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("minhash LSH verified pairs: exact-Jaccard soundness and planted near-dup recall") {
+    // soundness is exact (the verify stage recomputes true shingle Jaccard,
+    // so every emitted pair must clear the threshold against a driver-side
+    // recompute); recall is checked on planted one-token-appended copies
+    // (Jaccard ~0.97 — band-collision probability ~0.9997 each, and the
+    // fixture is seed-deterministic so the outcome is pinned, not flaky)
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = (0 until 300).map(i => s"w$i")
+    val bases = (0 until 25).map { i =>
+      (i.toLong, Seq.fill(60)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val dups = (0 until 10).map(i => (100L + i, bases(i)._2 + s" extra$i"))
+    val all = bases ++ dups
+    val got = Dedup.verifiedNearDupPairs(
+        all.toDF("doc_id", "text"), "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def sh(t: String): Set[String] =
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty).sliding(3)
+        .filter(_.length == 3).map(_.mkString(" ")).toSet
+    val text = all.toMap
+    def jac(a: Long, b: Long): Double = {
+      val (x, y) = (sh(text(a)), sh(text(b)))
+      val i = x.intersect(y).size
+      math.floor(i.toDouble / (x.size + y.size - i) * 10000) / 10000
+    }
+    assert(got.nonEmpty)
+    got.foreach { case (a, b) =>
+      assert(jac(a, b) >= 0.5, s"unsound pair ($a,$b) true jac=${jac(a, b)}") }
+    (0 until 10).foreach { i =>
+      assert(got.contains((i.toLong, 100L + i)), s"planted pair $i missed") }
+  }
+
   private def shuffleExchanges(name: String): Int =
     "Exchange hashpartitioning".r.findAllIn(
       SparkEntry.queries(name)(spark, sf)
