@@ -233,6 +233,26 @@ class Round9Spec extends SparkSpec {
       assert(got.contains((i.toLong, 100L + i)), s"planted pair $i missed") }
   }
 
+  test("dedupCorpus is idempotent: re-deduping the kept corpus drops nothing") {
+    // deterministic, not just probable: band collisions depend only on the
+    // two docs' md5 signatures, so any pair that would collide in pass 2
+    // collided (and was verified, dropping id_b) in pass 1 — the kept set
+    // can contain no candidate pair, and exact collapse is identity on
+    // distinct texts. Planted exact + near dups exercise both layers.
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val planted = base.limit(5)
+      .select((col("doc_id") + lit(900000L)).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+    val docs = base.unionByName(planted)
+    val once = Dedup.dedupCorpus(docs, "doc_id", "text")
+    val keptIds = once.collect().map(_.getLong(0)).toSet
+    assert(keptIds.size < docs.count(), "fixture planted no drops")
+    val kept = docs.join(once, Seq("doc_id"), "left_semi")
+    val twice = Dedup.dedupCorpus(kept, "doc_id", "text")
+    assert(twice.collect().map(_.getLong(0)).toSet === keptIds)
+  }
+
   private def shuffleExchanges(name: String): Int =
     "Exchange hashpartitioning".r.findAllIn(
       SparkEntry.queries(name)(spark, sf)
