@@ -27,10 +27,22 @@ object StreamDedup {
 
   /** Streaming: first arrival per (user_id, event_type, minute); seen-key
     * state expires `watermarkDelay` past each minute.
+    *
+    * The watermark is declared on the DERIVED `minute` column — the one in
+    * the dedup key — not on raw `ts`. Streaming dedup only expires state
+    * for keys whose event-time COLUMN is part of the dedup key; a watermark
+    * on `ts` does not propagate through `date_trunc` to `minute`, so the
+    * earlier ts-watermarked form silently kept every key forever
+    * (measured: state grew 6k→60k rows over 10 micro-batches with zero
+    * eviction — ScaleBench `stream<B>`; the fixed form plateaus at the
+    * horizon × active-key bound the contract promises). Output semantics
+    * are unchanged — same first-arrival keep, same columns — and the
+    * watermark moves by at most the sub-minute truncation.
     */
   def firstPerKeyStream(events: DataFrame,
       watermarkDelay: String = "10 minutes"): DataFrame =
-    keyed(events.withWatermark("ts", watermarkDelay))
+    keyed(events)
+      .withWatermark("minute", watermarkDelay)
       .dropDuplicates("user_id", "event_type", "minute")
       .select("user_id", "event_type", "minute", "event_id", "ts", "value")
 

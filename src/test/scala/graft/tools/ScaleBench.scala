@@ -329,6 +329,108 @@ object ScaleBench {
     Graph.orientedWedges(Graph.orientByDegree(canon, Graph.degrees(canon))).count()
   }
 
+  /** Streaming throughput & state-boundedness mode (`… ScaleBench <ignored>
+    * stream<B>`, e.g. `stream10`, `stream40`): B MemoryStream micro-batches
+    * of 100k synthetic events each through the three stateful streaming
+    * operators — tumbling windowed aggregation, watermarked key dedup, and
+    * the flatMapGroupsWithState sessionizer. Event time advances 10 minutes
+    * per batch, so the watermark sweeps forward and closed windows / expired
+    * keys / finalized sessions EVICT. Emits per-operator wall-clock,
+    * rows/sec, and the state-row series (first / middle / last batch): the
+    * 100 TB claim that state is bounded by (watermark horizon × active-key
+    * cardinality) — never by stream history — made empirical. Comparing two
+    * B values shows rows/sec roughly flat and the state plateau identical
+    * while total events scale, i.e. unbounded-stream safety.
+    */
+  private def runStreamB(spark: SparkSession, batches: Int): Unit = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.StreamingQuery
+    import java.sql.Timestamp
+    import graft.streaming.{SessEvent, StreamDedup, StreamSessionize, StreamWindows}
+    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val perBatch = 100000
+    val base = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val types = Array("click", "view", "cart", "purchase", "refund")
+    def stateRows(q: StreamingQuery): Long =
+      Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    def report(label: String, sec: Double, st: Seq[Long]): String = {
+      val (a, b, c) = (st.headOption.getOrElse(0L),
+        st.lift(st.size / 2).getOrElse(0L), st.lastOption.getOrElse(0L))
+      val rps = (batches.toLong * perBatch / sec).toLong
+      println(s"[scale] stream$batches $label ${f3(sec)}s $rps rows/s " +
+        s"state first/mid/last = $a/$b/$c")
+      s""""$label":{"sec":${f3(sec)},"rows_per_sec":$rps,""" +
+        s""""state_first":$a,"state_mid":$b,"state_last":$c}"""
+    }
+
+    // 1. tumbling windowed aggregation (5-minute windows, 10-minute watermark)
+    val mem1 = MemoryStream[(Timestamp, String, Double)]
+    val q1 = StreamWindows.tumblingTypeStats(
+        mem1.toDF.toDF("ts", "event_type", "value"), "10 minutes", "5 minutes")
+      .writeStream.format("noop").outputMode("append").start()
+    val st1 = scala.collection.mutable.ArrayBuffer[Long]()
+    val t1 = System.nanoTime()
+    (0 until batches).foreach { k =>
+      val b = base + k * 600000L
+      mem1.addData((0 until perBatch).map { i =>
+        (new Timestamp(b + (i % 600) * 1000L), types(i % 5), (i % 100) / 10.0)
+      }: _*)
+      q1.processAllAvailable()
+      st1 += stateRows(q1)
+    }
+    val sec1 = (System.nanoTime() - t1) / 1e9
+    q1.stop()
+    val js1 = report("tumbling_agg", sec1, st1.toSeq)
+
+    // 2. watermarked first-per-key dedup (per user/type/minute; 10-min horizon)
+    val mem2 = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    val q2 = StreamDedup.firstPerKeyStream(
+        mem2.toDF.toDF("user_id", "event_id", "ts", "event_type", "value"),
+        "10 minutes")
+      .writeStream.format("noop").outputMode("append").start()
+    val st2 = scala.collection.mutable.ArrayBuffer[Long]()
+    val t2 = System.nanoTime()
+    (0 until batches).foreach { k =>
+      val b = base + k * 600000L
+      mem2.addData((0 until perBatch).map { i =>
+        ((i % 2000).toLong, k.toLong * perBatch + i,
+          new Timestamp(b + (i % 600) * 1000L), types(i % 5), 1.0)
+      }: _*)
+      q2.processAllAvailable()
+      st2 += stateRows(q2)
+    }
+    val sec2 = (System.nanoTime() - t2) / 1e9
+    q2.stop()
+    val js2 = report("dedup_throttle", sec2, st2.toSeq)
+
+    // 3. flatMapGroupsWithState sessionizer (10-min gap, rotating user pool
+    // — users leave after 2 batches so sessions finalize and state evicts)
+    val mem3 = MemoryStream[SessEvent]
+    val q3 = StreamSessionize.sessions(
+        mem3.toDS.withWatermark("ts", "10 minutes"), 600L)
+      .writeStream.format("noop").outputMode("append").start()
+    val st3 = scala.collection.mutable.ArrayBuffer[Long]()
+    val t3 = System.nanoTime()
+    (0 until batches).foreach { k =>
+      val b = base + k * 600000L
+      mem3.addData((0 until perBatch).map { i =>
+        SessEvent(k.toLong * 500 + (i % 1000),
+          k.toLong * perBatch + i,
+          new Timestamp(b + (i / 1000) * 6000L), 1.0)
+      }: _*)
+      q3.processAllAvailable()
+      st3 += stateRows(q3)
+    }
+    val sec3 = (System.nanoTime() - t3) / 1e9
+    q3.stop()
+    val js3 = report("sessionize", sec3, st3.toSeq)
+
+    println(s"""{"metric":"stream$batches","events_per_op":${batches * perBatch},""" +
+      s"$js1,$js2,$js3}")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -351,9 +453,12 @@ object ScaleBench {
     }
     val TailNx = """tail(\d+)x""".r
     val HubNk = """hub(\d+)k""".r
+    val StreamB = """stream(\d+)""".r
     args.lift(1) match {
       case Some(HubNk(n)) =>
         runHubNk(spark, copies(n)); spark.stop(); return
+      case Some(StreamB(n)) =>
+        runStreamB(spark, copies(n)); spark.stop(); return
       case Some(TailNx(n)) =>
         runTailNx(spark, sfDir, copies(n)); spark.stop(); return
       case Some(NxMatBkt(n)) =>
