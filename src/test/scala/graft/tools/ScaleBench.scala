@@ -427,8 +427,37 @@ object ScaleBench {
     q3.stop()
     val js3 = report("sessionize", sec3, st3.toSeq)
 
+    // 4. stream-stream interval join (both sides watermarked 20 min, 10-min
+    // attribution window — join state buffers only the match horizon)
+    val memC = MemoryStream[(Long, Long, Timestamp)]
+    val memP = MemoryStream[(Long, Long, Timestamp)]
+    val q4 = graft.streaming.StreamJoins.clickPurchaseAttribution(
+        memC.toDF.toDF("user_id", "event_id", "ts"),
+        memP.toDF.toDF("user_id", "event_id", "ts"),
+        "20 minutes", "10 minutes")
+      .writeStream.format("noop").outputMode("append").start()
+    val st4 = scala.collection.mutable.ArrayBuffer[Long]()
+    val t4 = System.nanoTime()
+    val half = perBatch / 2
+    (0 until batches).foreach { k =>
+      val b = base + k * 600000L
+      memC.addData((0 until half).map { i =>
+        ((i % 5000).toLong, k.toLong * perBatch + i,
+          new Timestamp(b + (i % 600) * 1000L))
+      }: _*)
+      memP.addData((0 until half).map { i =>
+        ((i % 5000).toLong, k.toLong * perBatch + half + i,
+          new Timestamp(b + (i % 600) * 1000L))
+      }: _*)
+      q4.processAllAvailable()
+      st4 += stateRows(q4)
+    }
+    val sec4 = (System.nanoTime() - t4) / 1e9
+    q4.stop()
+    val js4 = report("stream_join", sec4, st4.toSeq)
+
     println(s"""{"metric":"stream$batches","events_per_op":${batches * perBatch},""" +
-      s"$js1,$js2,$js3}")
+      s"$js1,$js2,$js3,$js4}")
   }
 
   def main(args: Array[String]): Unit = {
