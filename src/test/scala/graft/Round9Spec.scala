@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.extensions.{Dedup, Graph}
+import graft.extensions.{Cdc, Dedup, Graph}
 
 /** Round-9 tests: degree-ordered orientation in the triangle enumeration —
   * per-node counts identical to the id-ordered wedge join the oracle
@@ -251,6 +251,46 @@ class Round9Spec extends SparkSpec {
     val kept = docs.join(once, Seq("doc_id"), "left_semi")
     val twice = Dedup.dedupCorpus(kept, "doc_id", "text")
     assert(twice.collect().map(_.getLong(0)).toSet === keptIds)
+  }
+
+  test("scd2Merge matches a driver-side fold over random update batches") {
+    // five random batches (mutate / keep-identical / insert, with nullable
+    // attributes exercising the null-safe compares) against an independent
+    // per-key version-list fold — full-history equality, which subsumes the
+    // interval invariants (one current row per key, contiguous validity)
+    val rnd = new scala.util.Random(20260814L)
+    def attr(): Option[String] =
+      Seq(None, Some("x"), Some("y"), Some("z"))(rnd.nextInt(4))
+    val keys = (1L to 30L).toSeq
+    val init = keys.take(20).map(k => (k, attr(), attr()))
+    var dim = Cdc.scd2Init(init.toDF("k", "a", "b"), "2026-01-01")
+    // key -> versions (a, b, valid_from, valid_to, is_current), newest first
+    var driver: Map[Long, List[(Option[String], Option[String], String, Option[String], Boolean)]] =
+      init.map { case (k, a, b) => k -> List((a, b, "2026-01-01", None, true)) }.toMap
+    for (step <- 1 to 5) {
+      val d = f"2026-02-$step%02d"
+      val ups = keys.filter(_ => rnd.nextDouble() < 0.5).map(k => (k, attr(), attr()))
+      dim = Cdc.scd2Merge(dim, ups.toDF("k", "a", "b"), "k", Seq("a", "b"), d)
+      ups.foreach { case (k, a, b) =>
+        val vs = driver.getOrElse(k, Nil)
+        vs.find(_._5) match {
+          case Some(cur) if cur._1 == a && cur._2 == b => ()
+          case Some(cur) =>
+            driver += k -> ((a, b, d, None, true) ::
+              (cur._1, cur._2, cur._3, Some(d), false) :: vs.filterNot(_._5))
+          case None =>
+            driver += k -> ((a, b, d, None, true) :: vs)
+        }
+      }
+    }
+    val got = dim.collect().map(r => (r.getLong(0), Option(r.getString(1)),
+      Option(r.getString(2)), r.getString(3), Option(r.getString(4)),
+      r.getBoolean(5))).toSet
+    val want = driver.flatMap { case (k, vs) =>
+      vs.map(v => (k, v._1, v._2, v._3, v._4, v._5)) }.toSet
+    assert(got === want)
+    // sanity that the fixture actually exercised history growth
+    assert(got.count(!_._6) > 10, "fixture produced too few closed versions")
   }
 
   private def shuffleExchanges(name: String): Int =
