@@ -460,6 +460,58 @@ object ScaleBench {
       s"$js1,$js2,$js3,$js4}")
   }
 
+  /** Skew-join head-to-head (`… ScaleBench <ignored> skewjoin`): an honest
+    * measurement of the [[graft.extensions.Skew.saltedJoin]] scaladoc's
+    * claim boundary. Probe: 80M rows, HALF on one hot key (the 640 MB hot
+    * shuffle partition crosses AQE's 256 MB skewedPartitionThreshold, so
+    * its skew-join split actually fires — at 20M/160 MB it silently does
+    * not, and all four variants measure equal). Rest uniform over 8M keys.
+    * Build: one row per key, 8M rows (~128 MB — far above the broadcast
+    * threshold, so the plain join is a shuffle join); output is 1:1 with
+    * the probe. Times three plans
+    * over the same inputs: plain join with AQE skew handling ON (the
+    * Spark-4 default the Skew scaladoc defers to), plain join with AQE
+    * OFF (the naive straggler), and saltedJoin (AQE on). Whatever the
+    * numbers say gets recorded — the operator's value proposition is
+    * exactly the gap between the three.
+    */
+  private def runSkewJoin(spark: SparkSession): Unit = {
+    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    import graft.extensions.Skew
+    val probe = spark.range(80000000L)
+      .select(
+        when(col("id") % 2 === 0, lit(0L)).otherwise(col("id") % 8000000L).as("key"),
+        col("id").as("v"))
+      .repartition(32).localCheckpoint(true)
+    val build = spark.range(8000000L)
+      .select(col("id").as("key"), (col("id") * 7L).as("payload"))
+      .repartition(32).localCheckpoint(true)
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    def run(df: => org.apache.spark.sql.DataFrame): Double = {
+      val t = time(df.write.mode("overwrite").format("noop").save())
+      val t2 = time(df.write.mode("overwrite").format("noop").save())
+      math.min(t, t2)
+    }
+    val expected = probe.join(build, Seq("key")).count()
+    def plain = probe.join(build, Seq("key"))
+    def salted = Skew.saltedJoin(probe, build, Seq("key"), buckets = 8)
+    require(salted.count() == expected, "salted join row count diverged")
+    val tAqe = run(plain)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val tNoAqe = run(plain)
+    val tSaltedNoAqe = run(salted)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val tSalted = run(salted)
+    println(s"[scale] skewjoin rows=$expected plain_aqe=${f3(tAqe)}s " +
+      s"plain_noaqe=${f3(tNoAqe)}s salted_aqe=${f3(tSalted)}s " +
+      s"salted_noaqe=${f3(tSaltedNoAqe)}s")
+    println(s"""{"metric":"skewjoin","out_rows":$expected,""" +
+      s""""plain_aqe_sec":${f3(tAqe)},"plain_noaqe_sec":${f3(tNoAqe)},""" +
+      s""""salted_aqe_sec":${f3(tSalted)},"salted_noaqe_sec":${f3(tSaltedNoAqe)}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -488,6 +540,8 @@ object ScaleBench {
         runHubNk(spark, copies(n)); spark.stop(); return
       case Some(StreamB(n)) =>
         runStreamB(spark, copies(n)); spark.stop(); return
+      case Some("skewjoin") =>
+        runSkewJoin(spark); spark.stop(); return
       case Some(TailNx(n)) =>
         runTailNx(spark, sfDir, copies(n)); spark.stop(); return
       case Some(NxMatBkt(n)) =>
