@@ -10,13 +10,20 @@ import org.apache.spark.sql.functions._
   * joins where the build side is too big to broadcast but the probe side's
   * key distribution is pathological.
   *
-  * Measured, not assumed (ScaleBench `skewjoin`, BASELINE.md): with half
-  * of an 80M-row probe on one key (640 MB hot partition, above AQE's
-  * 256 MB split threshold) [[saltedJoin]] ran ~25% faster than the plain
-  * join while AQE's split measured no difference at all on that shape;
-  * below real skew (160 MB hot partition) all variants are equal and the
-  * salt's build-side replication is pure overhead — profile with
-  * [[heavyKeyProfile]] first.
+  * Measured, not assumed (ScaleBench `skewjoin`/`skewagg`, BASELINE.md):
+  * with half of an 80M-row probe on one key (640 MB hot partition, above
+  * AQE's 256 MB split threshold) [[saltedJoin]] ran ~25% faster than the
+  * plain join while AQE's split measured no difference at all on that
+  * shape; below real skew (160 MB hot partition) all variants are equal
+  * and the salt's build-side replication is pure overhead. For
+  * AGGREGATION the same experiment lands the other way: a plain
+  * groupBy-sum/count over the identical hot-key distribution beat
+  * [[saltedSumCount]] 3.5 s to 7.8 s, because hash aggregation's
+  * map-side partial step already collapses the hot group to one row per
+  * map partition before the shuffle — group-key skew never serializes
+  * into one reducer for partial-aggregable functions. Profile with
+  * [[heavyKeyProfile]] first; salt joins under real skew, and do NOT
+  * salt algebraic aggregates.
   *
   * Salts are derived from `monotonically_increasing_id` — the salt value
   * never affects the RESULT (stage 2 merges across salts; the join
@@ -27,6 +34,17 @@ object Skew {
 
   /** Salted sum/count (two-stage aggregation packaged end-to-end): returns
     * `keys..., sum_<valueCol>, count_rows` with no single-reducer hot key.
+    *
+    * When to use — narrower than it looks (measured, see the object
+    * scaladoc / ScaleBench `skewagg`): for partial-aggregable functions
+    * like these, Spark's map-side combine already collapses a hot group to
+    * one partial row per map partition, so the PLAIN groupBy beat this
+    * form 3.5 s to 7.8 s under a 50%-one-key distribution — the salt's
+    * second shuffle stage is pure overhead there. The two-stage skeleton
+    * earns its keep only where map-side combine is absent or defeated
+    * (non-mergeable accumulators built on this pattern, or engines/modes
+    * without partial aggregation); it is kept oracle-proven-equivalent
+    * (h37) so that swap stays safe.
     *
     * Determinism: counts and integral/decimal sums are exactly those of a
     * plain groupBy. A raw DOUBLE sum is equal only up to floating-point

@@ -512,6 +512,47 @@ object ScaleBench {
       s""""salted_aqe_sec":${f3(tSalted)},"salted_noaqe_sec":${f3(tSaltedNoAqe)}}""")
   }
 
+  /** Skewed-aggregation head-to-head (`… ScaleBench <ignored> skewagg`):
+    * the [[graft.extensions.Skew.saltedSumCount]] companion to `skewjoin`.
+    * 80M rows, half on one hot group key, rest uniform over 8M groups;
+    * plain groupBy-sum/count vs the two-stage salted form, AQE on.
+    * Hypothesis under test: hash aggregation's MAP-SIDE PARTIAL step
+    * already collapses the hot group to one row per map partition before
+    * the shuffle, so group-key skew — unlike join skew — never serializes
+    * into one reducer for partial-aggregable functions, and the salted
+    * form's second shuffle stage is pure overhead at any skew. Whatever
+    * the numbers say gets recorded.
+    */
+  private def runSkewAgg(spark: SparkSession): Unit = {
+    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    import graft.extensions.Skew
+    val rows = spark.range(80000000L)
+      .select(
+        when(col("id") % 2 === 0, lit(0L)).otherwise(col("id") % 8000000L).as("key"),
+        (col("id") % 1000L).as("v"))
+      .repartition(32).localCheckpoint(true)
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    def run(df: => org.apache.spark.sql.DataFrame): Double = {
+      val t = time(df.write.mode("overwrite").format("noop").save())
+      val t2 = time(df.write.mode("overwrite").format("noop").save())
+      math.min(t, t2)
+    }
+    def plain = rows.groupBy("key")
+      .agg(sum(col("v")).as("sum_v"), count(lit(1)).as("count_rows"))
+    def salted = Skew.saltedSumCount(rows, Seq("key"), "v")
+    // equivalence spot-check on the hot group before timing
+    val ph = plain.filter(col("key") === 0L).head()
+    val sh = salted.filter(col("key") === 0L).head()
+    require(ph.getLong(1) == sh.getLong(1) && ph.getLong(2) == sh.getLong(2),
+      s"salted/plain hot-group mismatch: $ph vs $sh")
+    val tPlain = run(plain)
+    val tSalted = run(salted)
+    println(s"[scale] skewagg plain=${f3(tPlain)}s salted=${f3(tSalted)}s")
+    println(s"""{"metric":"skewagg","plain_sec":${f3(tPlain)},"salted_sec":${f3(tSalted)}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -542,6 +583,8 @@ object ScaleBench {
         runStreamB(spark, copies(n)); spark.stop(); return
       case Some("skewjoin") =>
         runSkewJoin(spark); spark.stop(); return
+      case Some("skewagg") =>
+        runSkewAgg(spark); spark.stop(); return
       case Some(TailNx(n)) =>
         runTailNx(spark, sfDir, copies(n)); spark.stop(); return
       case Some(NxMatBkt(n)) =>
