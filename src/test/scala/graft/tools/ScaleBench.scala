@@ -460,6 +460,32 @@ object ScaleBench {
       s"$js1,$js2,$js3,$js4}")
   }
 
+  /** Adversarial-diameter connected-components mode (`… ScaleBench
+    * <ignored> chain<N>k`): one path of N·1000 nodes — graph diameter
+    * N·1000, the shape where naive min-label propagation needs DIAMETER
+    * rounds (a 1M-node chain would be 1M shuffle rounds — unrunnable).
+    * The alternating large-star/small-star formulation claims O(log n)
+    * rounds; completing in seconds IS the evidence, and the closed-form
+    * check (every node roots to component 0, one component) keeps it
+    * honest. Run at two N for the trajectory (time should grow ~linearly
+    * in edges × log n, never in diameter).
+    */
+  private def runChainNk(spark: SparkSession, thousands: Int): Unit = {
+    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val n = thousands * 1000L
+    val edges = spark.range(0L, n - 1)
+      .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
+      .repartition(32).localCheckpoint(true)
+    val t0 = System.nanoTime()
+    val cc = graft.extensions.Dedup.connectedComponents(edges, "id_a", "id_b")
+    val agg = cc.agg(count(lit(1)), count_distinct(col("comp")), max(col("comp"))).head()
+    val sec = (System.nanoTime() - t0) / 1e9
+    require(agg.getLong(0) == n && agg.getLong(1) == 1L && agg.getLong(2) == 0L,
+      s"chain CC wrong: $agg (expect $n nodes, 1 component rooted at 0)")
+    println(s"[scale] chain${thousands}k nodes=$n cc=${f3(sec)}s (diameter=$n)")
+    println(s"""{"metric":"ccchain${thousands}k","nodes":$n,"cc_sec":${f3(sec)}}""")
+  }
+
   /** Skew-join head-to-head (`… ScaleBench <ignored> skewjoin`): an honest
     * measurement of the [[graft.extensions.Skew.saltedJoin]] scaladoc's
     * claim boundary. Probe: 80M rows, HALF on one hot key (the 640 MB hot
@@ -575,6 +601,7 @@ object ScaleBench {
     }
     val TailNx = """tail(\d+)x""".r
     val HubNk = """hub(\d+)k""".r
+    val ChainNk = """chain(\d+)k""".r
     val StreamB = """stream(\d+)""".r
     args.lift(1) match {
       case Some(HubNk(n)) =>
@@ -585,6 +612,8 @@ object ScaleBench {
         runSkewJoin(spark); spark.stop(); return
       case Some("skewagg") =>
         runSkewAgg(spark); spark.stop(); return
+      case Some(ChainNk(n)) =>
+        runChainNk(spark, copies(n)); spark.stop(); return
       case Some(TailNx(n)) =>
         runTailNx(spark, sfDir, copies(n)); spark.stop(); return
       case Some(NxMatBkt(n)) =>
