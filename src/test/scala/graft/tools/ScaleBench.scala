@@ -18,9 +18,14 @@ import org.apache.spark.sql.functions._
   * mode is `<N>x` (per-query-build dedup pillars at N×, e.g. 30x, 100x),
   * `<N>xmat` (materialize-once steady-state at N×), `<N>xmatbkt` (same,
   * but the shared constructions persist as bucketed parquet tables —
-  * exchange-count evidence in the JSON), or `tail<N>x` (the steady-state
+  * exchange-count evidence in the JSON), `tail<N>x` (the steady-state
   * tail: blocked fuzzy linkage, novelty, column profile, decontamination,
-  * bigram LM, basket lift at N×); no mode = the 10× suite.
+  * bigram LM, basket lift at N×), `hub<N>k` (adversarial-skew triangle
+  * enumeration, hub degree N·1000), `chain<N>k` (adversarial-diameter
+  * connected components, N·1000-node path), `stream<B>` (B×100k-event
+  * micro-batches through the stateful streaming operators — throughput +
+  * state-row series), `skewjoin` / `skewagg` (salted-vs-plain head-to-head
+  * under a 50%-one-key distribution); no mode = the 10× suite.
   */
 object ScaleBench {
 
