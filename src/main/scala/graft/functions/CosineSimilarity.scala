@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.IntegerType
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -101,8 +102,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
 /** Registration surface for graft's native functions. */
 object GraftFunctions {
 
-  val cosineSimilarityDescriptor: (FunctionIdentifier, ExpressionInfo,
-      Seq[Expression] => Expression) = (
+  private type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  /** Extract a compile-time integer parameter from a SQL argument. The
+    * Scala constructors take these as plain `Int`s (they size codegen'd
+    * stack arrays and shift masks), so the SQL surface requires a FOLDABLE
+    * integer — a literal or constant expression — matching how Spark's own
+    * parameter-like arguments (e.g. `ntile(n)`, `approx_count_distinct`'s
+    * rsd) are constrained.
+    */
+  private def foldableInt(e: Expression, fn: String, param: String): Int = {
+    require(e.foldable && e.dataType == IntegerType,
+      s"$fn: $param must be a constant INT, got ${e.sql}")
+    val v = e.eval()
+    require(v != null, s"$fn: $param must not be NULL")
+    v.asInstanceOf[Int]
+  }
+
+  val cosineSimilarityDescriptor: Descriptor = (
     FunctionIdentifier("cosine_sim"),
     new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName, "cosine_sim"),
     (children: Seq[Expression]) => {
@@ -110,21 +128,60 @@ object GraftFunctions {
       CosineSimilarity(children.head, children(1))
     })
 
-  /** Imperative registration onto an existing session (SQL name
-    * `cosine_sim`); new sessions can instead use [[GraftExtensions]] via
+  /** `simhash_long(tokens ARRAY<STRING>, bits INT)` — see [[SimHashLong]]. */
+  val simHashLongDescriptor: Descriptor = (
+    FunctionIdentifier("simhash_long"),
+    new ExpressionInfo(classOf[SimHashLong].getCanonicalName, "simhash_long"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        "simhash_long expects exactly 2 arguments: (tokens, bits)")
+      SimHashLong(children.head,
+        foldableInt(children(1), "simhash_long", "bits"))
+    })
+
+  /** `winnow_mins(hashes ARRAY<STRING>, w INT)` — see [[WinnowMins]]. */
+  val winnowMinsDescriptor: Descriptor = (
+    FunctionIdentifier("winnow_mins"),
+    new ExpressionInfo(classOf[WinnowMins].getCanonicalName, "winnow_mins"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        "winnow_mins expects exactly 2 arguments: (shingles, w)")
+      WinnowMins(children.head, foldableInt(children(1), "winnow_mins", "w"))
+    })
+
+  /** `max_run_length(tokens ARRAY<STRING>)` — see [[MaxRunLength]]. */
+  val maxRunLengthDescriptor: Descriptor = (
+    FunctionIdentifier("max_run_length"),
+    new ExpressionInfo(classOf[MaxRunLength].getCanonicalName, "max_run_length"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "max_run_length expects exactly 1 argument")
+      MaxRunLength(children.head)
+    })
+
+  /** Every graft native function, in registration order. */
+  val all: Seq[Descriptor] = Seq(
+    cosineSimilarityDescriptor,
+    simHashLongDescriptor,
+    winnowMinsDescriptor,
+    maxRunLengthDescriptor)
+
+  /** Imperative registration onto an existing session (SQL names
+    * `cosine_sim`, `simhash_long`, `winnow_mins`, `max_run_length`); new
+    * sessions can instead use [[GraftExtensions]] via
     * `spark.sql.extensions=graft.functions.GraftExtensions`.
     */
-  def register(spark: SparkSession): Unit = {
-    val (ident, info, builder) = cosineSimilarityDescriptor
-    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
-  }
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
 }
 
 /** SparkSessionExtensions hook: `--conf
-  * spark.sql.extensions=graft.functions.GraftExtensions` makes `cosine_sim`
-  * available in every SQL/DataFrame context of the session.
+  * spark.sql.extensions=graft.functions.GraftExtensions` makes every graft
+  * native function ([[GraftFunctions.all]]) available in every SQL/DataFrame
+  * context of the session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftFunctions.cosineSimilarityDescriptor)
+    GraftFunctions.all.foreach(ext.injectFunction)
 }
