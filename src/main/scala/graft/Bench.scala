@@ -34,8 +34,9 @@ object Bench {
     * drift, so a trip means freeze (or a real plan regression, which a
     * re-run under QTime distinguishes: regressions reproduce, stalls
     * don't). Queries absent here (added after the pin) fall back to the
-    * absolute stallSec cap. Regenerate from the raw triple JSONs when
-    * BASELINE.md re-pins (tools note in BASELINE.md).
+    * absolute stallSec cap. Regenerate when BASELINE.md re-pins via
+    * `python3 tools/regen_pin.py <run1> <run2> <run3>` — it emits this
+    * literal (one command, can't drift from the median rule).
     */
   private val pinMedianSec: Map[String, Double] = Map(
     "a1" -> 0.743, "a2" -> 0.528, "a3" -> 0.259, "a4" -> 0.634, "a5" -> 0.145, "a6" -> 0.148,
@@ -158,9 +159,21 @@ object Bench {
 
     // Adaptive per-query stall threshold: 3× the query's pin median,
     // capped by the absolute stallSec; unpinned queries use the cap alone.
-    def stallThreshold(name: String): Double =
-      pinMedianSec.get(name.takeWhile(_ != '_'))
-        .map(p => math.min(stallSec, 3 * p)).getOrElse(stallSec)
+    // The pin medians are STEADY-STATE times (post-prebuild), so when the
+    // materializations did not all land — a dev filter skipped the block, or
+    // a mat() failed — a consumer query legitimately pays its construction
+    // inside the timed sample and can exceed 3× its steady pin without any
+    // stall: those fall back to the absolute cap instead of producing
+    // spurious stall-retries and misleading stall_suspect entries.
+    val prebuiltAll = prebuild.map(_._1).toSet ==
+      Set("pairs", "verified_pairs", "h61_corpus_index", "shingle_rows")
+    def stallThreshold(name: String): Double = {
+      val short = name.takeWhile(_ != '_')
+      if (prebuiltAll || !consumerNames.contains(short))
+        pinMedianSec.get(short)
+          .map(p => math.min(stallSec, 3 * p)).getOrElse(stallSec)
+      else stallSec
+    }
 
     // One attempt on a dedicated daemon thread under a cancellable job group.
     // Job groups are thread-local, so setJobGroup must run on the submitting

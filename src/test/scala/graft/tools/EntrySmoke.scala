@@ -9,7 +9,11 @@ object EntrySmoke {
     val n = graft.SparkEntry.entry(spark).count()
     println(s"[smoke] entry rows=$n")
     require(n > 0, "entry returned no rows")
-    require(graft.SparkEntry.queries.size == graft.SparkEntry.queries.keys.toSet.size)
+    // duplicate-name check must run PRE-Map (toMap silently collapses
+    // duplicates): Registry.all carries the require on the raw Seq, and the
+    // Map must not have dropped anything relative to it
+    require(graft.SparkEntry.queries.size == graft.queries.Registry.all.size,
+      "SparkEntry.queries dropped entries relative to Registry.all")
     val q = graft.SparkEntry.queries.size
     val o = graft.SparkEntry.oracleSql.size
     println(s"[smoke] queries=$q oracleSql=$o")
