@@ -72,9 +72,10 @@ object Histograms {
     val vals = df.select(col(valCol).cast("long").as("v"),
       bin(col(valCol), binWidth).as("b"))
     val bins = vals.groupBy("b").agg(count(lit(1)).as("c"))
-    // the cumulative window runs over <= |bins| rows (corpus-independent),
-    // so the single-partition window is safe by construction — same
-    // argument as quantileEstimates' per-group window
+    // bounded-window: the cumulative window runs over <= |bins| rows
+    // (corpus-independent), so the single-partition WindowExec warning is
+    // expected and pre-adjudicated — same argument as quantileEstimates'
+    // per-group window
     val wCum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
     val cum = bins
       .withColumn("cum", sum(col("c")).over(wCum))

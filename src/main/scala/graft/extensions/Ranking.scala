@@ -58,6 +58,11 @@ object Ranking {
     val local = df.repartitionByRange(sort: _*)
       .withColumn(PID, spark_partition_id())
       .withColumn(LRN, row_number().over(Window.partitionBy(PID).orderBy(sort: _*)))
+    // bounded-window: ONE count row per partition (#partitions rows total)
+    // — the single-partition WindowExec warning it logs is expected and
+    // pre-adjudicated; this prefix sum IS phase 2 of the design above.
+    // (Partitioning on a literal cannot silence it: Spark constant-folds
+    // foldable partition keys back to an empty spec — probed on 4.1.)
     val offsets = local.groupBy(PID).agg(count(lit(1)).as("_rk_cnt"))
       .withColumn("_rk_off", coalesce(
         sum("_rk_cnt").over(Window.orderBy(PID)
@@ -81,6 +86,9 @@ object Ranking {
       .withColumn(LRN, row_number().over(w))
       .withColumn("_rk_lcum",
         sum(value).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    // bounded-window ×2: one (count, sum) row per partition — expected
+    // single-partition WindowExec warnings, same adjudication as
+    // globalRowNumber's offsets prefix sum
     val offsets = local.groupBy(PID)
       .agg(count(lit(1)).as("_rk_cnt"), sum(value).as("_rk_vsum"))
       .withColumn("_rk_off", coalesce(

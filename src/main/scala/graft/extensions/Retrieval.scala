@@ -108,7 +108,9 @@ object Retrieval {
   def hybridRrfTopK(docs: DataFrame, embs: DataFrame,
       queryTerms: Seq[String], queryVecId: Long, k: Int,
       poolSize: Int = 100, kRrf: Int = 60): DataFrame = {
-    // ranks within each bounded candidate pool (windows over ≤poolSize rows)
+    // bounded-window: ranks within each candidate pool run over ≤poolSize
+    // rows (never the corpus) — the single-partition WindowExec warning is
+    // expected and pre-adjudicated
     val sparse = bm25TopK(docs, "doc_id", "text", queryTerms, poolSize)
       .select(col("doc_id").as("id"),
         row_number().over(Window.orderBy(col("score_q").desc, col("doc_id")))

@@ -109,6 +109,8 @@ object Skew {
       .agg(count(lit(1)).as("cnt"))
     val total = perKey.agg(sum(col("cnt")).as("total"))
     val top = perKey.orderBy(col("cnt").desc, col("key")).limit(k)
+    // bounded-window: runs over exactly the k rows the limit kept — the
+    // single-partition WindowExec warning is expected and pre-adjudicated
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("key"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

