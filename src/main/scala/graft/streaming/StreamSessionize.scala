@@ -110,11 +110,14 @@ object StreamSessionize {
       fmtMicros(s.minUs, zone), fmtMicros(s.maxUs, zone),
       BigDecimal(s.sumCents, 2).toDouble) // exact cents → double, like exactSum's final cast
 
-  private def update(gapSeconds: Long, zone: String, streaming: Boolean)(
+  private def update(gapSeconds: Long, zone: String, streaming: Boolean,
+      counterTtlSeconds: Option[Long])(
       user: Long, rows: Iterator[SessEvent],
       state: GroupState[SessBuffer]): Iterator[SessionOut] = {
     val prev = state.getOption.getOrElse(SessBuffer(0L, Nil))
+    var sawEvent = false
     val withNew = rows.foldLeft(prev.open) { (acc, e) =>
+      sawEvent = true
       val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
       addEvent(acc, us, toCents(e.value), gapSeconds)
     }
@@ -133,18 +136,38 @@ object StreamSessionize {
     }
     if (stillOpen.isEmpty && !streaming) {
       state.remove()
+    } else if (streaming && stillOpen.isEmpty && counterTtlSeconds.isDefined &&
+        state.hasTimedOut && !sawEvent && prev.open.isEmpty) {
+      // TTL mode, and the eviction timeout fired on a counter-only row (no
+      // events this call, nothing open before or after): evict the counter.
+      // A user who returns AFTER the TTL restarts session_n at 1 — the
+      // bounded-state trade this mode opts into.
+      state.remove()
     } else {
-      // State persists (holding only the emission counter) even when every
-      // session has closed, so a user who returns continues session_n where
-      // they left off — state size is bounded by USER CARDINALITY (one small
-      // row per user ever seen), not by stream length or activity.
+      // Default mode: state persists (holding only the emission counter)
+      // even when every session has closed, so a user who returns continues
+      // session_n where they left off — state size is bounded by USER
+      // CARDINALITY (one small row per user ever seen), not by stream
+      // length or activity. With `counterTtlSeconds` set, that counter row
+      // instead carries an eviction timeout (below).
       state.update(SessBuffer(prev.nEmitted + closed.size, stillOpen))
       // the earliest open session closes when floor(wm_s) > floor(max_s) +
       // gap, i.e. at wall-clock second (floor(max_s) + gap + 1) exactly —
       // computing that boundary (not max_ms + gap) keeps the timeout
       // strictly ahead of any watermark that has not yet closed the session
-      if (streaming) stillOpen.headOption.foreach { s =>
-        state.setTimeoutTimestamp((s.maxUs / 1000000L + gapSeconds + 1L) * 1000L)
+      if (streaming) stillOpen.headOption match {
+        case Some(s) =>
+          state.setTimeoutTimestamp((s.maxUs / 1000000L + gapSeconds + 1L) * 1000L)
+        case None => counterTtlSeconds.foreach { ttl =>
+          // schedule counter eviction at (last activity + gap + ttl); the
+          // max(…, watermark) guard keeps the timestamp strictly ahead of
+          // the current watermark (an EventTimeTimeout requirement — e.g.
+          // a tiny TTL with a watermark already far past last activity)
+          val lastSec = closed.lastOption.map(_.maxUs / 1000000L).getOrElse(0L)
+          val wmSec = state.getCurrentWatermarkMs() / 1000L
+          state.setTimeoutTimestamp(
+            (math.max(lastSec + gapSeconds + ttl, wmSec) + 1L) * 1000L)
+        }
       }
     }
     out.iterator
@@ -156,8 +179,19 @@ object StreamSessionize {
     * a batch Dataset the watermark machinery is absent, so every session
     * finalizes immediately — the same code path the streaming side runs at
     * timeout, giving identical outputs to the batch Sessionize operator.
+    *
+    * `counterTtlSeconds` (streaming only; default off) bounds the per-user
+    * counter state: once every session of a user has closed, the counter
+    * row is evicted after `gap + ttl` seconds of event-time inactivity
+    * instead of persisting forever. Outputs are IDENTICAL for any user
+    * whose inactivity gaps stay within the TTL horizon (eviction only ever
+    * fires `gap + ttl` past last activity, strictly after session close);
+    * a user returning after eviction restarts session_n at 1 — choose the
+    * default when session_n continuity matters more than bounded state
+    * (the measured cost is ONE small row per user ever seen).
     */
-  def sessions(events: Dataset[SessEvent], gapSeconds: Long): Dataset[SessionOut] = {
+  def sessions(events: Dataset[SessEvent], gapSeconds: Long,
+      counterTtlSeconds: Option[Long] = None): Dataset[SessionOut] = {
     val zone = events.sparkSession.sessionState.conf.sessionLocalTimeZone
     implicit val outEnc = Encoders.product[SessionOut]
     implicit val stEnc = Encoders.product[SessBuffer]
@@ -165,6 +199,6 @@ object StreamSessionize {
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        update(gapSeconds, zone, events.isStreaming))
+        update(gapSeconds, zone, events.isStreaming, counterTtlSeconds))
   }
 }

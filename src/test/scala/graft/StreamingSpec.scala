@@ -138,6 +138,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizer counter TTL: in-horizon output unchanged, counter evicted after TTL") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // gap 30 min, counter TTL 2 h: a user returning within gap+TTL of last
+    // activity keeps session_n continuity (identical to the default mode);
+    // after gap+TTL of event-time inactivity the counter row is evicted and
+    // a later return restarts session_n at 1. Run the SAME feed through a
+    // TTL query and a default-mode control to pin both halves.
+    def run(name: String, ttl: Option[Long]): Seq[(Long, Long, String)] = {
+      val mem = MemoryStream[SessEvent]
+      val ds = mem.toDS.withWatermark("ts", "10 minutes")
+      val q = StreamSessionize.sessions(ds, 1800L, ttl)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        def feed(es: SessEvent*): Unit = { mem.addData(es: _*); q.processAllAvailable() }
+        feed(SessEvent(1L, 1L, ts(10, 0), 1.0))
+        feed(SessEvent(99L, 90L, ts(11, 0), 0.0))   // wm → 10:50 after this batch
+        feed(SessEvent(99L, 91L, ts(11, 1), 0.0))   // closes u1 session 1
+        feed(SessEvent(1L, 2L, ts(11, 30), 2.0))    // IN horizon (90 min < gap+TTL)
+        feed(SessEvent(99L, 92L, ts(12, 30), 0.0))  // wm → 12:20
+        feed(SessEvent(99L, 93L, ts(12, 31), 0.0))  // closes u1 session 2
+        feed(SessEvent(99L, 94L, ts(15, 0), 0.0))   // wm → 14:50 > 11:30+30m+2h
+        feed(SessEvent(99L, 95L, ts(15, 1), 0.0))   // TTL timeout fires → evict
+        feed(SessEvent(1L, 3L, ts(16, 0), 3.0))     // returns AFTER eviction
+        feed(SessEvent(99L, 96L, ts(17, 0), 0.0))   // wm → 16:50
+        feed(SessEvent(99L, 97L, ts(17, 1), 0.0))   // closes u1 session 3
+        spark.table(name).filter(col("user_id") === 1)
+          .select("session_n", "n_events", "start_s")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+          .sortBy(_._3)
+      } finally q.stop()
+    }
+    val ttlOut = run("sessttl", Some(7200L))
+    val defOut = run("sessdef", None)
+    // in-horizon sessions identical between modes (continuity preserved)
+    assert(ttlOut.take(2) === defOut.take(2))
+    assert(ttlOut.take(2).map(_._1) === Seq(1L, 2L))
+    // post-eviction: TTL mode restarts numbering (the counter row is GONE);
+    // default mode continues — the one divergence the mode buys bounded state
+    assert(ttlOut(2) === ((1L, 1L, "2026-01-01 16:00:00")))
+    assert(defOut(2) === ((3L, 1L, "2026-01-01 16:00:00")))
+  }
+
   test("stateful sessionization: sub-second gap semantics match batch (second-truncated)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
