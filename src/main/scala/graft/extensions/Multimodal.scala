@@ -41,12 +41,15 @@ case class MediaImageStats(media_id: Long, width: Long, height: Long,
   * is a DETERMINISTIC FAKE: it derives plausible metadata/frames/features
   * from the payload bytes alone (documented formulas, mirrored by the
   * DuckDB oracle). A production deployment swaps `FakeCodec` for a real
-  * codec (e.g. javax.imageio / ffmpeg bindings) behind the same
-  * `MediaCodec` trait — every Spark-side shape (schemas, partitioning,
-  * lazy iterator batching, per-partition codec lifecycle) is real and
-  * tested. [[WavCodec]] demonstrates the boundary with a real format: it
-  * parses actual RIFF/WAVE bytes (no library needed) through the identical
-  * trait, and MultimodalSpec decodes a genuine PCM fixture with it.
+  * codec (e.g. ffmpeg bindings for video) behind the same `MediaCodec`
+  * trait — every Spark-side shape (schemas, partitioning, lazy iterator
+  * batching, per-partition codec lifecycle) is real and tested. THREE real
+  * codecs already cross the boundary: [[WavCodec]] parses actual RIFF/WAVE
+  * bytes, [[BmpCodec]] walks real uncompressed BMP bytes, and
+  * [[ImageIoCodec]] (round 10) decodes genuinely COMPRESSED PNG/JPEG
+  * payloads via JDK ImageIO — so only the video modality still rides the
+  * fake. MultimodalSpec decodes genuine PCM/BMP/PNG/JPEG fixtures through
+  * all three.
   * ───────────────────────────────────────────────────────────────────────
   */
 object Multimodal {
@@ -263,6 +266,145 @@ object Multimodal {
       val nrm = math.sqrt(acc.map(x => x * x).sum) max 1e-12
       acc.map(x => (x / nrm).toFloat)
     }
+  }
+
+  /** Real COMPRESSED-format image decoder behind the same trait: JDK
+    * ImageIO — whose PNG/JPEG/GIF/BMP readers ship with Java 17, no new
+    * dependency — parsing genuine compressed bytes. This retires the stub
+    * boundary's biggest caveat (the only real image codec used to be the
+    * uncompressed BMP byte-walk): production image corpora are stored
+    * compressed, and this path decodes them with the identical
+    * per-partition lifecycle and [[MediaMeta]]/[[MediaFrame]] contracts.
+    *
+    * `frames` emits the SAME top-down row-major BGR plane layout as
+    * [[BmpCodec]] (one still frame), so every downstream pass is
+    * codec-agnostic — MultimodalSpec pins plane equality between a BMP and
+    * a PNG encoding of the same logical pixels (PNG is lossless, so the
+    * decoded planes must match byte-for-byte). All stream handling is
+    * memory-cached (`MemoryCacheImageInputStream`) — no ImageIO disk-cache
+    * temp files on executors, and no mutation of the global
+    * `ImageIO.setUseCache` state. Undecodable bytes throw (codec contract:
+    * real media in, not silent zeros).
+    */
+  object ImageIoCodec extends MediaCodec {
+    private def read(b: Array[Byte]): java.awt.image.BufferedImage = {
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      // ImageIO.read(ImageInputStream) closes the stream itself per its
+      // javadoc — an explicit close here double-closes and throws; the
+      // stream is heap-only (memory-cached over a byte array), so the
+      // rare exception path leaks nothing the GC doesn't reclaim
+      val img = javax.imageio.ImageIO.read(in)
+      require(img != null, "no ImageIO reader recognized the payload")
+      img
+    }
+    /** Top-down row-major BGR bytes — [[BmpCodec]]'s plane layout. */
+    private[Multimodal] def bgrPlane(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val w = img.getWidth; val h = img.getHeight
+      val out = new Array[Byte](3 * w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val argb = img.getRGB(x, y)
+          val p = (y * w + x) * 3
+          out(p) = (argb & 0xff).toByte
+          out(p + 1) = ((argb >> 8) & 0xff).toByte
+          out(p + 2) = ((argb >> 16) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+    def decode(m: MediaRow): MediaMeta = {
+      val img = read(m.payload)
+      MediaMeta(m.media_id, m.kind, m.payload.length.toLong,
+        img.getWidth.toLong, img.getHeight.toLong, 1L)
+    }
+    def frames(m: MediaRow, everyNBytes: Int): Iterator[MediaFrame] =
+      Iterator.single(MediaFrame(m.media_id, 0L, bgrPlane(read(m.payload))))
+    def feature(m: MediaRow, dim: Int): Array[Float] = {
+      val px = bgrPlane(read(m.payload))
+      val acc = new Array[Double](dim)
+      var i = 0
+      while (i < px.length) {
+        acc(i % dim) += (px(i) & 0xff).toDouble
+        i += 1
+      }
+      val nrm = math.sqrt(acc.map(x => x * x).sum) max 1e-12
+      acc.map(x => (x / nrm).toFloat)
+    }
+  }
+
+  /** Encode a BufferedImage to compressed bytes with an explicit
+    * memory-cached stream (no disk cache, no global ImageIO state).
+    */
+  private def imageIoEncode(img: java.awt.image.BufferedImage,
+      format: String): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    try {
+      require(javax.imageio.ImageIO.write(img, format, out),
+        s"no ImageIO writer for format '$format'")
+    } finally out.close()
+    baos.toByteArray
+  }
+
+  /** Payload-to-payload resize of COMPRESSED image payloads (PNG/JPEG/…):
+    * decode via ImageIO, nearest-neighbor resample with the SAME sampling
+    * formula as the BMP [[resizeImages]] (sx = x·w/W, sy = y·h/H), re-encode
+    * as `format`. Iterator-to-iterator like every media pass; deterministic
+    * for lossless formats (MultimodalSpec pins the round-trip pixels).
+    */
+  def resizeImagesIo(media: Dataset[MediaRow], targetW: Int, targetH: Int,
+      format: String = "png"): Dataset[MediaRow] = {
+    require(targetW > 0 && targetH > 0)
+    implicit val enc = Encoders.product[MediaRow]
+    media.mapPartitions(it => it.map { m =>
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+      require(src != null, "no ImageIO reader recognized the payload")
+      val w = src.getWidth; val h = src.getHeight
+      val dst = new java.awt.image.BufferedImage(
+        targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < targetH) {
+        var x = 0
+        while (x < targetW) {
+          dst.setRGB(x, y, src.getRGB(x * w / targetW, y * h / targetH) & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      MediaRow(m.media_id, m.kind, imageIoEncode(dst, format))
+    })
+  }
+
+  /** PNG twin of [[toBmpMedia]]: the SAME logical pixels (dims and byte
+    * formula) encoded as real compressed PNG bytes via ImageIO — the
+    * cross-codec fixture (PNG is lossless, so [[ImageIoCodec]]'s decoded
+    * plane must equal [[BmpCodec]]'s from the BMP twin byte-for-byte).
+    */
+  def toPngMedia(docs: DataFrame, idCol: String): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    docs.select(col(idCol).cast("long").as("media_id")).as[Long](Encoders.scalaLong)
+      .mapPartitions(it => it.map { id =>
+        val w = (4 + id % 5).toInt; val h = (3 + id % 4).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        def f(j: Int): Int = ((id * 31 + j.toLong * 7) % 256).toInt
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = (y * w + x) * 3 // BGR within pixel, like the BMP fixture
+            img.setRGB(x, y, (f(p + 2) << 16) | (f(p + 1) << 8) | f(p))
+            x += 1
+          }
+          y += 1
+        }
+        MediaRow(id, "image", imageIoEncode(img, "png"))
+      })
   }
 
   /** REAL payload-to-payload resize: nearest-neighbor resample of BMP

@@ -241,4 +241,66 @@ class MultimodalSpec extends SparkSpec {
     val shrunk = M.resizeImages(row, 1, 1).collect().head
     assert(M.Bmp.pixels(shrunk.payload).toSeq === px22.take(3).toSeq)
   }
+
+  test("ImageIoCodec decodes real compressed PNGs; plane equals the BMP twin's") {
+    import graft.extensions.{MediaRow, Multimodal => M}
+    val docs = Tables.documents(spark, sf).limit(50)
+    val png = M.toPngMedia(docs, "doc_id")
+    // payloads are genuine PNG bytes (8-byte signature), not formula blobs
+    val first = png.collect().head
+    assert((first.payload(0) & 0xff) === 0x89 &&
+      first.payload(1) === 'P'.toByte && first.payload(2) === 'N'.toByte)
+    val meta = M.extractMeta(png, codec = M.ImageIoCodec).collect()
+    assert(meta.nonEmpty)
+    meta.foreach { m =>
+      assert(m.width === 4 + m.media_id % 5)
+      assert(m.height === 3 + m.media_id % 4)
+      assert(m.n_frames === 1L)
+    }
+    // PNG is lossless, so the decoded top-down BGR plane must equal the
+    // BMP twin's byte-for-byte — the cross-codec contract downstream
+    // passes rely on
+    val bmp = M.toBmpMedia(docs, "doc_id")
+    val pPlanes = M.frameSample(png, codec = M.ImageIoCodec).collect()
+      .map(f => f.media_id -> f.frame_bytes.toSeq).toMap
+    val bPlanes = M.frameSample(bmp, codec = M.BmpCodec).collect()
+      .map(f => f.media_id -> f.frame_bytes.toSeq).toMap
+    assert(pPlanes === bPlanes)
+    // identical planes ⇒ identical features across codecs
+    val pf = M.extractFeatures(png, dim = 4, codec = M.ImageIoCodec).collect()
+      .map(f => f.media_id -> f.feature.toSeq).toMap
+    val bf = M.extractFeatures(bmp, dim = 4, codec = M.BmpCodec).collect()
+      .map(f => f.media_id -> f.feature.toSeq).toMap
+    assert(pf === bf)
+    // undecodable bytes are rejected, not silently zeroed
+    intercept[Exception](M.ImageIoCodec.decode(
+      MediaRow(9L, "image", "not an image at all".getBytes)))
+  }
+
+  test("resizeImagesIo: compressed round-trip resize is pixel-exact; JPEG decodes") {
+    import graft.extensions.{Multimodal => M}
+    val docs = Tables.documents(spark, sf).limit(20)
+    val png = M.toPngMedia(docs, "doc_id")
+    val resized = M.resizeImagesIo(png, targetW = 3, targetH = 2)
+    val planes = M.frameSample(resized, codec = M.ImageIoCodec).collect()
+      .map(f => f.media_id -> f.frame_bytes).toMap
+    assert(planes.nonEmpty)
+    // nearest-neighbor expectation straight from the fixture formula,
+    // through a decode→resample→PNG-encode→decode round trip
+    planes.foreach { case (id, plane) =>
+      val w = (4 + id % 5).toInt; val h = (3 + id % 4).toInt
+      val expect = Array.tabulate(3 * 2 * 3) { j =>
+        val p = j / 3; val c = j % 3
+        val x = p % 3; val y = p / 3
+        val sx = x * w / 3; val sy = y * h / 2
+        ((id * 31 + ((sy * w + sx) * 3 + c).toLong * 7) % 256).toByte
+      }
+      assert(plane.toSeq === expect.toSeq, s"media $id")
+    }
+    // JPEG writer path: lossy, so assert the decode contract (dims), not bytes
+    val jpg = M.resizeImagesIo(png, targetW = 4, targetH = 4, format = "jpg")
+    val jm = M.extractMeta(jpg, codec = M.ImageIoCodec).collect()
+    assert(jm.nonEmpty)
+    jm.foreach(m => assert(m.width === 4L && m.height === 4L))
+  }
 }
