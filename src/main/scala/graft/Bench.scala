@@ -39,32 +39,32 @@ object Bench {
     * literal (one command, can't drift from the median rule).
     */
   private val pinMedianSec: Map[String, Double] = Map(
-    "a1" -> 0.743, "a2" -> 0.528, "a3" -> 0.259, "a4" -> 0.634, "a5" -> 0.145, "a6" -> 0.148,
-    "a7" -> 0.213, "a8" -> 0.434, "b1" -> 0.253, "c1" -> 1.032, "c2" -> 0.348, "c3" -> 0.449,
-    "c4" -> 0.489, "d1" -> 0.377, "d2" -> 0.57, "d3" -> 0.38, "d4" -> 0.291, "d5" -> 0.259,
-    "d6" -> 1.227, "d7" -> 0.327, "d8" -> 0.278, "e1" -> 0.965, "e10" -> 0.656, "e11" -> 0.276,
-    "e12" -> 0.447, "e13" -> 0.317, "e14" -> 0.29, "e15" -> 0.757, "e2" -> 0.623, "e3" -> 0.355,
-    "e4" -> 0.509, "e5" -> 0.341, "e6" -> 1.402, "e7" -> 0.241, "e8" -> 0.722, "e9" -> 0.464,
-    "f1" -> 0.326, "f10" -> 0.497, "f11" -> 0.199, "f2" -> 0.499, "f3" -> 0.682, "f4" -> 0.178,
-    "f5" -> 0.306, "f6" -> 0.365, "f7" -> 0.276, "f8" -> 0.291, "f9" -> 0.534, "g1" -> 0.188,
-    "g2" -> 0.416, "g3" -> 0.993, "g4" -> 0.611, "g5" -> 0.225, "g6" -> 0.31, "h1" -> 0.26,
-    "h10" -> 0.351, "h11" -> 0.714, "h12" -> 0.501, "h13" -> 0.504, "h14" -> 0.346, "h15" -> 1.293,
-    "h16" -> 0.335, "h17" -> 1.245, "h18" -> 0.458, "h19" -> 0.65, "h2" -> 0.227, "h20" -> 0.797,
-    "h21" -> 0.156, "h22" -> 0.494, "h23" -> 0.919, "h24" -> 0.484, "h25" -> 0.716, "h26" -> 0.89,
-    "h27" -> 0.924, "h28" -> 0.667, "h29" -> 0.661, "h3" -> 0.243, "h30" -> 0.625, "h31" -> 0.336,
-    "h32" -> 0.328, "h33" -> 0.334, "h34" -> 0.206, "h35" -> 0.191, "h36" -> 0.334, "h37" -> 0.252,
-    "h38" -> 1.417, "h39" -> 0.758, "h4" -> 0.621, "h40" -> 0.712, "h41" -> 0.183, "h42" -> 0.632,
-    "h43" -> 0.484, "h44" -> 1.066, "h45" -> 0.545, "h46" -> 0.514, "h47" -> 1.67, "h48" -> 0.959,
-    "h49" -> 0.77, "h5" -> 2.052, "h50" -> 0.843, "h51" -> 0.653, "h52" -> 0.309, "h53" -> 0.447,
-    "h54" -> 0.953, "h55" -> 1.074, "h56" -> 1.23, "h57" -> 0.392, "h58" -> 0.668, "h59" -> 0.519,
-    "h6" -> 1.019, "h60" -> 0.997, "h61" -> 2.791, "h62" -> 0.689, "h63" -> 0.429, "h64" -> 0.41,
-    "h65" -> 0.771, "h66" -> 0.896, "h67" -> 1.557, "h68" -> 0.745, "h69" -> 0.365, "h7" -> 0.546,
-    "h70" -> 0.191, "h71" -> 0.2, "h72" -> 0.71, "h73" -> 0.46, "h74" -> 1.945, "h75" -> 0.998,
-    "h76" -> 0.218, "h77" -> 0.251, "h78" -> 1.009, "h79" -> 0.376, "h8" -> 0.406, "h80" -> 1.789,
-    "h81" -> 0.788, "h82" -> 0.416, "h83" -> 0.373, "h84" -> 0.361, "h85" -> 0.563, "h86" -> 0.785,
-    "h87" -> 0.686, "h88" -> 0.352, "h89" -> 1.007, "h9" -> 0.473, "h90" -> 1.017, "h91" -> 0.767,
-    "h92" -> 0.398, "h93" -> 0.493, "h94" -> 0.465, "h95" -> 0.652, "h96" -> 0.263, "h97" -> 0.446,
-    "h98" -> 0.53)
+    "a1" -> 0.736, "a2" -> 0.546, "a3" -> 0.289, "a4" -> 0.63, "a5" -> 0.16, "a6" -> 0.166,
+    "a7" -> 0.248, "a8" -> 0.429, "b1" -> 0.245, "c1" -> 1.098, "c2" -> 0.416, "c3" -> 0.451,
+    "c4" -> 0.493, "d1" -> 0.376, "d2" -> 0.549, "d3" -> 0.376, "d4" -> 0.311, "d5" -> 0.274,
+    "d6" -> 1.323, "d7" -> 0.313, "d8" -> 0.309, "e1" -> 0.885, "e10" -> 0.665, "e11" -> 0.306,
+    "e12" -> 0.473, "e13" -> 0.313, "e14" -> 0.279, "e15" -> 0.681, "e2" -> 0.552, "e3" -> 0.355,
+    "e4" -> 0.578, "e5" -> 0.321, "e6" -> 1.6, "e7" -> 0.27, "e8" -> 0.782, "e9" -> 0.465,
+    "f1" -> 0.352, "f10" -> 0.485, "f11" -> 0.21, "f2" -> 0.481, "f3" -> 0.613, "f4" -> 0.197,
+    "f5" -> 0.292, "f6" -> 0.36, "f7" -> 0.304, "f8" -> 0.334, "f9" -> 0.548, "g1" -> 0.215,
+    "g2" -> 0.384, "g3" -> 1.049, "g4" -> 0.638, "g5" -> 0.206, "g6" -> 0.318, "h1" -> 0.262,
+    "h10" -> 0.375, "h11" -> 0.828, "h12" -> 0.495, "h13" -> 0.46, "h14" -> 0.371, "h15" -> 1.303,
+    "h16" -> 0.326, "h17" -> 1.348, "h18" -> 0.53, "h19" -> 0.713, "h2" -> 0.274, "h20" -> 0.999,
+    "h21" -> 0.145, "h22" -> 0.498, "h23" -> 0.871, "h24" -> 0.505, "h25" -> 0.852, "h26" -> 0.792,
+    "h27" -> 1.077, "h28" -> 0.628, "h29" -> 0.684, "h3" -> 0.287, "h30" -> 0.607, "h31" -> 0.33,
+    "h32" -> 0.363, "h33" -> 0.318, "h34" -> 0.231, "h35" -> 0.189, "h36" -> 0.356, "h37" -> 0.232,
+    "h38" -> 1.545, "h39" -> 0.907, "h4" -> 0.604, "h40" -> 0.738, "h41" -> 0.192, "h42" -> 0.645,
+    "h43" -> 0.457, "h44" -> 1.071, "h45" -> 0.593, "h46" -> 0.492, "h47" -> 2.069, "h48" -> 1.078,
+    "h49" -> 0.672, "h5" -> 2.101, "h50" -> 0.949, "h51" -> 0.691, "h52" -> 0.39, "h53" -> 0.464,
+    "h54" -> 0.901, "h55" -> 1.086, "h56" -> 1.459, "h57" -> 0.368, "h58" -> 0.717, "h59" -> 0.499,
+    "h6" -> 0.891, "h60" -> 1.052, "h61" -> 3.138, "h62" -> 0.749, "h63" -> 0.429, "h64" -> 0.452,
+    "h65" -> 0.829, "h66" -> 0.895, "h67" -> 1.714, "h68" -> 0.877, "h69" -> 0.394, "h7" -> 0.556,
+    "h70" -> 0.191, "h71" -> 0.199, "h72" -> 0.657, "h73" -> 0.515, "h74" -> 1.803, "h75" -> 1.09,
+    "h76" -> 0.24, "h77" -> 0.236, "h78" -> 1.197, "h79" -> 0.361, "h8" -> 0.434, "h80" -> 1.95,
+    "h81" -> 0.766, "h82" -> 0.501, "h83" -> 0.339, "h84" -> 0.379, "h85" -> 0.543, "h86" -> 0.719,
+    "h87" -> 0.644, "h88" -> 0.38, "h89" -> 1.082, "h9" -> 0.483, "h90" -> 1.124, "h91" -> 0.698,
+    "h92" -> 0.453, "h93" -> 0.501, "h94" -> 0.483, "h95" -> 0.653, "h96" -> 0.33, "h97" -> 0.467,
+    "h98" -> 0.575)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
