@@ -32,6 +32,23 @@ object ScaleBench {
   private val scaleDir = "/root/repo/target/scale10"
   private def scaleNDir(copies: Int) = s"/root/repo/target/scale$copies"
 
+  /** All physical shuffle exchanges of an EXECUTED plan, descending through
+    * AQE wrappers and query stages (both are leaf nodes to `collect`);
+    * reused exchanges are excluded — they reference a shuffle already
+    * counted, not a second physical one.
+    */
+  private def collectShuffles(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      collectShuffles(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      collectShuffles(q.plan)
+    case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq.empty
+    case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+      e +: e.children.flatMap(collectShuffles)
+    case other => other.children.flatMap(collectShuffles)
+  }
+
   /** N disjoint-vocabulary copies of the documents table (per-copy token
     * prefix c$k — see the object scaladoc for why verbatim copies would
     * measure fixture combinatorics, not the engine).
@@ -249,25 +266,36 @@ object ScaleBench {
       println(s"[scale] $n ${copies}x_mat${if (bucketed) "_bkt" else ""}=${f3(t)}s")
       (n, t)
     }
-    // shuffle-exchange counts over the shingle-relation consumers — the
-    // bucketed layout's plan-shape evidence (HashPartitioning(doc_id) from
+    // shuffle-exchange evidence over the shingle-relation consumers — the
+    // bucketed layout's plan-shape proof (HashPartitioning(doc_id) from
     // the bucket metadata satisfies the per-doc aggregate / distinct
-    // distributions, so these drop vs the checkpoint path)
+    // distributions, so these drop vs the checkpoint path). Round 10:
+    // count alone is a misleading proxy — a plan can trade ONE corpus-sized
+    // exchange for several pair-sized ones and win (the h61 per-branch
+    // verify split does exactly that) — so each query is re-executed and
+    // the EXECUTED plan's shuffle metrics are summed: records and
+    // serialized bytes actually written to shuffles, the quantity that
+    // scales with the corpus. Reused exchanges are skipped (one physical
+    // shuffle, however many consumers).
     val exch = Seq("h5_minhash_lsh_pairs", "h6_ngram_jaccard",
       "h16_dedup_corpus_keep", "h23_dedup_clusters",
       "h61_incremental_dedup").map { n =>
-      val p = graft.SparkEntry.queries(n)(spark, dir)
-        .queryExecution.executedPlan.toString
-      val c = "Exchange hashpartitioning".r.findAllIn(p).size
-      println(s"[scale] $n shuffle_exchanges=$c")
-      (n.takeWhile(_ != '_'), c)
+      val df = graft.SparkEntry.queries(n)(spark, dir)
+      df.queryExecution.toRdd.foreach(_ => ()) // execute → metrics populate
+      val sh = collectShuffles(df.queryExecution.executedPlan)
+      val recs = sh.map(_.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)).sum
+      val bytes = sh.map(_.metrics.get("dataSize").map(_.value).getOrElse(0L)).sum
+      println(s"[scale] $n shuffle_exchanges=${sh.size} " +
+        s"shuffle_records=$recs shuffle_mb=${bytes / 1000000}")
+      (n.takeWhile(_ != '_'), sh.size, recs, bytes)
     }
     DupGraph.reset()
     val preJs = pre.map { case (l, s) => s""""$l":${f3(s)}""" }
       .mkString("{", ",", "}")
     val qJs = rows.map { case (n, t) =>
       s""""${n.takeWhile(_ != '_')}":${f3(t)}""" }.mkString("{", ",", "}")
-    val exJs = exch.map { case (n, c) => s""""$n":$c""" }.mkString("{", ",", "}")
+    val exJs = exch.map { case (n, c, r, b) =>
+      s""""$n":{"n":$c,"records":$r,"mb":${b / 1000000}}""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale${copies}mat${if (bucketed) "bkt" else ""}","prebuild_sec":${
       f3(pre.map(_._2).sum)},"prebuild":$preJs,"queries":$qJs,"exchanges":$exJs}""")
   }
@@ -432,6 +460,33 @@ object ScaleBench {
     q3.stop()
     val js3 = report("sessionize", sec3, st3.toSeq)
 
+    // 3b. the SAME sessionizer feed with the round-10 counter TTL
+    // (gap 600 + ttl 1200 → a departed user's counter row evicts 1800 s of
+    // event time after last activity ≈ 3 batches): the default mode's
+    // one-counter-row-per-user-ever growth — the documented session_n-
+    // continuity trade, measured 15,500 rows at stream30 — must PLATEAU at
+    // (eviction horizon × user turnover) regardless of batches processed
+    val mem3b = MemoryStream[SessEvent]
+    val q3b = StreamSessionize.sessions(
+        mem3b.toDS.withWatermark("ts", "10 minutes"), 600L,
+        counterTtlSeconds = Some(1200L))
+      .writeStream.format("noop").outputMode("append").start()
+    val st3b = scala.collection.mutable.ArrayBuffer[Long]()
+    val t3b = System.nanoTime()
+    (0 until batches).foreach { k =>
+      val b = base + k * 600000L
+      mem3b.addData((0 until perBatch).map { i =>
+        SessEvent(k.toLong * 500 + (i % 1000),
+          k.toLong * perBatch + i,
+          new Timestamp(b + (i / 1000) * 6000L), 1.0)
+      }: _*)
+      q3b.processAllAvailable()
+      st3b += stateRows(q3b)
+    }
+    val sec3b = (System.nanoTime() - t3b) / 1e9
+    q3b.stop()
+    val js3b = report("sessionize_ttl", sec3b, st3b.toSeq)
+
     // 4. stream-stream interval join (both sides watermarked 20 min, 10-min
     // attribution window — join state buffers only the match horizon)
     val memC = MemoryStream[(Long, Long, Timestamp)]
@@ -462,7 +517,7 @@ object ScaleBench {
     val js4 = report("stream_join", sec4, st4.toSeq)
 
     println(s"""{"metric":"stream$batches","events_per_op":${batches * perBatch},""" +
-      s"$js1,$js2,$js3,$js4}")
+      s"$js1,$js2,$js3,$js3b,$js4}")
   }
 
   /** Adversarial-diameter connected-components mode (`… ScaleBench
