@@ -2,7 +2,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark harness: times every declared query at the given scale factor
-  * and emits ONE machine-readable JSON line on stdout.
+  * and emits TWO machine-readable JSON lines on stdout — a per-query detail
+  * line first, then a compact summary line LAST (totals, prebuild breakdown,
+  * failed/skipped/stall_suspect). The driver parses the tail of stdout
+  * through a bounded ~2 KB window, so the LAST line must stay small: the
+  * combined single line overflowed the window at 151 queries and shipped
+  * three rounds of parsed:null artifacts (BENCH_r08–r10).
   *
   * Hang-hardening (round 6): the round-5 driver run was killed by an external
   * timeout (BENCH_r05.json rc=124, parsed=null) after a ~47-minute silent gap
@@ -249,18 +254,15 @@ object Bench {
       }
     }.toMap
 
-    // 3-decimal (ms) precision: the driver locates this line in a bounded
-    // tail window of stdout — full double precision pushed the 66-query line
-    // past the window in round 3 (BENCH_r03 parsed:null). ms precision keeps
-    // the line well under the window at 100+ queries and loses nothing at
-    // the 0.1s+ timescales being compared.
+    // 3-decimal (ms) precision keeps both emitted lines compact and loses
+    // nothing at the 0.1s+ timescales being compared.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // Per-query keys are the short id prefix ("h41", not
-    // "h41_simhash_near_dup") — the short form keeps the line ~1.3 KB at
-    // 100+ queries, far inside the driver's tail window. Nothing else
-    // enforces prefix uniqueness (SparkEntry.queries is a Map, so even
-    // full-name duplicates would be silently dropped upstream), so fail
-    // loudly here rather than emit duplicate JSON keys that lose a timing.
+    // "h41_simhash_near_dup") — the short form keeps the detail line small.
+    // Nothing else enforces prefix uniqueness (SparkEntry.queries is a Map,
+    // so even full-name duplicates would be silently dropped upstream), so
+    // fail loudly here rather than emit duplicate JSON keys that lose a
+    // timing.
     val prefixes = results.keys.toSeq.map(_.takeWhile(_ != '_'))
     require(prefixes.distinct.size == prefixes.size,
       s"duplicate bench key prefixes: ${prefixes.diff(prefixes.distinct).distinct.mkString(",")}")
@@ -277,7 +279,18 @@ object Bench {
     val prebuildSec = prebuild.map(_._2).sum
     val prebuildJson = prebuild.reverse
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","prebuild_sec":${f3(prebuildSec)},"prebuild":$prebuildJson,"queries":$qs,"failed":${names(failed)},"skipped":${names(skipped)},"stall_suspect":${names(stallSuspect)},"sf":"$sfDir"}""")
+    // TWO JSON lines, detail first, compact summary LAST. The driver locates
+    // its line in a bounded ~2 KB tail window of stdout; the single combined
+    // line outgrew that window at 151 queries (BENCH_r08/r09/r10 all
+    // parsed:null — the window truncated the line's HEAD, leaving an
+    // unparseable fragment). The per-query map lives on its own earlier line
+    // (still in the full stdout for humans and tools), and the line the
+    // driver parses carries only totals + prebuild breakdown + health lists
+    // (~350 bytes — comfortably inside the window even after sbt's trailing
+    // "[success]" line). Both lines repeat metric/value/unit so either is
+    // self-describing if a future window shift exposes the other.
+    println(s"""{"metric":"total_detail","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","prebuild_sec":${f3(prebuildSec)},"prebuild":$prebuildJson,"n_queries":${results.size},"failed":${names(failed)},"skipped":${names(skipped)},"stall_suspect":${names(stallSuspect)},"sf":"$sfDir"}""")
     System.out.flush()
     // stop() on a best-effort thread: an abandoned stuck query thread must
     // never block JVM exit after the JSON line is already out.
