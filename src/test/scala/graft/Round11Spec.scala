@@ -1,0 +1,62 @@
+package graft
+
+import graft.plans.ShuffleMetrics
+import graft.queries.DupGraph
+
+/** Round 11: executed shuffle-VOLUME regression guard over the top dedup
+  * consumers. The round-10 h61 verify-split win was proven with executed-plan
+  * shuffle metrics (records/bytes actually written — the quantity that scales
+  * with the corpus; see [[graft.plans.ShuffleMetrics]] for why exchange COUNT
+  * is the wrong proxy), but nothing stopped a future edit from silently
+  * re-inflating volume. These pins do: each consumer's consumer-side shuffled
+  * records are measured at two scale factors and asserted under a ceiling set
+  * ~1.5× the measured value — generous enough for plan-choice jitter (AQE,
+  * fixture regeneration), tight enough that losing a split/bucket/prune trips
+  * it (the h61 un-split alone would add ~37% records).
+  *
+  * Measurement protocol: [[DupGraph.reset]] before each query so the shared
+  * shingle/pair relations rebuild fresh (their lazy checkpoints are separate
+  * RDD lineages, so the measured plan is the CONSUMER side — deterministic
+  * regardless of suite ordering), and each DataFrame is built fresh (metric
+  * accumulators live on plan nodes; re-executing an instance double-counts).
+  */
+class Round11Spec extends SparkSpec {
+
+  // (query, sfDir, records ceiling) — pinned from measured values in this
+  // suite's first run (see info lines), ×1.5 rounded up. The two scale
+  // points are sf0.001 (500 docs) and sf0.1 (5,000 docs) — sf0.01's
+  // documents table is ALSO 500 rows (the doc fixtures only grow at sf0.1),
+  // so it would duplicate the first point, not add a second.
+  // Measured 2026-08-14 (records): sf0.001 h5=528 h6=54,894 h16=29,403
+  // h61=56,072; sf0.1 h5=5,256 h6=589,892 h16=289,967 h61=542,829 —
+  // 10× docs → ~10× records, the linear posture the scale claims make.
+  // h61's ceiling is ~1.25× (not 1.5×): the specific regression it guards —
+  // reverting the per-branch verify split — measured only +37% records in
+  // the round-10 A/B, so a 1.5× ceiling would let it back in silently.
+  // Record counts are deterministic for a fixed plan + data (write-side
+  // totals; AQE coalescing is read-side), so 1.25× is still generous.
+  private val pins = Seq(
+    ("h5_minhash_lsh_pairs", "/root/testdata/sf0.001", 800L),
+    ("h6_ngram_jaccard", "/root/testdata/sf0.001", 83000L),
+    ("h16_dedup_corpus_keep", "/root/testdata/sf0.001", 45000L),
+    ("h61_incremental_dedup", "/root/testdata/sf0.001", 70000L),
+    ("h5_minhash_lsh_pairs", "/root/testdata/sf0.1", 8000L),
+    ("h6_ngram_jaccard", "/root/testdata/sf0.1", 885000L),
+    ("h16_dedup_corpus_keep", "/root/testdata/sf0.1", 435000L),
+    ("h61_incremental_dedup", "/root/testdata/sf0.1", 679000L))
+
+  for ((name, dir, ceiling) <- pins) {
+    val sfLabel = dir.split('/').last
+    test(s"$name shuffled records within budget at $sfLabel") {
+      DupGraph.reset()
+      val vol = ShuffleMetrics.measure(SparkEntry.queries(name)(spark, dir))
+      info(s"$name@$sfLabel: exchanges=${vol.exchanges} records=${vol.records} bytes=${vol.bytes}")
+      // a 0 would mean the metric name broke (e.g. a Spark upgrade renamed
+      // shuffleRecordsWritten) — that silently vacates the ceiling, so fail
+      assert(vol.records > 0, "no shuffle records measured — metric wiring broken?")
+      assert(vol.records <= ceiling,
+        s"$name shuffled ${vol.records} records at $sfLabel, ceiling $ceiling — " +
+          "a plan change re-inflated shuffle volume (lost split/bucket/prune?)")
+    }
+  }
+}

@@ -32,22 +32,11 @@ object ScaleBench {
   private val scaleDir = "/root/repo/target/scale10"
   private def scaleNDir(copies: Int) = s"/root/repo/target/scale$copies"
 
-  /** All physical shuffle exchanges of an EXECUTED plan, descending through
-    * AQE wrappers and query stages (both are leaf nodes to `collect`);
-    * reused exchanges are excluded — they reference a shuffle already
-    * counted, not a second physical one.
-    */
+  // executed-plan shuffle walk — promoted to main (round 11) so Round11Spec
+  // can pin record ceilings against the same measurement ScaleBench reports
   private def collectShuffles(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike] = p match {
-    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-      collectShuffles(a.executedPlan)
-    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-      collectShuffles(q.plan)
-    case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq.empty
-    case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
-      e +: e.children.flatMap(collectShuffles)
-    case other => other.children.flatMap(collectShuffles)
-  }
+      : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike] =
+    graft.plans.ShuffleMetrics.collectShuffles(p)
 
   /** N disjoint-vocabulary copies of the documents table (per-copy token
     * prefix c$k — see the object scaladoc for why verbatim copies would
