@@ -31,25 +31,38 @@ case class MediaFeature(media_id: Long, kind: String, feature: Array[Float])
 case class MediaImageStats(media_id: Long, width: Long, height: Long,
     n_bytes: Long, sum_bytes: Long)
 
+/** Integer-exact video decode result (AVI path): container dims, total and
+  * sampled frame counts, container byte size, and the pixel-byte sum over
+  * the SAMPLED frames' decoded planes — order-independent like
+  * [[MediaImageStats]], so SQL-oracle-checkable without parsing a byte.
+  */
+case class MediaVideoStats(media_id: Long, width: Long, height: Long,
+    n_frames: Long, n_sampled: Long, n_bytes: Long, sum_bytes: Long)
+
 /** Multimodal (image/audio/video) column processing: opaque `binary` payloads
   * with typed metadata, processed by iterator-based `mapPartitions` passes —
   * the Scala analogue of arrow-batched `mapInPandas`: one JVM-side codec
   * instance per partition, streamed row batches, typed output schema.
   *
-  * ── STUB BOUNDARY ──────────────────────────────────────────────────────
-  * This container has no image/audio codec libraries, so `FakeCodec` below
-  * is a DETERMINISTIC FAKE: it derives plausible metadata/frames/features
-  * from the payload bytes alone (documented formulas, mirrored by the
-  * DuckDB oracle). A production deployment swaps `FakeCodec` for a real
-  * codec (e.g. ffmpeg bindings for video) behind the same `MediaCodec`
-  * trait — every Spark-side shape (schemas, partitioning, lazy iterator
-  * batching, per-partition codec lifecycle) is real and tested. THREE real
-  * codecs already cross the boundary: [[WavCodec]] parses actual RIFF/WAVE
-  * bytes, [[BmpCodec]] walks real uncompressed BMP bytes, and
-  * [[ImageIoCodec]] (round 10) decodes genuinely COMPRESSED PNG/JPEG
-  * payloads via JDK ImageIO — so only the video modality still rides the
-  * fake. MultimodalSpec decodes genuine PCM/BMP/PNG/JPEG fixtures through
-  * all three.
+  * ── CODEC BOUNDARY ─────────────────────────────────────────────────────
+  * Every modality now has a REAL codec behind the `MediaCodec` trait, no
+  * codec library in the container required: [[WavCodec]] parses actual
+  * RIFF/WAVE audio bytes, [[BmpCodec]] walks real uncompressed BMP bytes,
+  * [[ImageIoCodec]] (round 10) decodes genuinely COMPRESSED PNG/JPEG via
+  * JDK ImageIO, and [[AviCodec]] (round 11) parses real RIFF/AVI video
+  * containers — raw-DIB and MJPEG (per-frame JPEG) streams, frame sampling
+  * included. MultimodalSpec decodes genuine PCM/BMP/PNG/JPEG/AVI fixtures
+  * through all four, and h52/h99 oracle-check the BMP and AVI paths
+  * end-to-end. A production deployment adds heavier codecs (e.g. ffmpeg
+  * bindings for H.264) behind the same trait — every Spark-side shape
+  * (schemas, partitioning, lazy iterator batching, per-partition codec
+  * lifecycle) is what ships here.
+  *
+  * `FakeCodec` below is NOT covering for a missing capability (it used to
+  * stub video; [[AviCodec]] retired that): it remains solely as the
+  * kind-routing PLUMBING fixture for the h14 declared query, whose
+  * documented closed-form formulas let the DuckDB oracle replay a
+  * mixed-kind decode pass without parsing media bytes.
   * ───────────────────────────────────────────────────────────────────────
   */
 object Multimodal {
@@ -287,7 +300,7 @@ object Multimodal {
     * real media in, not silent zeros).
     */
   object ImageIoCodec extends MediaCodec {
-    private def read(b: Array[Byte]): java.awt.image.BufferedImage = {
+    private[Multimodal] def read(b: Array[Byte]): java.awt.image.BufferedImage = {
       val in = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(b))
       // ImageIO.read(ImageInputStream) closes the stream itself per its
@@ -335,6 +348,268 @@ object Multimodal {
       val nrm = math.sqrt(acc.map(x => x * x).sum) max 1e-12
       acc.map(x => (x / nrm).toFloat)
     }
+  }
+
+  /** Minimal RIFF/AVI video container encode/parse — pure byte arithmetic
+    * on the public format (AVI is WAV's RIFF sibling: the same little-endian
+    * chunk grammar this file already walks in [[WavCodec]], plus LIST
+    * nesting), no library. Layout emitted/understood:
+    * {{{
+    * RIFF 'AVI '
+    *   LIST 'hdrl'
+    *     'avih' (56 B main header: µs/frame, total frames, width, height…)
+    *     LIST 'strl'
+    *       'strh' (56 B stream header: fccType 'vids', handler fourcc…)
+    *       'strf' (40 B BITMAPINFOHEADER)
+    *   LIST 'movi'
+    *     '00db' raw DIB frame  |  '00dc' compressed (MJPEG) frame   × n
+    *   'idx1' (16 B/frame legacy index)
+    * }}}
+    * Raw '00db' frames are bottom-up BGR rows padded to 4 bytes — the BMP
+    * pixel-array layout without the file header ([[Bmp]]); '00dc' frames
+    * under the 'MJPG' handler are each a complete JPEG, decodable by the
+    * existing [[ImageIoCodec]] machinery (MJPEG IS per-frame JPEG).
+    * Malformed bytes throw — same contract as every codec here.
+    */
+  object Avi {
+    import Bmp.{i32, u16}
+
+    private class W(private val buf: java.io.ByteArrayOutputStream =
+        new java.io.ByteArrayOutputStream()) {
+      def tag(s: String): W = { buf.write(s.getBytes("US-ASCII"), 0, 4); this }
+      def u32(v: Int): W = {
+        buf.write(v & 0xff); buf.write((v >>> 8) & 0xff)
+        buf.write((v >>> 16) & 0xff); buf.write((v >>> 24) & 0xff); this
+      }
+      def u16(v: Int): W = { buf.write(v & 0xff); buf.write((v >>> 8) & 0xff); this }
+      def bytes(b: Array[Byte]): W = { buf.write(b, 0, b.length); this }
+      def zeros(n: Int): W = { var i = 0; while (i < n) { buf.write(0); i += 1 }; this }
+      def toArray: Array[Byte] = buf.toByteArray
+    }
+
+    /** One video frame's location inside the container. */
+    final case class FrameRef(offset: Int, length: Int, compressed: Boolean)
+    /** Parsed container: dims, stream handler, per-frame payload slices. */
+    final case class Info(width: Int, height: Int, fourcc: String,
+        frames: IndexedSeq[FrameRef])
+
+    /** Encode frame payloads as an AVI. `fourcc` "DIB " takes raw bottom-up
+      * padded BGR planes (emitted as '00db'); "MJPG" takes per-frame JPEG
+      * bytes (emitted as '00dc'). Deterministic fixed-size headers: total
+      * container size = 232 + Σ(8 + len + pad) + 16·n — the closed form the
+      * h99 oracle replays.
+      */
+    def encode(width: Int, height: Int, fps: Int, fourcc: String,
+        frames: IndexedSeq[Array[Byte]]): Array[Byte] = {
+      require(width > 0 && height > 0 && fps > 0, "AVI dims/fps must be positive")
+      require(fourcc == "DIB " || fourcc == "MJPG", s"unsupported handler '$fourcc'")
+      val raw = fourcc == "DIB "
+      val chunkId = if (raw) "00db" else "00dc"
+      val padded = frames.map(f => f.length + (f.length & 1))
+      val moviSize = 4 + padded.map(8 + _).sum // 'movi' type + frame chunks
+      val idx1Size = 16 * frames.length
+      // RIFF size field = everything after the 8-byte RIFF chunk header
+      val riffSize = 4 + (8 + 192) + (8 + moviSize) + (8 + idx1Size)
+      val w = new W()
+      w.tag("RIFF").u32(riffSize).tag("AVI ")
+      // LIST hdrl: 4-byte type + avih(8+56) + LIST strl(8+116) = 192
+      w.tag("LIST").u32(192).tag("hdrl")
+      w.tag("avih").u32(56)
+        .u32(1000000 / fps).u32(0).u32(0).u32(0x10 /*AVIF_HASINDEX*/)
+        .u32(frames.length).u32(0).u32(1).u32(0)
+        .u32(width).u32(height).zeros(16)
+      // LIST strl: 4-byte type + strh(8+56) + strf(8+40) = 116
+      w.tag("LIST").u32(116).tag("strl")
+      w.tag("strh").u32(56)
+        .tag("vids").tag(fourcc).u32(0).u16(0).u16(0).u32(0)
+        .u32(1).u32(fps) // scale, rate → fps frames/s
+        .u32(0).u32(frames.length).u32(0).u32(-1).u32(0)
+        .u16(0).u16(0).u16(width).u16(height) // rcFrame
+      w.tag("strf").u32(40)
+        .u32(40).u32(width).u32(height).u16(1).u16(24)
+        .u32(if (raw) 0 else 0x47504a4d /*'MJPG' LE*/)
+        .u32(Bmp.rowSize(width) * height).u32(0).u32(0).u32(0).u32(0)
+      w.tag("LIST").u32(moviSize).tag("movi")
+      // idx1 offsets are relative to the 'movi' type tag (the common
+      // convention): first frame chunk header sits 4 bytes past it
+      var rel = 4
+      val offsets = frames.map { f =>
+        val o = rel
+        rel += 8 + f.length + (f.length & 1)
+        o
+      }
+      frames.foreach { f =>
+        w.tag(chunkId).u32(f.length).bytes(f)
+        if ((f.length & 1) == 1) w.zeros(1)
+      }
+      w.tag("idx1").u32(idx1Size)
+      frames.lazyZip(offsets).foreach { (f, o) =>
+        w.tag(chunkId).u32(0x10 /*AVIIF_KEYFRAME*/).u32(o).u32(f.length)
+      }
+      w.toArray
+    }
+
+    /** Raw bottom-up padded BGR frame bytes from a top-down row-major pixel
+      * byte function (the [[Bmp.encode]] pixel array without the file
+      * header) — '00db' payload for `encode(…, "DIB ", …)`.
+      */
+    def rawFrame(width: Int, height: Int, pixelByte: Int => Byte): Array[Byte] = {
+      val row = Bmp.rowSize(width)
+      val out = new Array[Byte](row * height)
+      var y = 0
+      while (y < height) {
+        val dst = (height - 1 - y) * row
+        var x = 0
+        while (x < 3 * width) {
+          out(dst + x) = pixelByte(y * 3 * width + x)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Top-down BGR plane of one raw '00db' frame slice. */
+    private[Multimodal] def rawPlane(b: Array[Byte], off: Int, w: Int, h: Int): Array[Byte] = {
+      val row = Bmp.rowSize(w)
+      val out = new Array[Byte](3 * w * h)
+      var y = 0
+      while (y < h) {
+        System.arraycopy(b, off + (h - 1 - y) * row, out, y * 3 * w, 3 * w)
+        y += 1
+      }
+      out
+    }
+
+    def parse(b: Array[Byte]): Info = {
+      def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+      require(b.length >= 24 && tag(0) == "RIFF" && tag(8) == "AVI ",
+        "not a RIFF/AVI payload")
+      var width = -1; var height = -1; var fourcc = ""
+      val frames = IndexedSeq.newBuilder[FrameRef]
+      // walk [from, to) as a chunk sequence, recursing into LISTs
+      def walk(from: Int, to: Int): Unit = {
+        var o = from
+        while (o + 8 <= to) {
+          val id = tag(o); val len = i32(b, o + 4)
+          require(len >= 0 && o + 8 + len <= b.length, s"truncated AVI chunk '$id'")
+          if (id == "LIST") {
+            walk(o + 12, o + 8 + len) // skip the 4-byte list type
+          } else if (id == "avih") {
+            width = i32(b, o + 8 + 32); height = i32(b, o + 8 + 36)
+          } else if (id == "strh" && len >= 12 && tag(o + 8) == "vids") {
+            fourcc = tag(o + 12)
+          } else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+              (id.endsWith("db") || id.endsWith("dc"))) {
+            frames += FrameRef(o + 8, len, compressed = id.endsWith("dc"))
+          } // 'idx1', 'strf', 'JUNK', … carry no information parse needs
+          o += 8 + len + (len & 1) // RIFF chunks are word-aligned
+        }
+      }
+      walk(12, b.length)
+      require(width > 0 && height > 0, "AVI payload missing avih dims")
+      Info(width, height, fourcc, frames.result())
+    }
+
+    /** Decode frame `fr` of a parsed container to the top-down row-major
+      * BGR plane every image codec here emits ([[Bmp.pixels]] /
+      * [[ImageIoCodec.bgrPlane]] layout) — raw DIB via a stride walk, MJPEG
+      * via the ImageIO JPEG reader.
+      */
+    private[Multimodal] def framePlane(b: Array[Byte], info: Info, fr: FrameRef): Array[Byte] =
+      if (!fr.compressed) rawPlane(b, fr.offset, info.width, info.height)
+      else ImageIoCodec.bgrPlane(ImageIoCodec.read(
+        java.util.Arrays.copyOfRange(b, fr.offset, fr.offset + fr.length)))
+  }
+
+  /** Real video decoder behind the same trait: parses actual AVI containers
+    * ([[Avi]]) — raw-DIB and MJPEG streams. [[MediaMeta]] mapping:
+    * `width`/`height` from the main header, `n_frames` = video frame chunks
+    * in 'movi'. `frames` interprets the sampling parameter as a FRAME
+    * stride (every Nth frame, `frame_idx` = source frame index): frames,
+    * not bytes, are a video container's sampling unit — a byte stride would
+    * split compressed frames mid-stream. Each emitted frame is the decoded
+    * top-down BGR plane, so downstream passes are codec-agnostic with the
+    * image codecs. `feature` folds all frames' plane bytes over `dim`
+    * strides, L2-normalized. Malformed bytes throw.
+    */
+  object AviCodec extends MediaCodec {
+    def decode(m: MediaRow): MediaMeta = {
+      val info = Avi.parse(m.payload)
+      MediaMeta(m.media_id, m.kind, m.payload.length.toLong,
+        info.width.toLong, info.height.toLong, info.frames.size.toLong)
+    }
+    def frames(m: MediaRow, everyNBytes: Int): Iterator[MediaFrame] = {
+      val info = Avi.parse(m.payload)
+      val stride = math.max(1, everyNBytes)
+      Iterator.range(0, info.frames.size, stride).map { i =>
+        MediaFrame(m.media_id, i.toLong, Avi.framePlane(m.payload, info, info.frames(i)))
+      }
+    }
+    def feature(m: MediaRow, dim: Int): Array[Float] = {
+      val info = Avi.parse(m.payload)
+      val acc = new Array[Double](dim)
+      info.frames.foreach { fr =>
+        val px = Avi.framePlane(m.payload, info, fr)
+        var i = 0
+        while (i < px.length) {
+          acc(i % dim) += (px(i) & 0xff).toDouble
+          i += 1
+        }
+      }
+      val nrm = math.sqrt(acc.map(x => x * x).sum) max 1e-12
+      acc.map(x => (x / nrm).toFloat)
+    }
+  }
+
+  /** Deterministic AVI fixture over the `documents` table: per doc a small
+    * raw-DIB video (w = 4 + id mod 5, h = 3 + id mod 4, n_frames =
+    * 2 + id mod 3) whose frame-k logical pixel byte j is
+    * `(id·31 + k·11 + j·7) mod 256` — pure integer arithmetic a SQL oracle
+    * replays without parsing a byte ([[toBmpMedia]]'s posture, extended
+    * with the frame axis). Encoding is the REAL container byte layout
+    * (RIFF/LIST walk, bottom-up padded frame rows, idx1): any header,
+    * stride, or frame-boundary bug changes the decoded sums and fails the
+    * hash gate.
+    */
+  def toAviMedia(docs: DataFrame, idCol: String): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    docs.select(col(idCol).cast("long").as("media_id")).as[Long](Encoders.scalaLong)
+      .mapPartitions(it => it.map { id =>
+        val w = (4 + id % 5).toInt; val h = (3 + id % 4).toInt
+        val nf = (2 + id % 3).toInt
+        val frames = IndexedSeq.tabulate(nf) { k =>
+          Avi.rawFrame(w, h, j => ((id * 31 + k * 11 + j.toLong * 7) % 256).toByte)
+        }
+        MediaRow(id, "video", Avi.encode(w, h, fps = 10, "DIB ", frames))
+      })
+  }
+
+  /** Decode + frame-sample + integer pixel aggregation in one iterator pass:
+    * per video the parsed dims, total/sampled frame counts, container size,
+    * and the exact pixel-byte sum over every `frameStride`-th frame's
+    * decoded plane ([[MediaVideoStats]]). Like [[imageStats]], the
+    * downstream relation is a handful of longs per video — payloads never
+    * cross a shuffle.
+    */
+  def videoStats(media: Dataset[MediaRow], frameStride: Int = 2): Dataset[MediaVideoStats] = {
+    require(frameStride > 0)
+    implicit val enc = Encoders.product[MediaVideoStats]
+    media.mapPartitions(it => it.map { m =>
+      val info = Avi.parse(m.payload)
+      var s = 0L
+      var sampled = 0L
+      var i = 0
+      while (i < info.frames.size) {
+        val px = Avi.framePlane(m.payload, info, info.frames(i))
+        var p = 0
+        while (p < px.length) { s += (px(p) & 0xff); p += 1 }
+        sampled += 1
+        i += frameStride
+      }
+      MediaVideoStats(m.media_id, info.width.toLong, info.height.toLong,
+        info.frames.size.toLong, sampled, m.payload.length.toLong, s)
+    })
   }
 
   /** Encode a BufferedImage to compressed bytes with an explicit

@@ -368,5 +368,51 @@ object GroupH12 {
       .orderBy("c_mktsegment")
   }
 
-  val all: Seq[Q] = Seq(h92, h93, h94, h95, h96, h97, h98)
+  /** Real video bytes through the multimodal boundary (h52's posture
+    * extended with the frame axis): a deterministic raw-DIB AVI fixture —
+    * REAL RIFF/AVI container layout: LIST nesting, bottom-up 4-byte-padded
+    * frame rows, idx1 index — is written to a parquet `binary` column, read
+    * back, and decoded by [[graft.extensions.Multimodal.AviCodec]] parsing
+    * actual headers and frame chunks, sampling every 2nd frame. The oracle
+    * never sees a byte: it recomputes dims, frame counts, the closed-form
+    * container size (232 + n_frames·(24 + row·h) for even frame sizes), and
+    * the sampled-frame pixel-byte sum from the generating arithmetic, so
+    * any header, stride, frame-boundary, or sampling bug in encode OR
+    * decode breaks the hash match.
+    */
+  val h99 = Q(
+    "h99_video_decode",
+    """WITH m AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+      |    2 + doc_id % 3 AS nf
+      |  FROM documents),
+      |fr AS (
+      |  SELECT doc_id, w, h, nf,
+      |    unnest(generate_series(0, nf - 1, 2)) AS k
+      |  FROM m),
+      |px AS (
+      |  SELECT doc_id, w, h, nf, k,
+      |    unnest(generate_series(0, 3 * w * h - 1)) AS j
+      |  FROM fr)
+      |SELECT doc_id AS media_id,
+      |  CAST(w AS BIGINT) AS width,
+      |  CAST(h AS BIGINT) AS height,
+      |  CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(count(DISTINCT k) AS BIGINT) AS n_sampled,
+      |  CAST(232 + nf * (24 + ((3 * w + 3) // 4) * 4 * h) AS BIGINT) AS n_bytes,
+      |  CAST(sum((doc_id * 31 + k * 11 + j * 7) % 256) AS BIGINT) AS sum_bytes
+      |FROM px
+      |GROUP BY doc_id, w, h, nf
+      |ORDER BY media_id""".stripMargin) { (s, d) =>
+    import graft.extensions.Multimodal
+    val media = Multimodal.toAviMedia(Tables.documents(s, d), "doc_id")
+    val sfTag = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val fixture = s"${System.getProperty("java.io.tmpdir")}/graft_avi_fixture_" +
+      s"${sfTag}_pid${ProcessHandle.current().pid()}"
+    Multimodal.videoStats(Multimodal.roundTripParquet(media, fixture), frameStride = 2)
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  val all: Seq[Q] = Seq(h92, h93, h94, h95, h96, h97, h98, h99)
 }

@@ -7,9 +7,10 @@ import graft.extensions.Multimodal.FakeCodec
 
 /** Multimodal binary-column plumbing: schemas, iterator batching, flatMap
   * frame explosion, and embedding-shaped features feeding the similarity
-  * operators unchanged. The codec itself is the documented deterministic
-  * stub — these suites pin the Spark-side shapes a real codec would slot
-  * into.
+  * operators unchanged — plus the four REAL codecs behind the trait
+  * (RIFF/WAVE audio, BMP and ImageIO PNG/JPEG images, RIFF/AVI video)
+  * decoding genuine media bytes. FakeCodec appears only as the h14
+  * plumbing fixture whose formulas the oracle replays.
   */
 class MultimodalSpec extends SparkSpec {
 
@@ -302,5 +303,134 @@ class MultimodalSpec extends SparkSpec {
     val jm = M.extractMeta(jpg, codec = M.ImageIoCodec).collect()
     assert(jm.nonEmpty)
     jm.foreach(m => assert(m.width === 4L && m.height === 4L))
+  }
+
+  // --- ImageIoCodec negative payloads: the throw contract under real junk --
+
+  test("ImageIoCodec rejects truncated, random, and empty payloads") {
+    import graft.extensions.{MediaRow, Multimodal => M}
+    val realPng = M.toPngMedia(Tables.documents(spark, sf).limit(1), "doc_id")
+      .collect().head.payload
+    // a valid 8-byte PNG signature with the data cut off mid-chunk: the
+    // reader recognizes the format, then must fail the decode — not hang,
+    // not return a null/zero row
+    val truncated = realPng.take(12)
+    val random = Array.tabulate[Byte](64)(i => ((i * 131 + 17) % 256).toByte)
+    val empty = Array.empty[Byte]
+    for (junk <- Seq(truncated, random, empty)) {
+      val row = MediaRow(9L, "image", junk)
+      intercept[Exception](M.ImageIoCodec.decode(row))
+      intercept[Exception](M.ImageIoCodec.frames(row, 1).toList)
+      intercept[Exception](M.ImageIoCodec.feature(row, 4))
+    }
+  }
+
+  // --- AviCodec: real RIFF/AVI containers through the same codec trait ----
+
+  test("Avi: encode/parse round-trip recovers dims, handler, frame slices") {
+    import graft.extensions.{Multimodal => M}
+    // width 5 → row stride 16 with padding: the same alignment trap the BMP
+    // test pins, now inside frame chunks
+    val f0 = M.Avi.rawFrame(5, 4, j => ((j * 11 + 3) % 256).toByte)
+    val f1 = M.Avi.rawFrame(5, 4, j => ((j * 5 + 1) % 256).toByte)
+    val avi = M.Avi.encode(5, 4, fps = 10, "DIB ", IndexedSeq(f0, f1))
+    // closed-form container size the h99 oracle replays:
+    // 232 + Σ(8 + len) + 16·n (movi chunk headers + idx1 entries)
+    assert(avi.length === 232 + 2 * (8 + 16 * 4) + 16 * 2)
+    val info = M.Avi.parse(avi)
+    assert(info.width === 5 && info.height === 4 && info.fourcc === "DIB ")
+    assert(info.frames.size === 2)
+    assert(info.frames.forall(!_.compressed))
+    val s0 = java.util.Arrays.copyOfRange(avi,
+      info.frames(0).offset, info.frames(0).offset + info.frames(0).length)
+    assert(s0.toSeq === f0.toSeq)
+    // odd-length frames (possible under MJPG) are word-padded in the walk:
+    // the second chunk must still be located exactly
+    val odd = M.Avi.encode(2, 2, fps = 5, "MJPG",
+      IndexedSeq(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6, 7)))
+    val oi = M.Avi.parse(odd)
+    assert(oi.frames.map(_.length) === IndexedSeq(3, 4))
+    assert(oi.frames.forall(_.compressed))
+    assert(java.util.Arrays.copyOfRange(odd, oi.frames(1).offset,
+      oi.frames(1).offset + 4).toSeq === Seq[Byte](4, 5, 6, 7))
+    // malformed bytes throw (same contract as every codec)
+    intercept[Exception](M.Avi.parse("RIFFjunk".getBytes))
+    intercept[Exception](M.Avi.parse(avi.take(40))) // truncated mid-header
+    intercept[Exception](M.Avi.parse(Array.empty[Byte]))
+  }
+
+  test("AviCodec decodes real AVI fixtures through the distributed pipeline") {
+    import graft.extensions.{Multimodal => M}
+    val ds = M.toAviMedia(Tables.documents(spark, sf), "doc_id")
+    // payloads are genuine RIFF/AVI containers, not formula blobs
+    val first = ds.collect().head
+    assert(new String(first.payload, 0, 4, "US-ASCII") === "RIFF")
+    assert(new String(first.payload, 8, 4, "US-ASCII") === "AVI ")
+    val meta = M.extractMeta(ds, codec = M.AviCodec).collect()
+    assert(meta.nonEmpty)
+    meta.foreach { m =>
+      assert(m.width === 4 + m.media_id % 5)
+      assert(m.height === 3 + m.media_id % 4)
+      assert(m.n_frames === 2 + m.media_id % 3)
+    }
+    // frame sampling: stride 2 over the container's frames — count, source
+    // frame indices, and per-frame decoded plane vs the generating formula
+    val frames = M.frameSample(ds, everyNBytes = 2, codec = M.AviCodec).collect()
+    val byId = frames.groupBy(_.media_id)
+    byId.foreach { case (id, fs) =>
+      val nf = 2 + id % 3
+      assert(fs.map(_.frame_idx).sorted.toSeq === (0L until nf by 2).toSeq)
+      val w = (4 + id % 5).toInt; val h = (3 + id % 4).toInt
+      fs.foreach { f =>
+        val expect = Array.tabulate(3 * w * h)(j =>
+          ((id * 31 + f.frame_idx * 11 + j.toLong * 7) % 256).toByte)
+        assert(f.frame_bytes.toSeq === expect.toSeq, s"media $id frame ${f.frame_idx}")
+      }
+    }
+    // videoStats (the h99 query body) matches the generating arithmetic
+    val stats = M.videoStats(ds, frameStride = 2).collect()
+    stats.foreach { s =>
+      val nf = 2 + s.media_id % 3
+      assert(s.n_frames === nf && s.n_sampled === (nf + 1) / 2)
+      val expect = (0L until nf by 2).map { k =>
+        (0L until 3L * s.width * s.height)
+          .map(j => (s.media_id * 31 + k * 11 + j * 7) % 256).sum
+      }.sum
+      assert(s.sum_bytes === expect, s"media ${s.media_id}")
+    }
+    // features are L2-normalized and fold all frames
+    val feats = M.extractFeatures(ds, dim = 4, codec = M.AviCodec).collect()
+    feats.foreach(f =>
+      assert(math.abs(f.feature.map(x => x.toDouble * x).sum - 1.0) < 1e-5))
+  }
+
+  test("AviCodec decodes MJPEG streams via the ImageIO frame path") {
+    import graft.extensions.{MediaRow, Multimodal => M}
+    // two genuine JPEG frames (8x6, distinct fills) encoded with ImageIO
+    def jpeg(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 6; x <- 0 until 8)
+        img.setRGB(x, y, ((seed * 37 + y * 8 + x) * 1315423911) & 0xffffff)
+      val baos = new java.io.ByteArrayOutputStream()
+      val out = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+      try require(javax.imageio.ImageIO.write(img, "jpg", out)) finally out.close()
+      baos.toByteArray
+    }
+    val j0 = jpeg(1); val j1 = jpeg(2)
+    val avi = M.Avi.encode(8, 6, fps = 10, "MJPG", IndexedSeq(j0, j1))
+    val row = MediaRow(7L, "video", avi)
+    val meta = M.AviCodec.decode(row)
+    assert(meta.width === 8L && meta.height === 6L && meta.n_frames === 2L)
+    // each decoded frame plane equals ImageIoCodec's decode of the SAME
+    // JPEG bytes directly — the in-container and standalone paths agree
+    // bit-for-bit (JPEG is lossy, but both decode identical bytes)
+    val aviPlanes = M.AviCodec.frames(row, 1).toList.sortBy(_.frame_idx)
+    val direct = Seq(j0, j1).zipWithIndex.map { case (j, i) =>
+      M.ImageIoCodec.frames(MediaRow(i.toLong, "image", j), 1).next().frame_bytes
+    }
+    assert(aviPlanes.size === 2)
+    assert(aviPlanes(0).frame_bytes.toSeq === direct(0).toSeq)
+    assert(aviPlanes(1).frame_bytes.toSeq === direct(1).toSeq)
   }
 }
