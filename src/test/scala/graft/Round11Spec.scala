@@ -43,7 +43,14 @@ class Round11Spec extends SparkSpec {
     ("h5_minhash_lsh_pairs", "/root/testdata/sf0.1", 8000L),
     ("h6_ngram_jaccard", "/root/testdata/sf0.1", 885000L),
     ("h16_dedup_corpus_keep", "/root/testdata/sf0.1", 435000L),
-    ("h61_incremental_dedup", "/root/testdata/sf0.1", 679000L))
+    ("h61_incremental_dedup", "/root/testdata/sf0.1", 679000L),
+    // the round-11 video query: decode is scan-side mapPartitions, so the
+    // ONLY shuffle is the display sort's range exchange over the 7-long
+    // stats rows — measured exchanges=1, records=docs count exactly
+    // (500/5,000), 64 B/row vs ~1 KB containers: the ceiling pins that the
+    // payload column never starts crossing a shuffle
+    ("h99_video_decode", "/root/testdata/sf0.001", 750L),
+    ("h99_video_decode", "/root/testdata/sf0.1", 7500L))
 
   for ((name, dir, ceiling) <- pins) {
     val sfLabel = dir.split('/').last
