@@ -44,32 +44,32 @@ object Bench {
     * literal (one command, can't drift from the median rule).
     */
   private val pinMedianSec: Map[String, Double] = Map(
-    "a1" -> 0.736, "a2" -> 0.546, "a3" -> 0.289, "a4" -> 0.63, "a5" -> 0.16, "a6" -> 0.166,
-    "a7" -> 0.248, "a8" -> 0.429, "b1" -> 0.245, "c1" -> 1.098, "c2" -> 0.416, "c3" -> 0.451,
-    "c4" -> 0.493, "d1" -> 0.376, "d2" -> 0.549, "d3" -> 0.376, "d4" -> 0.311, "d5" -> 0.274,
-    "d6" -> 1.323, "d7" -> 0.313, "d8" -> 0.309, "e1" -> 0.885, "e10" -> 0.665, "e11" -> 0.306,
-    "e12" -> 0.473, "e13" -> 0.313, "e14" -> 0.279, "e15" -> 0.681, "e2" -> 0.552, "e3" -> 0.355,
-    "e4" -> 0.578, "e5" -> 0.321, "e6" -> 1.6, "e7" -> 0.27, "e8" -> 0.782, "e9" -> 0.465,
-    "f1" -> 0.352, "f10" -> 0.485, "f11" -> 0.21, "f2" -> 0.481, "f3" -> 0.613, "f4" -> 0.197,
-    "f5" -> 0.292, "f6" -> 0.36, "f7" -> 0.304, "f8" -> 0.334, "f9" -> 0.548, "g1" -> 0.215,
-    "g2" -> 0.384, "g3" -> 1.049, "g4" -> 0.638, "g5" -> 0.206, "g6" -> 0.318, "h1" -> 0.262,
-    "h10" -> 0.375, "h11" -> 0.828, "h12" -> 0.495, "h13" -> 0.46, "h14" -> 0.371, "h15" -> 1.303,
-    "h16" -> 0.326, "h17" -> 1.348, "h18" -> 0.53, "h19" -> 0.713, "h2" -> 0.274, "h20" -> 0.999,
-    "h21" -> 0.145, "h22" -> 0.498, "h23" -> 0.871, "h24" -> 0.505, "h25" -> 0.852, "h26" -> 0.792,
-    "h27" -> 1.077, "h28" -> 0.628, "h29" -> 0.684, "h3" -> 0.287, "h30" -> 0.607, "h31" -> 0.33,
-    "h32" -> 0.363, "h33" -> 0.318, "h34" -> 0.231, "h35" -> 0.189, "h36" -> 0.356, "h37" -> 0.232,
-    "h38" -> 1.545, "h39" -> 0.907, "h4" -> 0.604, "h40" -> 0.738, "h41" -> 0.192, "h42" -> 0.645,
-    "h43" -> 0.457, "h44" -> 1.071, "h45" -> 0.593, "h46" -> 0.492, "h47" -> 2.069, "h48" -> 1.078,
-    "h49" -> 0.672, "h5" -> 2.101, "h50" -> 0.949, "h51" -> 0.691, "h52" -> 0.39, "h53" -> 0.464,
-    "h54" -> 0.901, "h55" -> 1.086, "h56" -> 1.459, "h57" -> 0.368, "h58" -> 0.717, "h59" -> 0.499,
-    "h6" -> 0.891, "h60" -> 1.052, "h61" -> 3.138, "h62" -> 0.749, "h63" -> 0.429, "h64" -> 0.452,
-    "h65" -> 0.829, "h66" -> 0.895, "h67" -> 1.714, "h68" -> 0.877, "h69" -> 0.394, "h7" -> 0.556,
-    "h70" -> 0.191, "h71" -> 0.199, "h72" -> 0.657, "h73" -> 0.515, "h74" -> 1.803, "h75" -> 1.09,
-    "h76" -> 0.24, "h77" -> 0.236, "h78" -> 1.197, "h79" -> 0.361, "h8" -> 0.434, "h80" -> 1.95,
-    "h81" -> 0.766, "h82" -> 0.501, "h83" -> 0.339, "h84" -> 0.379, "h85" -> 0.543, "h86" -> 0.719,
-    "h87" -> 0.644, "h88" -> 0.38, "h89" -> 1.082, "h9" -> 0.483, "h90" -> 1.124, "h91" -> 0.698,
-    "h92" -> 0.453, "h93" -> 0.501, "h94" -> 0.483, "h95" -> 0.653, "h96" -> 0.33, "h97" -> 0.467,
-    "h98" -> 0.575)
+    "a1" -> 0.673, "a2" -> 0.557, "a3" -> 0.272, "a4" -> 0.616, "a5" -> 0.157, "a6" -> 0.154,
+    "a7" -> 0.233, "a8" -> 0.435, "b1" -> 0.264, "c1" -> 1.179, "c2" -> 0.398, "c3" -> 0.47,
+    "c4" -> 0.504, "d1" -> 0.373, "d2" -> 0.569, "d3" -> 0.419, "d4" -> 0.334, "d5" -> 0.287,
+    "d6" -> 1.379, "d7" -> 0.324, "d8" -> 0.258, "e1" -> 0.907, "e10" -> 0.639, "e11" -> 0.284,
+    "e12" -> 0.417, "e13" -> 0.308, "e14" -> 0.262, "e15" -> 0.713, "e2" -> 0.544, "e3" -> 0.36,
+    "e4" -> 0.514, "e5" -> 0.327, "e6" -> 1.607, "e7" -> 0.234, "e8" -> 0.836, "e9" -> 0.457,
+    "f1" -> 0.342, "f10" -> 0.468, "f11" -> 0.211, "f2" -> 0.493, "f3" -> 0.676, "f4" -> 0.191,
+    "f5" -> 0.305, "f6" -> 0.316, "f7" -> 0.264, "f8" -> 0.312, "f9" -> 0.632, "g1" -> 0.188,
+    "g2" -> 0.405, "g3" -> 0.959, "g4" -> 0.642, "g5" -> 0.217, "g6" -> 0.34, "h1" -> 0.279,
+    "h10" -> 0.41, "h11" -> 0.777, "h12" -> 0.537, "h13" -> 0.512, "h14" -> 0.378, "h15" -> 1.321,
+    "h16" -> 0.349, "h17" -> 1.359, "h18" -> 0.48, "h19" -> 0.72, "h2" -> 0.244, "h20" -> 0.829,
+    "h21" -> 0.156, "h22" -> 0.61, "h23" -> 0.921, "h24" -> 0.582, "h25" -> 0.742, "h26" -> 0.775,
+    "h27" -> 0.872, "h28" -> 0.65, "h29" -> 0.716, "h3" -> 0.263, "h30" -> 0.63, "h31" -> 0.344,
+    "h32" -> 0.391, "h33" -> 0.3, "h34" -> 0.217, "h35" -> 0.209, "h36" -> 0.387, "h37" -> 0.24,
+    "h38" -> 1.531, "h39" -> 0.707, "h4" -> 0.634, "h40" -> 0.734, "h41" -> 0.203, "h42" -> 0.675,
+    "h43" -> 0.412, "h44" -> 1.039, "h45" -> 0.595, "h46" -> 0.55, "h47" -> 1.918, "h48" -> 1.05,
+    "h49" -> 0.756, "h5" -> 2.159, "h50" -> 0.912, "h51" -> 0.77, "h52" -> 0.34, "h53" -> 0.535,
+    "h54" -> 0.956, "h55" -> 1.234, "h56" -> 1.478, "h57" -> 0.382, "h58" -> 0.747, "h59" -> 0.509,
+    "h6" -> 0.911, "h60" -> 1.006, "h61" -> 2.851, "h62" -> 0.771, "h63" -> 0.425, "h64" -> 0.524,
+    "h65" -> 0.8, "h66" -> 0.85, "h67" -> 1.738, "h68" -> 0.771, "h69" -> 0.449, "h7" -> 0.593,
+    "h70" -> 0.195, "h71" -> 0.21, "h72" -> 0.624, "h73" -> 0.513, "h74" -> 1.737, "h75" -> 1.154,
+    "h76" -> 0.228, "h77" -> 0.244, "h78" -> 1.048, "h79" -> 0.357, "h8" -> 0.5, "h80" -> 1.89,
+    "h81" -> 0.856, "h82" -> 0.45, "h83" -> 0.327, "h84" -> 0.438, "h85" -> 0.616, "h86" -> 0.834,
+    "h87" -> 0.645, "h88" -> 0.362, "h89" -> 1.157, "h9" -> 0.494, "h90" -> 1.063, "h91" -> 0.82,
+    "h92" -> 0.523, "h93" -> 0.594, "h94" -> 0.564, "h95" -> 0.612, "h96" -> 0.29, "h97" -> 0.453,
+    "h98" -> 0.575, "h99" -> 0.546)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

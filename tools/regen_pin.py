@@ -23,12 +23,24 @@ import sys
 
 
 def load_bench_line(path):
+    """Merge every bench JSON line in the file. Since round 11 Bench emits
+    TWO lines — a `total_detail` line carrying the per-query map and a
+    compact `total` summary carrying prebuild_sec + health lists (see
+    Bench.scala) — so the per-run record is their union; single-line
+    pre-round-11 outputs parse identically.
+    """
+    merged = {}
     with open(path) as f:
         for line in f:
             line = line.strip()
-            if line.startswith('{') and '"metric"' in line and '"queries"' in line:
-                return json.loads(line)
-    raise SystemExit(f"{path}: no bench JSON line found")
+            if line.startswith('{') and '"metric"' in line:
+                try:
+                    merged.update(json.loads(line))
+                except json.JSONDecodeError:
+                    pass
+    if "queries" not in merged:
+        raise SystemExit(f"{path}: no bench JSON line with a queries map found")
+    return merged
 
 
 def main(argv):
