@@ -25,7 +25,9 @@ import org.apache.spark.sql.functions._
   * connected components, N·1000-node path), `stream<B>` (B×100k-event
   * micro-batches through the stateful streaming operators — throughput +
   * state-row series), `skewjoin` / `skewagg` (salted-vs-plain head-to-head
-  * under a 50%-one-key distribution); no mode = the 10× suite.
+  * under a 50%-one-key distribution), `video<N>x` (AVI decode + frame
+  * sampling over real containers at 1× vs N× — byte-linearity evidence);
+  * no mode = the 10× suite.
   */
 object ScaleBench {
 
@@ -628,6 +630,55 @@ object ScaleBench {
     println(s"""{"metric":"skewagg","plain_sec":${f3(tPlain)},"salted_sec":${f3(tSalted)}}""")
   }
 
+  /** Video-decode scale mode (`… ScaleBench <sfDir> video<N>x`): wall-clock
+    * linearity evidence for the round-11 AVI path. Builds REAL AVI media
+    * tables at 1× and N× (`Multimodal.toAviMedia` with per-copy-shifted
+    * media ids, so every container is distinct), persists both as parquet
+    * binary columns (the production shape), then times `videoStats` —
+    * container parse + every-2nd-frame decode + pixel sums — best-of-2 over
+    * each. Decode is scan-side mapPartitions whose only exchange is the
+    * stats-row sort, so time must grow ~linearly in total container bytes;
+    * the JSON carries row counts, MB, and the time ratio.
+    */
+  private def runVideoNx(spark: SparkSession, sfDir: String, copies: Int): Unit = {
+    import graft.extensions.{MediaRow, Multimodal}
+    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def build(c: Int, out: String): Unit = {
+      if (new java.io.File(out).exists()) return
+      val ids = (0 until c).map(k =>
+        docs.select((col("doc_id") + lit(k * 1000000L)).as("doc_id")))
+        .reduce(_ unionByName _)
+      Multimodal.toAviMedia(ids, "doc_id").toDF()
+        .repartition(32).write.mode("overwrite").parquet(out)
+    }
+    val base = "/root/repo/target/scalevideo1/media.parquet"
+    val big = s"/root/repo/target/scalevideo$copies/media.parquet"
+    build(1, base); build(copies, big)
+    def stats(path: String): (Long, Long) = {
+      val r = spark.read.parquet(path)
+        .agg(count(lit(1)), sum(octet_length(col("payload")))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def time(path: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        Multimodal.videoStats(spark.read.parquet(path).as[MediaRow], frameStride = 2)
+          .toDF().write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    val (n1, b1) = stats(base); val (nN, bN) = stats(big)
+    val t1 = time(base); val tN = time(big)
+    println(s"[scale] video decode 1x: rows=$n1 mb=${b1 / 1000000} t=${f3(t1)}s " +
+      s"${copies}x: rows=$nN mb=${bN / 1000000} t=${f3(tN)}s ratio=${f3(tN / t1)}")
+    println(s"""{"metric":"video$copies","rows_1x":$n1,"mb_1x":${b1 / 1000000},""" +
+      s""""sec_1x":${f3(t1)},"rows_${copies}x":$nN,"mb_${copies}x":${bN / 1000000},""" +
+      s""""sec_${copies}x":${f3(tN)},"ratio":${f3(tN / t1)}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -652,7 +703,10 @@ object ScaleBench {
     val HubNk = """hub(\d+)k""".r
     val ChainNk = """chain(\d+)k""".r
     val StreamB = """stream(\d+)""".r
+    val VideoNx = """video(\d+)x""".r
     args.lift(1) match {
+      case Some(VideoNx(n)) =>
+        runVideoNx(spark, sfDir, copies(n)); spark.stop(); return
       case Some(HubNk(n)) =>
         runHubNk(spark, copies(n)); spark.stop(); return
       case Some(StreamB(n)) =>
