@@ -181,6 +181,55 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("Avi container: generated dims/frames round-trip encode→parse→decode exactly") {
+    import graft.extensions.{MediaRow, Multimodal => M}
+    val dimsGen = for {
+      w <- Gen.choose(1, 12)
+      h <- Gen.choose(1, 9)
+      nf <- Gen.choose(0, 5) // zero-frame containers are legal AVI
+      seed <- Gen.choose(0L, 1000000L)
+    } yield (w, h, nf, seed)
+    check(Prop.forAll(dimsGen) { case (w, h, nf, seed) =>
+      def px(k: Int)(j: Int): Byte = ((seed + k * 131 + j.toLong * 7) % 256).toByte
+      val frames = IndexedSeq.tabulate(nf)(k => M.Avi.rawFrame(w, h, px(k)))
+      val avi = M.Avi.encode(w, h, fps = 10, "DIB ", frames)
+      val info = M.Avi.parse(avi)
+      val row = MediaRow(seed, "video", avi)
+      val meta = M.AviCodec.decode(row)
+      val planes = M.AviCodec.frames(row, 1).toList
+      (info.width == w) :| "width" &&
+        (info.height == h) :| "height" &&
+        (info.fourcc == "DIB ") :| "fourcc" &&
+        (meta.n_frames == nf.toLong) :| "n_frames" &&
+        // closed-form size law the h99 oracle replays (rawFrame sizes are
+        // 4-aligned, so no word padding enters)
+        (avi.length == 232 + frames.map(8 + _.length).sum + 16 * nf) :| "size" &&
+        (planes.size == nf) :| "planes" &&
+        planes.zipWithIndex.forall { case (f, k) =>
+          f.frame_bytes.toSeq == Array.tabulate(3 * w * h)(px(k)).toSeq
+        } :| "pixel round-trip"
+    })
+  }
+
+  test("Avi.parse rejects its RIFF sibling (WAVE) and truncations of valid AVIs") {
+    import graft.extensions.{Multimodal => M}
+    // a well-formed RIFF that is NOT an AVI must be rejected by format tag,
+    // not mis-parsed — the two containers share the chunk grammar
+    val wavish = "RIFF$   WAVEfmt ".getBytes("ISO-8859-1")
+    intercept[Exception](M.Avi.parse(wavish))
+    val avi = M.Avi.encode(3, 2, fps = 10, "DIB ",
+      IndexedSeq(M.Avi.rawFrame(3, 2, j => j.toByte)))
+    // every truncation point must throw or return only fully-contained
+    // frames — never read past the buffer (no ArrayIndexOutOfBounds
+    // escaping as a wrong answer)
+    (12 until avi.length by 7).foreach { cut =>
+      try {
+        val info = M.Avi.parse(avi.take(cut))
+        info.frames.foreach(fr => assert(fr.offset + fr.length <= cut))
+      } catch { case _: IllegalArgumentException => /* contract throw */ }
+    }
+  }
+
   test("rfmSegments fused ranking == driver-side ntile reference (generated activity)") {
     // random activity tables with deliberate ties (few distinct amounts and
     // dates) drive the fused union-rank path; a driver-side fold re-derives
