@@ -389,8 +389,10 @@ object Multimodal {
 
     /** One video frame's location inside the container. */
     final case class FrameRef(offset: Int, length: Int, compressed: Boolean)
-    /** Parsed container: dims, stream handler, per-frame payload slices. */
-    final case class Info(width: Int, height: Int, fourcc: String,
+    /** Parsed container: dims, frame rate, stream handler, per-frame
+      * payload slices.
+      */
+    final case class Info(width: Int, height: Int, fps: Int, fourcc: String,
         frames: IndexedSeq[FrameRef])
 
     /** Encode frame payloads as an AVI. `fourcc` "DIB " takes raw bottom-up
@@ -485,7 +487,7 @@ object Multimodal {
       def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
       require(b.length >= 24 && tag(0) == "RIFF" && tag(8) == "AVI ",
         "not a RIFF/AVI payload")
-      var width = -1; var height = -1; var fourcc = ""
+      var width = -1; var height = -1; var usPerFrame = 0; var fourcc = ""
       val frames = IndexedSeq.newBuilder[FrameRef]
       // walk [from, to) as a chunk sequence, recursing into LISTs
       def walk(from: Int, to: Int): Unit = {
@@ -496,6 +498,7 @@ object Multimodal {
           if (id == "LIST") {
             walk(o + 12, o + 8 + len) // skip the 4-byte list type
           } else if (id == "avih") {
+            usPerFrame = i32(b, o + 8)
             width = i32(b, o + 8 + 32); height = i32(b, o + 8 + 36)
           } else if (id == "strh" && len >= 12 && tag(o + 8) == "vids") {
             fourcc = tag(o + 12)
@@ -508,7 +511,8 @@ object Multimodal {
       }
       walk(12, b.length)
       require(width > 0 && height > 0, "AVI payload missing avih dims")
-      Info(width, height, fourcc, frames.result())
+      val fps = if (usPerFrame > 0) math.max(1, 1000000 / usPerFrame) else 1
+      Info(width, height, fps, fourcc, frames.result())
     }
 
     /** Decode frame `fr` of a parsed container to the top-down row-major
@@ -652,6 +656,36 @@ object Multimodal {
         y += 1
       }
       MediaRow(m.media_id, m.kind, imageIoEncode(dst, format))
+    })
+  }
+
+  /** Payload-to-payload VIDEO resize: parse the AVI container, decode every
+    * frame to its BGR plane (raw-DIB stride walk or MJPEG via ImageIO —
+    * input handler per frame chunk), nearest-neighbor resample each with
+    * the SAME sampling formula as the image resizes (sx = x·w/W,
+    * sy = y·h/H), and re-encode as a raw-DIB AVI at the source frame rate.
+    * Raw output keeps the op deterministic (a JPEG re-encode would make
+    * output bytes JDK-version-dependent) and every frame decodable by
+    * [[AviCodec]] downstream. Iterator-to-iterator like every media pass;
+    * one row in, one row out, frame count and fps preserved.
+    */
+  def resizeVideos(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    require(targetW > 0 && targetH > 0)
+    implicit val enc = Encoders.product[MediaRow]
+    media.mapPartitions(it => it.map { m =>
+      val info = Avi.parse(m.payload)
+      val w = info.width; val h = info.height
+      val outFrames = info.frames.map { fr =>
+        val src = Avi.framePlane(m.payload, info, fr)
+        Avi.rawFrame(targetW, targetH, { j =>
+          val p = j / 3; val c = j % 3
+          val x = p % targetW; val y = p / targetW
+          val sx = x * w / targetW; val sy = y * h / targetH
+          src((sy * w + sx) * 3 + c)
+        })
+      }
+      MediaRow(m.media_id, m.kind,
+        Avi.encode(targetW, targetH, info.fps, "DIB ", outFrames))
     })
   }
 

@@ -404,6 +404,64 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(f.feature.map(x => x.toDouble * x).sum - 1.0) < 1e-5))
   }
 
+  test("resizeVideos: per-frame nearest-neighbor resample, fps and count preserved") {
+    import graft.extensions.{MediaRow, Multimodal => M}
+    val ds = M.toAviMedia(Tables.documents(spark, sf).limit(50), "doc_id")
+    val resized = M.resizeVideos(ds, targetW = 3, targetH = 2)
+    val meta = M.extractMeta(resized, codec = M.AviCodec).collect()
+    assert(meta.nonEmpty)
+    meta.foreach { m =>
+      assert(m.width === 3L && m.height === 2L)
+      assert(m.n_frames === 2 + m.media_id % 3) // frame count preserved
+    }
+    // fps preserved through parse → re-encode (fixture encodes at 10)
+    val one = resized.filter(_.media_id == 4L).collect().head
+    assert(M.Avi.parse(one.payload).fps === 10)
+    // per-frame nearest-neighbor expectation straight from the fixture
+    // formula, through a decode→resample→re-encode→decode round trip
+    val frames = M.frameSample(resized, everyNBytes = 1, codec = M.AviCodec).collect()
+    frames.foreach { f =>
+      val id = f.media_id
+      val w = (4 + id % 5).toInt; val h = (3 + id % 4).toInt
+      val expect = Array.tabulate(3 * 2 * 3) { j =>
+        val p = j / 3; val c = j % 3
+        val x = p % 3; val y = p / 3
+        val sx = x * w / 3; val sy = y * h / 2
+        ((id * 31 + f.frame_idx * 11 + ((sy * w + sx) * 3 + c).toLong * 7) % 256).toByte
+      }
+      assert(f.frame_bytes.toSeq === expect.toSeq, s"media $id frame ${f.frame_idx}")
+    }
+    // identity resize (same dims) is pixel-exact per frame
+    val five = ds.filter(_.media_id == 5L)
+    val w5 = (4 + 5 % 5); val h5 = (3 + 5 % 4)
+    val same = M.resizeVideos(five, w5, h5)
+    val a = M.frameSample(five, 1, M.AviCodec).collect().sortBy(_.frame_idx)
+    val b = M.frameSample(same, 1, M.AviCodec).collect().sortBy(_.frame_idx)
+    assert(a.length === b.length)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.frame_bytes.toSeq === y.frame_bytes.toSeq)
+    }
+    // MJPEG input: resample decodes through the ImageIO frame path, output
+    // is raw DIB at the target dims with the frame count preserved
+    def jpeg(): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 6; x <- 0 until 8) img.setRGB(x, y, (y * 8 + x) * 65793)
+      val baos = new java.io.ByteArrayOutputStream()
+      val out = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+      try require(javax.imageio.ImageIO.write(img, "jpg", out)) finally out.close()
+      baos.toByteArray
+    }
+    val mj = spark.createDataset(Seq(MediaRow(77L, "video",
+      M.Avi.encode(8, 6, fps = 25, "MJPG", IndexedSeq(jpeg(), jpeg(), jpeg())))))(
+      org.apache.spark.sql.Encoders.product[MediaRow])
+    val mjOut = M.resizeVideos(mj, 4, 3).collect().head
+    val mjInfo = M.Avi.parse(mjOut.payload)
+    assert(mjInfo.width === 4 && mjInfo.height === 3 && mjInfo.fps === 25)
+    assert(mjInfo.fourcc === "DIB " && mjInfo.frames.size === 3)
+    assert(mjInfo.frames.forall(!_.compressed))
+  }
+
   test("AviCodec decodes MJPEG streams via the ImageIO frame path") {
     import graft.extensions.{MediaRow, Multimodal => M}
     // two genuine JPEG frames (8x6, distinct fills) encoded with ImageIO
