@@ -130,7 +130,7 @@ object Multimodal {
       new String(b, o, 4, "US-ASCII")
 
     /** (sampleRate, channels, blockAlign, dataOffset, dataSize). */
-    private def parse(b: Array[Byte]): (Int, Int, Int, Int, Int) = {
+    private[Multimodal] def parse(b: Array[Byte]): (Int, Int, Int, Int, Int) = {
       require(b.length >= 44 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE",
         "not a RIFF/WAVE payload")
       var o = 12
@@ -656,6 +656,45 @@ object Multimodal {
         y += 1
       }
       MediaRow(m.media_id, m.kind, imageIoEncode(dst, format))
+    })
+  }
+
+  /** Payload-to-payload AUDIO sample-rate conversion (the audio member of
+    * the resize family — the 16 kHz downsample every ASR/audio-training
+    * pipeline runs): parse the RIFF/WAVE header, pick PCM frames by
+    * nearest-source-index (out frame i ← src frame i·srcRate/targetRate —
+    * the same integer sampling formula as the image/video resizes, 1-D),
+    * and re-encode a canonical 44-byte-header WAV at the target rate.
+    * Block alignment (channel count × sample width) is preserved whole —
+    * frames are opaque `align`-byte units, so stereo stays interleaved.
+    * Deterministic integer byte-copying, no interpolation (a production
+    * pipeline that needs a low-pass filter swaps this kernel; the Spark
+    * shape is identical). Iterator-to-iterator; one row in, one row out.
+    */
+  def resampleAudio(media: Dataset[MediaRow], targetRate: Int): Dataset[MediaRow] = {
+    require(targetRate > 0)
+    implicit val enc = Encoders.product[MediaRow]
+    media.mapPartitions(it => it.map { m =>
+      val (rate, ch, align, dOff, dLen) = WavCodec.parse(m.payload)
+      val srcFrames = dLen / align
+      val outFrames = (srcFrames.toLong * targetRate / rate).toInt
+      val outLen = outFrames * align
+      val out = new Array[Byte](44 + outLen)
+      val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + outLen)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      bb.putShort(1).putShort(ch.toShort).putInt(targetRate)
+      bb.putInt(targetRate * align).putShort(align.toShort)
+      bb.putShort((8 * align / ch).toShort)
+      bb.put("data".getBytes("US-ASCII")).putInt(outLen)
+      var i = 0
+      while (i < outFrames) {
+        val src = (i.toLong * rate / targetRate).toInt
+        System.arraycopy(m.payload, dOff + src * align, out, 44 + i * align, align)
+        i += 1
+      }
+      MediaRow(m.media_id, m.kind, out)
     })
   }
 

@@ -404,6 +404,39 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(f.feature.map(x => x.toDouble * x).sum - 1.0) < 1e-5))
   }
 
+  test("resampleAudio: nearest-frame rate conversion, alignment and identity laws") {
+    import graft.extensions.{MediaRow, Multimodal => M}
+    val mono = (0 until 1000).map(_.toShort).toArray // sample value == index
+    val stereo = (0 until 800).map(i =>
+      (if (i % 2 == 0) i else -i).toShort).toArray // 400 L/R frames
+    val ds = spark.createDataset(Seq(
+      MediaRow(1L, "audio", wavBytes(8000, 1, mono)),
+      MediaRow(2L, "audio", wavBytes(44100, 2, stereo))))(
+      org.apache.spark.sql.Encoders.product[MediaRow])
+    // 2:1 downsample: rate halves, every 2nd sample survives verbatim
+    val down = M.resampleAudio(ds, 4000).filter(_.media_id == 1L).collect().head
+    val meta = M.WavCodec.decode(down)
+    assert(meta.width === 4000L && meta.height === 1L && meta.n_frames === 500L)
+    val kept = down.payload.drop(44).grouped(2)
+      .map(b => ((b(0) & 0xff) | (b(1) << 8)).toShort).toSeq
+    assert(kept === (0 until 1000 by 2).map(_.toShort))
+    // identity resample: byte-identical payload (header and data)
+    val same = M.resampleAudio(ds, 8000).filter(_.media_id == 1L).collect().head
+    assert(same.payload.toSeq === wavBytes(8000, 1, mono).toSeq)
+    // stereo: block alignment preserved — L/R pairs move together
+    val st = M.resampleAudio(ds, 22050).filter(_.media_id == 2L).collect().head
+    val sm = M.WavCodec.decode(st)
+    assert(sm.width === 22050L && sm.height === 2L && sm.n_frames === 200L)
+    val firstFrame = st.payload.slice(44, 48) // one 4-byte L/R block
+    assert(firstFrame.toSeq === wavBytes(44100, 2, stereo).slice(44, 48).toSeq)
+    // upsample: frames repeat by nearest index, count scales
+    val up = M.resampleAudio(ds, 16000).filter(_.media_id == 1L).collect().head
+    assert(M.WavCodec.decode(up).n_frames === 2000L)
+    val upSamples = up.payload.drop(44).grouped(2)
+      .map(b => ((b(0) & 0xff) | (b(1) << 8)).toShort).toSeq
+    assert(upSamples.take(4) === Seq[Short](0, 0, 1, 1))
+  }
+
   test("resizeVideos: per-frame nearest-neighbor resample, fps and count preserved") {
     import graft.extensions.{MediaRow, Multimodal => M}
     val ds = M.toAviMedia(Tables.documents(spark, sf).limit(50), "doc_id")
