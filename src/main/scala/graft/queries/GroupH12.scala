@@ -414,5 +414,57 @@ object GroupH12 {
       .orderBy("media_id")
   }
 
-  val all: Seq[Q] = Seq(h92, h93, h94, h95, h96, h97, h98, h99)
+  /** Video RESIZE oracle-checked end-to-end (round 11, h99's sibling): the
+    * raw-DIB AVI fixture round-trips parquet, is resampled to 3×2 per frame
+    * ([[graft.extensions.Multimodal.resizeVideos]] — container re-encode at
+    * the source fps), then decoded + frame-sampled by the same
+    * [[graft.extensions.Multimodal.videoStats]] pass. The oracle replays
+    * the nearest-neighbor mapping in pure integer SQL: target byte j of
+    * frame k reads source byte ((y·h/2)·w + (x·w/3))·3 + c, so the summed
+    * pixel law pins the resample formula, the re-encoded container layout
+    * (232 + 48·n_frames), and the decode — any off-by-one in sx/sy, frame
+    * boundaries, or header arithmetic breaks the hash.
+    */
+  val h100 = Q(
+    "h100_video_resize",
+    """WITH m AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+      |    2 + doc_id % 3 AS nf
+      |  FROM documents),
+      |fr AS (
+      |  SELECT doc_id, w, h, nf,
+      |    unnest(generate_series(0, nf - 1, 2)) AS k
+      |  FROM m),
+      |px AS (
+      |  SELECT doc_id, w, h, nf, k,
+      |    unnest(generate_series(0, 17)) AS j
+      |  FROM fr),
+      |src AS (
+      |  SELECT doc_id, nf, k,
+      |    ((((j // 3) // 3) * h // 2) * w + ((j // 3) % 3) * w // 3) * 3
+      |      + j % 3 AS sj
+      |  FROM px)
+      |SELECT doc_id AS media_id,
+      |  CAST(3 AS BIGINT) AS width,
+      |  CAST(2 AS BIGINT) AS height,
+      |  CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(count(DISTINCT k) AS BIGINT) AS n_sampled,
+      |  CAST(232 + nf * 48 AS BIGINT) AS n_bytes,
+      |  CAST(sum((doc_id * 31 + k * 11 + sj * 7) % 256) AS BIGINT) AS sum_bytes
+      |FROM src
+      |GROUP BY doc_id, nf
+      |ORDER BY media_id""".stripMargin) { (s, d) =>
+    import graft.extensions.Multimodal
+    val media = Multimodal.toAviMedia(Tables.documents(s, d), "doc_id")
+    val sfTag = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val fixture = s"${System.getProperty("java.io.tmpdir")}/graft_avi_fixture_" +
+      s"${sfTag}_pid${ProcessHandle.current().pid()}"
+    val resized = Multimodal.resizeVideos(
+      Multimodal.roundTripParquet(media, fixture), targetW = 3, targetH = 2)
+    Multimodal.videoStats(resized, frameStride = 2)
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  val all: Seq[Q] = Seq(h92, h93, h94, h95, h96, h97, h98, h99, h100)
 }
