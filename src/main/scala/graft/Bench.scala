@@ -44,32 +44,32 @@ object Bench {
     * literal (one command, can't drift from the median rule).
     */
   private val pinMedianSec: Map[String, Double] = Map(
-    "a1" -> 0.673, "a2" -> 0.557, "a3" -> 0.272, "a4" -> 0.616, "a5" -> 0.157, "a6" -> 0.154,
-    "a7" -> 0.233, "a8" -> 0.435, "b1" -> 0.264, "c1" -> 1.179, "c2" -> 0.398, "c3" -> 0.47,
-    "c4" -> 0.504, "d1" -> 0.373, "d2" -> 0.569, "d3" -> 0.419, "d4" -> 0.334, "d5" -> 0.287,
-    "d6" -> 1.379, "d7" -> 0.324, "d8" -> 0.258, "e1" -> 0.907, "e10" -> 0.639, "e11" -> 0.284,
-    "e12" -> 0.417, "e13" -> 0.308, "e14" -> 0.262, "e15" -> 0.713, "e2" -> 0.544, "e3" -> 0.36,
-    "e4" -> 0.514, "e5" -> 0.327, "e6" -> 1.607, "e7" -> 0.234, "e8" -> 0.836, "e9" -> 0.457,
-    "f1" -> 0.342, "f10" -> 0.468, "f11" -> 0.211, "f2" -> 0.493, "f3" -> 0.676, "f4" -> 0.191,
-    "f5" -> 0.305, "f6" -> 0.316, "f7" -> 0.264, "f8" -> 0.312, "f9" -> 0.632, "g1" -> 0.188,
-    "g2" -> 0.405, "g3" -> 0.959, "g4" -> 0.642, "g5" -> 0.217, "g6" -> 0.34, "h1" -> 0.279,
-    "h10" -> 0.41, "h11" -> 0.777, "h12" -> 0.537, "h13" -> 0.512, "h14" -> 0.378, "h15" -> 1.321,
-    "h16" -> 0.349, "h17" -> 1.359, "h18" -> 0.48, "h19" -> 0.72, "h2" -> 0.244, "h20" -> 0.829,
-    "h21" -> 0.156, "h22" -> 0.61, "h23" -> 0.921, "h24" -> 0.582, "h25" -> 0.742, "h26" -> 0.775,
-    "h27" -> 0.872, "h28" -> 0.65, "h29" -> 0.716, "h3" -> 0.263, "h30" -> 0.63, "h31" -> 0.344,
-    "h32" -> 0.391, "h33" -> 0.3, "h34" -> 0.217, "h35" -> 0.209, "h36" -> 0.387, "h37" -> 0.24,
-    "h38" -> 1.531, "h39" -> 0.707, "h4" -> 0.634, "h40" -> 0.734, "h41" -> 0.203, "h42" -> 0.675,
-    "h43" -> 0.412, "h44" -> 1.039, "h45" -> 0.595, "h46" -> 0.55, "h47" -> 1.918, "h48" -> 1.05,
-    "h49" -> 0.756, "h5" -> 2.159, "h50" -> 0.912, "h51" -> 0.77, "h52" -> 0.34, "h53" -> 0.535,
-    "h54" -> 0.956, "h55" -> 1.234, "h56" -> 1.478, "h57" -> 0.382, "h58" -> 0.747, "h59" -> 0.509,
-    "h6" -> 0.911, "h60" -> 1.006, "h61" -> 2.851, "h62" -> 0.771, "h63" -> 0.425, "h64" -> 0.524,
-    "h65" -> 0.8, "h66" -> 0.85, "h67" -> 1.738, "h68" -> 0.771, "h69" -> 0.449, "h7" -> 0.593,
-    "h70" -> 0.195, "h71" -> 0.21, "h72" -> 0.624, "h73" -> 0.513, "h74" -> 1.737, "h75" -> 1.154,
-    "h76" -> 0.228, "h77" -> 0.244, "h78" -> 1.048, "h79" -> 0.357, "h8" -> 0.5, "h80" -> 1.89,
-    "h81" -> 0.856, "h82" -> 0.45, "h83" -> 0.327, "h84" -> 0.438, "h85" -> 0.616, "h86" -> 0.834,
-    "h87" -> 0.645, "h88" -> 0.362, "h89" -> 1.157, "h9" -> 0.494, "h90" -> 1.063, "h91" -> 0.82,
-    "h92" -> 0.523, "h93" -> 0.594, "h94" -> 0.564, "h95" -> 0.612, "h96" -> 0.29, "h97" -> 0.453,
-    "h98" -> 0.575, "h99" -> 0.546)
+    "a1" -> 0.697, "a2" -> 0.642, "a3" -> 0.293, "a4" -> 0.677, "a5" -> 0.182, "a6" -> 0.185,
+    "a7" -> 0.211, "a8" -> 0.411, "b1" -> 0.242, "c1" -> 1.237, "c2" -> 0.422, "c3" -> 0.521,
+    "c4" -> 0.508, "d1" -> 0.401, "d2" -> 0.631, "d3" -> 0.428, "d4" -> 0.336, "d5" -> 0.317,
+    "d6" -> 1.31, "d7" -> 0.314, "d8" -> 0.333, "e1" -> 1.03, "e10" -> 0.619, "e11" -> 0.348,
+    "e12" -> 0.455, "e13" -> 0.308, "e14" -> 0.276, "e15" -> 0.754, "e2" -> 0.788, "e3" -> 0.413,
+    "e4" -> 0.633, "e5" -> 0.402, "e6" -> 1.751, "e7" -> 0.226, "e8" -> 0.825, "e9" -> 0.522,
+    "f1" -> 0.439, "f10" -> 0.55, "f11" -> 0.247, "f2" -> 0.629, "f3" -> 0.753, "f4" -> 0.191,
+    "f5" -> 0.296, "f6" -> 0.393, "f7" -> 0.299, "f8" -> 0.317, "f9" -> 0.632, "g1" -> 0.217,
+    "g2" -> 0.415, "g3" -> 1.118, "g4" -> 0.752, "g5" -> 0.222, "g6" -> 0.369, "h1" -> 0.236,
+    "h10" -> 0.391, "h100" -> 0.538, "h11" -> 0.811, "h12" -> 0.502, "h13" -> 0.506, "h14" -> 0.421,
+    "h15" -> 1.555, "h16" -> 0.338, "h17" -> 1.389, "h18" -> 0.57, "h19" -> 0.685, "h2" -> 0.308,
+    "h20" -> 0.991, "h21" -> 0.19, "h22" -> 0.579, "h23" -> 0.784, "h24" -> 0.513, "h25" -> 0.85,
+    "h26" -> 0.897, "h27" -> 1.354, "h28" -> 0.703, "h29" -> 0.682, "h3" -> 0.279, "h30" -> 0.749,
+    "h31" -> 0.308, "h32" -> 0.487, "h33" -> 0.318, "h34" -> 0.249, "h35" -> 0.188, "h36" -> 0.358,
+    "h37" -> 0.279, "h38" -> 1.596, "h39" -> 0.857, "h4" -> 0.629, "h40" -> 0.812, "h41" -> 0.202,
+    "h42" -> 0.659, "h43" -> 0.433, "h44" -> 1.253, "h45" -> 0.637, "h46" -> 0.505, "h47" -> 1.828,
+    "h48" -> 1.229, "h49" -> 0.649, "h5" -> 2.274, "h50" -> 1.119, "h51" -> 0.748, "h52" -> 0.376,
+    "h53" -> 0.521, "h54" -> 0.967, "h55" -> 1.173, "h56" -> 1.364, "h57" -> 0.399, "h58" -> 0.711,
+    "h59" -> 0.575, "h6" -> 0.962, "h60" -> 1.022, "h61" -> 3.418, "h62" -> 0.761, "h63" -> 0.55,
+    "h64" -> 0.522, "h65" -> 1.042, "h66" -> 0.924, "h67" -> 1.733, "h68" -> 0.809, "h69" -> 0.477,
+    "h7" -> 0.685, "h70" -> 0.209, "h71" -> 0.235, "h72" -> 0.705, "h73" -> 0.535, "h74" -> 1.932,
+    "h75" -> 1.283, "h76" -> 0.274, "h77" -> 0.306, "h78" -> 1.266, "h79" -> 0.44, "h8" -> 0.44,
+    "h80" -> 2.026, "h81" -> 0.837, "h82" -> 0.498, "h83" -> 0.325, "h84" -> 0.416, "h85" -> 0.559,
+    "h86" -> 0.808, "h87" -> 0.753, "h88" -> 0.465, "h89" -> 1.224, "h9" -> 0.583, "h90" -> 1.298,
+    "h91" -> 0.679, "h92" -> 0.499, "h93" -> 0.504, "h94" -> 0.515, "h95" -> 0.642, "h96" -> 0.299,
+    "h97" -> 0.479, "h98" -> 0.537, "h99" -> 0.568)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
