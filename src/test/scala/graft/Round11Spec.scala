@@ -50,7 +50,11 @@ class Round11Spec extends SparkSpec {
     // (500/5,000), 64 B/row vs ~1 KB containers: the ceiling pins that the
     // payload column never starts crossing a shuffle
     ("h99_video_decode", "/root/testdata/sf0.001", 750L),
-    ("h99_video_decode", "/root/testdata/sf0.1", 7500L))
+    ("h99_video_decode", "/root/testdata/sf0.1", 7500L),
+    // h100 adds the per-frame resample + raw-DIB re-encode before the same
+    // stats pass — still scan-side, same single stats-sort exchange
+    ("h100_video_resize", "/root/testdata/sf0.001", 750L),
+    ("h100_video_resize", "/root/testdata/sf0.1", 7500L))
 
   for ((name, dir, ceiling) <- pins) {
     val sfLabel = dir.split('/').last
