@@ -477,38 +477,53 @@ object Dedup {
       .join(batchRows.select(col("id").as("id_b"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-    val cand = candCorpus.select("id_a", "id_b")
-      .unionByName(candBatch.select("id_a", "id_b"))
-      .distinct()
-    // (3) exact-Jaccard verify on candidates only (the h6/h16 shape); ids
-    // are unique across corpus and batch, so the per-side distincts union
-    // to exactly the union's distinct, and per-side size tables union to
-    // the union's groupBy — no corpus-sized groupBy in the steady state
-    // four consumers (id_a union, id_b join, and freshSizes twice) —
-    // checkpoint so the batch shingle explode + distinct runs once
+    // (3) exact-Jaccard verify on candidates only (the h6/h16 shape),
+    // run PER BRANCH (round 10): the old form union'd the two candidate
+    // streams and union'd index.shingles/index.sizes with the batch
+    // relations before one shared verify chain — and UNION destroys a
+    // bucketed table's HashPartitioning, so the CORPUS-sized shingle
+    // relation re-exchanged on every run even when materialized bucketed
+    // by doc. Verifying each branch against exactly the relations its
+    // id_a side can match (ids are disjoint across corpus and batch, so a
+    // corpus-pair id_a joins only corpus shingles and a batch-pair id_a
+    // only batch shingles — row-identical to the union form) keeps
+    // index.shingles/index.sizes OUT of any union: a doc-bucketed corpus
+    // table feeds its verify join with no corpus-side exchange, and the
+    // only union left carries the per-branch DOMINATED id sets —
+    // batch-id-sized, the cheapest relation in the query. Measured
+    // (BASELINE.md round-10 row): 30×matbkt h61 10.7→9.6 s — note the
+    // exchange COUNT rises 15→22 (the duplicated chains add PAIR-sized
+    // shuffles) while the removed exchange carried the corpus-sized
+    // shingle relation, which is why wall-clock improves and the gap
+    // widens at 100×matbkt (25.1→23.5 s in a 1.3–1.9× slower window).
+    // The dominated side (id_b) is ALWAYS a fresh-batch doc, so its
+    // shingle and size joins ride the batch-sized relations in both
+    // branches (round 9). freshSh has four consumers (both branches' id_b
+    // joins, the batch branch's id_a join, freshSizes) — checkpoint so the
+    // batch shingle explode + distinct runs once.
     val freshSh = fresh
       .select(col(idCol).as("doc"),
         explode(TextOps.shingles3(TextOps.tokens(col(textCol)))).as("sh"))
       .select(col("doc"), xxhash64(col("sh")).as("sh"))
       .distinct()
       .localCheckpoint(false)
-    // the dominated side (id_b) is ALWAYS a fresh-batch doc, so its shingle
-    // and size joins ride the batch-sized relations only (round 9 — the old
-    // form joined the full corpus∪batch union on both sides, paying a
-    // corpus-sized exchange for rows that could never match); the dominating
-    // side (id_a) can be corpus OR batch, so it keeps the union
-    val ds = index.shingles.unionByName(freshSh)
     val freshSizes = freshSh.groupBy("doc").agg(count(lit(1)).as("n"))
-    val sizes = index.sizes.unionByName(freshSizes)
-    val inter = cand
-      .join(ds.toDF("id_a", "sh"), "id_a")
-      .join(freshSh.toDF("id_b", "sh"), Seq("id_b", "sh"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
-    val dominated = inter
-      .join(sizes.toDF("id_a", "na"), "id_a")
-      .join(freshSizes.toDF("id_b", "nb"), "id_b")
-      .filter(Det.floorRound(col("i") / (col("na") + col("nb") - col("i")), 4) >= minJaccard)
-      .select(col("id_b").as(idCol))
+    // per-branch candidate dedup: the branches partition the old union's
+    // pair set (corpus ids ≠ batch ids), so branch-wise distinct ∪ is the
+    // union's distinct
+    def dominatedBy(cand: DataFrame, aSh: DataFrame, aSizes: DataFrame): DataFrame = {
+      val inter = cand.select("id_a", "id_b").distinct()
+        .join(aSh.toDF("id_a", "sh"), "id_a")
+        .join(freshSh.toDF("id_b", "sh"), Seq("id_b", "sh"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+      inter
+        .join(aSizes.toDF("id_a", "na"), "id_a")
+        .join(freshSizes.toDF("id_b", "nb"), "id_b")
+        .filter(Det.floorRound(col("i") / (col("na") + col("nb") - col("i")), 4) >= minJaccard)
+        .select(col("id_b").as(idCol))
+    }
+    val dominated = dominatedBy(candCorpus, index.shingles, index.sizes)
+      .unionByName(dominatedBy(candBatch, freshSh, freshSizes))
       .distinct()
     fresh.select(col(idCol)).join(dominated, Seq(idCol), "left_anti")
   }

@@ -28,22 +28,28 @@ class Round11Spec extends SparkSpec {
   // documents table is ALSO 500 rows (the doc fixtures only grow at sf0.1),
   // so it would duplicate the first point, not add a second.
   // Measured 2026-08-14 (records): sf0.001 h5=528 h6=54,894 h16=29,403
-  // h61=56,072; sf0.1 h5=5,256 h6=589,892 h16=289,967 h61=542,829 —
+  // h61=42,181; sf0.1 h5=5,256 h6=589,892 h16=289,967 h61=412,237 —
   // 10× docs → ~10× records, the linear posture the scale claims make.
   // h61's ceiling is ~1.25× (not 1.5×): the specific regression it guards —
-  // reverting the per-branch verify split — measured only +37% records in
-  // the round-10 A/B, so a 1.5× ceiling would let it back in silently.
+  // reverting the per-branch verify split — measures +25–37% records, so a
+  // 1.5× ceiling would let it back in silently. NOT hypothetical: a
+  // round-10 commit (65c8158, a stash mishap during the split's own A/B)
+  // DID silently revert the split, and the regressed build then measured
+  // 56,072/542,829 records here — above these ceilings, which is the
+  // point. Caught in round 11 by re-running the 30×matbkt A/B against the
+  // archived artifact (exact-digit match with the pre-split signature);
+  // the split was restored from b6fb44f and these pins re-measured on it.
   // Record counts are deterministic for a fixed plan + data (write-side
   // totals; AQE coalescing is read-side), so 1.25× is still generous.
   private val pins = Seq(
     ("h5_minhash_lsh_pairs", "/root/testdata/sf0.001", 800L),
     ("h6_ngram_jaccard", "/root/testdata/sf0.001", 83000L),
     ("h16_dedup_corpus_keep", "/root/testdata/sf0.001", 45000L),
-    ("h61_incremental_dedup", "/root/testdata/sf0.001", 70000L),
+    ("h61_incremental_dedup", "/root/testdata/sf0.001", 53000L),
     ("h5_minhash_lsh_pairs", "/root/testdata/sf0.1", 8000L),
     ("h6_ngram_jaccard", "/root/testdata/sf0.1", 885000L),
     ("h16_dedup_corpus_keep", "/root/testdata/sf0.1", 435000L),
-    ("h61_incremental_dedup", "/root/testdata/sf0.1", 679000L),
+    ("h61_incremental_dedup", "/root/testdata/sf0.1", 515000L),
     // the round-11 video query: decode is scan-side mapPartitions, so the
     // ONLY shuffle is the display sort's range exchange over the 7-long
     // stats rows — measured exchanges=1, records=docs count exactly
