@@ -139,6 +139,10 @@ object Multimodal {
       while (o + 8 <= b.length) {
         val id = tag(b, o); val len = u32(b, o + 4).toInt
         if (id == "fmt " && o + 24 <= b.length) {
+          // this codec's whole contract is integer PCM (frames/feature slice
+          // and fold 16-bit samples) — a float/A-law payload must throw, not
+          // round-trip mislabeled
+          require(u16(b, o + 8) == 1, "only integer-PCM WAVE supported")
           ch = u16(b, o + 10); rate = u32(b, o + 12).toInt; align = u16(b, o + 20)
         } else if (id == "data") { dOff = o + 8; dLen = math.min(len, b.length - dOff) }
         o += 8 + len + (len & 1) // RIFF chunks are word-aligned
@@ -497,7 +501,9 @@ object Multimodal {
           require(len >= 0 && o + 8 + len <= b.length, s"truncated AVI chunk '$id'")
           if (id == "LIST") {
             walk(o + 12, o + 8 + len) // skip the 4-byte list type
-          } else if (id == "avih") {
+          } else if (id == "avih" && len >= 40) {
+            // a shorter avih would read the next chunk's bytes as dims —
+            // leave width/height unset so the final require throws instead
             usPerFrame = i32(b, o + 8)
             width = i32(b, o + 8 + 32); height = i32(b, o + 8 + 36)
           } else if (id == "strh" && len >= 12 && tag(o + 8) == "vids") {

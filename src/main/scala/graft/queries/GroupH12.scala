@@ -456,8 +456,11 @@ object GroupH12 {
       |ORDER BY media_id""".stripMargin) { (s, d) =>
     import graft.extensions.Multimodal
     val media = Multimodal.toAviMedia(Tables.documents(s, d), "doc_id")
+    // own fixture path, NOT h99's: Bench's watchdog abandons a timed-out
+    // query thread that may still be writing, so two queries sharing one
+    // mutable path could race overwrite-vs-scan
     val sfTag = d.replaceAll("[^A-Za-z0-9._-]", "_")
-    val fixture = s"${System.getProperty("java.io.tmpdir")}/graft_avi_fixture_" +
+    val fixture = s"${System.getProperty("java.io.tmpdir")}/graft_avi_resize_fixture_" +
       s"${sfTag}_pid${ProcessHandle.current().pid()}"
     val resized = Multimodal.resizeVideos(
       Multimodal.roundTripParquet(media, fixture), targetW = 3, targetH = 2)

@@ -183,6 +183,12 @@ class MultimodalSpec extends SparkSpec {
     // malformed bytes are rejected, not silently zeroed
     intercept[Exception](Multimodal.WavCodec.decode(
       graft.extensions.MediaRow(3L, "audio", "not a wav at all".getBytes)))
+    // non-integer-PCM (fmt tag 3 = IEEE float) must throw, not round-trip
+    // mislabeled — the codec's sample math assumes integer PCM throughout
+    val floatWav = wavBytes(8000, 1, mono.take(4))
+    floatWav(20) = 3 // audioFormat LE low byte: 1 (PCM) → 3 (float)
+    intercept[Exception](Multimodal.WavCodec.decode(
+      graft.extensions.MediaRow(4L, "audio", floatWav)))
   }
 
   test("BmpCodec: encode/parse round-trip recovers dims and exact pixel bytes") {

@@ -646,15 +646,19 @@ object ScaleBench {
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     def build(c: Int, out: String): Unit = {
-      if (new java.io.File(out).exists()) return
+      // cache key carries the sf tag (below) so another sfDir can't reuse a
+      // stale fixture; _SUCCESS (not bare directory existence) gates reuse
+      // so a crashed partial write rebuilds instead of persisting forever
+      if (new java.io.File(s"$out/_SUCCESS").exists()) return
       val ids = (0 until c).map(k =>
         docs.select((col("doc_id") + lit(k * 1000000L)).as("doc_id")))
         .reduce(_ unionByName _)
       Multimodal.toAviMedia(ids, "doc_id").toDF()
         .repartition(32).write.mode("overwrite").parquet(out)
     }
-    val base = "/root/repo/target/scalevideo1/media.parquet"
-    val big = s"/root/repo/target/scalevideo$copies/media.parquet"
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = s"/root/repo/target/scalevideo_${sfTag}_1/media.parquet"
+    val big = s"/root/repo/target/scalevideo_${sfTag}_$copies/media.parquet"
     build(1, base); build(copies, big)
     def stats(path: String): (Long, Long) = {
       val r = spark.read.parquet(path)

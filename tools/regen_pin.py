@@ -33,11 +33,20 @@ def load_bench_line(path):
     with open(path) as f:
         for line in f:
             line = line.strip()
-            if line.startswith('{') and '"metric"' in line:
-                try:
-                    merged.update(json.loads(line))
-                except json.JSONDecodeError:
-                    pass
+            if not (line.startswith('{') and '"metric"' in line):
+                continue
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                # a truncated BENCH line is a real input problem — fail loud;
+                # other malformed metric-ish lines (log noise) are skipped
+                if '"metric":"total' in line:
+                    raise SystemExit(f"{path}: truncated bench JSON line")
+                continue
+            # merge ONLY the two Bench lines — a file that also carries
+            # ScaleBench/other metric JSON must not pollute the pin
+            if d.get("metric") in ("total", "total_detail"):
+                merged.update(d)
     if "queries" not in merged:
         raise SystemExit(f"{path}: no bench JSON line with a queries map found")
     return merged
