@@ -39,6 +39,14 @@ case class MediaImageStats(media_id: Long, width: Long, height: Long,
 case class MediaVideoStats(media_id: Long, width: Long, height: Long,
     n_frames: Long, n_sampled: Long, n_bytes: Long, sum_bytes: Long)
 
+/** Integer-exact audio decode result (WAV path): header rate/channels,
+  * PCM frame count, container size, and the signed-sample sum —
+  * order-independent like its image/video siblings, so
+  * SQL-oracle-checkable without the oracle parsing a byte.
+  */
+case class MediaAudioStats(media_id: Long, sample_rate: Long, channels: Long,
+    n_frames: Long, n_bytes: Long, sum_samples: Long)
+
 /** Multimodal (image/audio/video) column processing: opaque `binary` payloads
   * with typed metadata, processed by iterator-based `mapPartitions` passes —
   * the Scala analogue of arrow-batched `mapInPandas`: one JVM-side codec
@@ -701,6 +709,59 @@ object Multimodal {
         i += 1
       }
       MediaRow(m.media_id, m.kind, out)
+    })
+  }
+
+  /** Deterministic WAV fixture over the `documents` table: per doc a mono
+    * 8 kHz PCM16 clip of n = 50 + id mod 50 frames whose sample i is
+    * `((id·13 + i·7) mod 65536) − 32768` — pure integer arithmetic a SQL
+    * oracle replays without parsing a byte ([[toBmpMedia]]/[[toAviMedia]]'s
+    * posture for the audio modality). Encoding is the REAL canonical
+    * 44-byte-header RIFF/WAVE layout; any header or sample-order bug
+    * changes the decoded sums and fails the hash gate.
+    */
+  def toWavMedia(docs: DataFrame, idCol: String): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    docs.select(col(idCol).cast("long").as("media_id")).as[Long](Encoders.scalaLong)
+      .mapPartitions(it => it.map { id =>
+        val n = (50 + id % 50).toInt
+        val out = new Array[Byte](44 + 2 * n)
+        val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+        bb.put("WAVE".getBytes("US-ASCII"))
+        bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        bb.putShort(1).putShort(1).putInt(8000)
+        bb.putInt(16000).putShort(2).putShort(16)
+        bb.put("data".getBytes("US-ASCII")).putInt(2 * n)
+        var i = 0
+        while (i < n) {
+          bb.putShort((((id * 13 + i.toLong * 7) % 65536) - 32768).toShort)
+          i += 1
+        }
+        MediaRow(id, "audio", out)
+      })
+  }
+
+  /** Decode + integer sample aggregation in one iterator pass: per audio
+    * payload the parsed rate/channels/frame count and the exact
+    * sign-extended 16-bit sample sum ([[MediaAudioStats]]) — the audio
+    * member of the [[imageStats]]/[[videoStats]] family; the downstream
+    * relation is a handful of longs per clip, payloads never shuffle.
+    * PCM16 only (the codec contract — [[WavCodec]] rejects non-PCM).
+    */
+  def audioStats(media: Dataset[MediaRow]): Dataset[MediaAudioStats] = {
+    implicit val enc = Encoders.product[MediaAudioStats]
+    media.mapPartitions(it => it.map { m =>
+      val (rate, ch, align, dOff, dLen) = WavCodec.parse(m.payload)
+      require(8 * align / ch == 16, "audioStats supports 16-bit PCM only")
+      var s = 0L
+      var i = 0
+      while (i + 1 < dLen) {
+        s += (Bmp.u16(m.payload, dOff + i) << 16) >> 16 // sign-extend
+        i += 2
+      }
+      MediaAudioStats(m.media_id, rate.toLong, ch.toLong,
+        dLen.toLong / align, m.payload.length.toLong, s)
     })
   }
 

@@ -469,5 +469,45 @@ object GroupH12 {
       .orderBy("media_id")
   }
 
-  val all: Seq[Q] = Seq(h92, h93, h94, h95, h96, h97, h98, h99, h100)
+  /** Audio decode + sample-rate conversion oracle-checked end-to-end
+    * (round 11 — completes the per-modality oracle matrix beside
+    * h52/h99/h100): a deterministic mono PCM16 WAV fixture (real canonical
+    * RIFF/WAVE bytes) round-trips parquet, is 2:1 downsampled
+    * ([[graft.extensions.Multimodal.resampleAudio]] — nearest-frame pick,
+    * canonical re-encode), and decoded by
+    * [[graft.extensions.Multimodal.audioStats]]. The oracle replays the
+    * kept-sample law in pure integer SQL (out frame i ← source sample 2i,
+    * value (id·13 + 2i·7) mod 65536 − 32768) plus the re-encoded header
+    * size, pinning resample, header arithmetic, and sign-extended decode
+    * in one hash.
+    */
+  val h101 = Q(
+    "h101_audio_resample",
+    """WITH m AS (
+      |  SELECT doc_id, 50 + doc_id % 50 AS n FROM documents),
+      |s AS (
+      |  SELECT doc_id, n,
+      |    unnest(generate_series(0, n // 2 - 1)) AS i
+      |  FROM m)
+      |SELECT doc_id AS media_id,
+      |  CAST(4000 AS BIGINT) AS sample_rate,
+      |  CAST(1 AS BIGINT) AS channels,
+      |  CAST(n // 2 AS BIGINT) AS n_frames,
+      |  CAST(44 + (n // 2) * 2 AS BIGINT) AS n_bytes,
+      |  CAST(sum((doc_id * 13 + i * 2 * 7) % 65536 - 32768) AS BIGINT) AS sum_samples
+      |FROM s
+      |GROUP BY doc_id, n
+      |ORDER BY media_id""".stripMargin) { (s, d) =>
+    import graft.extensions.Multimodal
+    val media = Multimodal.toWavMedia(Tables.documents(s, d), "doc_id")
+    val sfTag = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val fixture = s"${System.getProperty("java.io.tmpdir")}/graft_wav_fixture_" +
+      s"${sfTag}_pid${ProcessHandle.current().pid()}"
+    Multimodal.audioStats(Multimodal.resampleAudio(
+        Multimodal.roundTripParquet(media, fixture), targetRate = 4000))
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  val all: Seq[Q] = Seq(h92, h93, h94, h95, h96, h97, h98, h99, h100, h101)
 }

@@ -443,6 +443,24 @@ class MultimodalSpec extends SparkSpec {
     assert(upSamples.take(4) === Seq[Short](0, 0, 1, 1))
   }
 
+  test("toWavMedia + audioStats: real WAV fixture matches the generating arithmetic") {
+    import graft.extensions.{Multimodal => M}
+    val ds = M.toWavMedia(Tables.documents(spark, sf).limit(40), "doc_id")
+    val first = ds.collect().head
+    assert(new String(first.payload, 0, 4, "US-ASCII") === "RIFF")
+    assert(new String(first.payload, 8, 4, "US-ASCII") === "WAVE")
+    val stats = M.audioStats(ds).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { s =>
+      val n = 50 + s.media_id % 50
+      assert(s.sample_rate === 8000L && s.channels === 1L && s.n_frames === n)
+      assert(s.n_bytes === 44 + 2 * n)
+      val expect = (0L until n)
+        .map(i => (s.media_id * 13 + i * 7) % 65536 - 32768).sum
+      assert(s.sum_samples === expect, s"media ${s.media_id}")
+    }
+  }
+
   test("resizeVideos: per-frame nearest-neighbor resample, fps and count preserved") {
     import graft.extensions.{MediaRow, Multimodal => M}
     val ds = M.toAviMedia(Tables.documents(spark, sf).limit(50), "doc_id")
