@@ -230,6 +230,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("resampleAudio: generated rates/lengths obey the frame-count and kept-sample laws") {
+    import graft.extensions.{MediaRow, Multimodal => M}
+    def wav(rate: Int, samples: Array[Short]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + 2 * samples.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * samples.length)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      bb.putShort(1).putShort(1).putInt(rate)
+      bb.putInt(rate * 2).putShort(2).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(2 * samples.length)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    val gen = for {
+      srcRate <- Gen.oneOf(4000, 8000, 11025, 16000, 44100)
+      tgtRate <- Gen.oneOf(4000, 8000, 16000, 22050)
+      n <- Gen.choose(1, 400)
+      seed <- Gen.choose(0, 30000)
+    } yield (srcRate, tgtRate, n, seed)
+    check(Prop.forAll(gen) { case (srcRate, tgtRate, n, seed) =>
+      val samples = Array.tabulate(n)(i => ((seed + i * 37) % 65536 - 32768).toShort)
+      val ds = spark.createDataset(Seq(MediaRow(1L, "audio", wav(srcRate, samples))))(
+        org.apache.spark.sql.Encoders.product[MediaRow])
+      val out = M.resampleAudio(ds, tgtRate).collect().head
+      val meta = M.WavCodec.decode(out)
+      val expectN = (n.toLong * tgtRate / srcRate).toInt
+      val got = out.payload.drop(44).grouped(2)
+        .map(b => (((b(1) << 8) | (b(0) & 0xff))).toShort).toSeq
+      val want = (0 until expectN).map(i => samples((i.toLong * srcRate / tgtRate).toInt))
+      (meta.width == tgtRate.toLong) :| "rate" &&
+        (meta.n_frames == expectN.toLong) :| "frame count law" &&
+        (got == want) :| "kept-sample law" &&
+        // identity law: resampling to the source rate is byte-exact
+        (tgtRate != srcRate || out.payload.toSeq == wav(srcRate, samples).toSeq) :| "identity"
+    })
+  }
+
   test("rfmSegments fused ranking == driver-side ntile reference (generated activity)") {
     // random activity tables with deliberate ties (few distinct amounts and
     // dates) drive the fused union-rank path; a driver-side fold re-derives

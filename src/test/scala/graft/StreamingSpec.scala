@@ -560,4 +560,45 @@ class StreamingSpec extends SparkSpec {
       assert(out.select("epoch").distinct().count() >= 2)
     } finally q.stop()
   }
+
+  test("multimodal passes run unchanged over a stream of binary payloads") {
+    // the media operators are stateless iterator-mapPartitions passes, so
+    // they must compose with readStream exactly as with batch — the shape a
+    // production pipeline uses to decode payloads on arrival. WAV fixture
+    // bytes stream through extractMeta(WavCodec) + audioStats across two
+    // micro-batches; batch replay over the same rows must agree row-for-row.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.extensions.{MediaRow, Multimodal => M}
+    def clip(id: Long): MediaRow = {
+      val n = (20 + id % 5).toInt
+      val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      bb.putShort(1).putShort(1).putInt(8000)
+      bb.putInt(16000).putShort(2).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(2 * n)
+      (0 until n).foreach(i => bb.putShort(((id * 91 + i * 7) % 65536 - 32768).toShort))
+      MediaRow(id, "audio", bb.array())
+    }
+    val mem = MemoryStream[MediaRow]
+    val q = M.audioStats(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("mediastats").outputMode("append").start()
+    try {
+      mem.addData(clip(1), clip(2))
+      q.processAllAvailable()
+      assert(spark.table("mediastats").count() === 2)
+      mem.addData(clip(3))
+      q.processAllAvailable()
+      val streamed = spark.table("mediastats")
+        .orderBy("media_id").collect().map(_.toString).toSeq
+      val batch = M.audioStats(
+          spark.createDataset(Seq(clip(1), clip(2), clip(3)))(
+            org.apache.spark.sql.Encoders.product[MediaRow])).toDF()
+        .orderBy("media_id").collect().map(_.toString).toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
