@@ -47,6 +47,17 @@ case class MediaVideoStats(media_id: Long, width: Long, height: Long,
 case class MediaAudioStats(media_id: Long, sample_rate: Long, channels: Long,
     n_frames: Long, n_bytes: Long, sum_samples: Long)
 
+/** MJPEG end-to-end verification row (h102): parsed container dims and frame
+  * counts plus `n_matched` — sampled frames whose in-container decode (RIFF
+  * walk → '00dc' chunk slice → ImageIO JPEG decode → BGR plane) equals,
+  * byte-for-byte, the plane decoded from an independently regenerated
+  * encoding of the same logical frame. JPEG's lossy transform has no closed
+  * integer form a SQL oracle can replay, so the oracle-checkable quantity is
+  * the EQUALITY COUNT (with the dims/frame-count law pinning the rest).
+  */
+case class MediaMjpegVerify(media_id: Long, width: Long, height: Long,
+    n_frames: Long, n_sampled: Long, n_matched: Long)
+
 /** Multimodal (image/audio/video) column processing: opaque `binary` payloads
   * with typed metadata, processed by iterator-based `mapPartitions` passes —
   * the Scala analogue of arrow-batched `mapInPandas`: one JVM-side codec
@@ -535,8 +546,15 @@ object Multimodal {
       * via the ImageIO JPEG reader.
       */
     private[Multimodal] def framePlane(b: Array[Byte], info: Info, fr: FrameRef): Array[Byte] =
-      if (!fr.compressed) rawPlane(b, fr.offset, info.width, info.height)
-      else ImageIoCodec.bgrPlane(ImageIoCodec.read(
+      if (!fr.compressed) {
+        // a '00db' chunk shorter than one frame would otherwise misdecode
+        // adjacent container bytes (idx1/next header) as pixels or walk off
+        // the buffer — malformed bytes must throw, per the codec contract
+        require(fr.length >= Bmp.rowSize(info.width) * info.height,
+          s"raw AVI frame chunk of ${fr.length} B is shorter than one " +
+            s"${info.width}x${info.height} frame")
+        rawPlane(b, fr.offset, info.width, info.height)
+      } else ImageIoCodec.bgrPlane(ImageIoCodec.read(
         java.util.Arrays.copyOfRange(b, fr.offset, fr.offset + fr.length)))
   }
 
@@ -627,6 +645,82 @@ object Multimodal {
       }
       MediaVideoStats(m.media_id, info.width.toLong, info.height.toLong,
         info.frames.size.toLong, sampled, m.payload.length.toLong, s)
+    })
+  }
+
+  /** The deterministic logical frame behind the MJPEG fixture: frame k of
+    * media `id` at w×h takes its channel bytes from the h99 pixel law
+    * `(id·31 + k·11 + j·7) mod 256` (j = top-down BGR byte index). Shared
+    * by [[toMjpegMedia]] (encode side) and [[mjpegVerifyStats]] (expected
+    * side) so both regenerate byte-identical JPEG inputs.
+    */
+  private def mjpegFrameImage(id: Long, k: Int, w: Int,
+      h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    def f(j: Int): Int = ((id * 31 + k * 11 + j.toLong * 7) % 256).toInt
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = (y * w + x) * 3
+        img.setRGB(x, y, (f(p + 2) << 16) | (f(p + 1) << 8) | f(p))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** MJPEG sibling of [[toAviMedia]]: per doc a small MJPG-handler AVI whose
+    * '00dc' chunks are REAL ImageIO-encoded JPEG frames of
+    * [[mjpegFrameImage]]'s deterministic pixels (w = 8 + id mod 5,
+    * h = 6 + id mod 4, n_frames = 2 + id mod 3) — the compressed-stream
+    * fixture the h102 oracle decodes end-to-end.
+    */
+  def toMjpegMedia(docs: DataFrame, idCol: String): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    docs.select(col(idCol).cast("long").as("media_id")).as[Long](Encoders.scalaLong)
+      .mapPartitions(it => it.map { id =>
+        val w = (8 + id % 5).toInt; val h = (6 + id % 4).toInt
+        val nf = (2 + id % 3).toInt
+        val frames = IndexedSeq.tabulate(nf)(k =>
+          imageIoEncode(mjpegFrameImage(id, k, w, h), "jpg"))
+        MediaRow(id, "video", Avi.encode(w, h, fps = 10, "MJPG", frames))
+      })
+  }
+
+  /** Decode-vs-expected equality pass for the MJPEG path (h102's operator):
+    * per container, decode every `frameStride`-th '00dc' frame through the
+    * production path ([[Avi.framePlane]] — chunk slice → ImageIO JPEG →
+    * BGR plane), independently regenerate the same logical frame's JPEG
+    * bytes (ImageIO JPEG encode is deterministic for fixed pixels within a
+    * JDK) and decode THOSE directly, and count byte-identical planes.
+    * `n_matched` = `n_sampled` iff the chunk slicing (offset/length), the
+    * MJPEG decode branch, and the plane extraction are all exact — a
+    * one-byte slice error makes the sliced JPEG undecodable (throw) or its
+    * decoded plane different. Same scan-side iterator shape as
+    * [[videoStats]]; payloads never cross a shuffle.
+    */
+  def mjpegVerifyStats(media: Dataset[MediaRow],
+      frameStride: Int = 2): Dataset[MediaMjpegVerify] = {
+    require(frameStride > 0)
+    implicit val enc = Encoders.product[MediaMjpegVerify]
+    media.mapPartitions(it => it.map { m =>
+      val info = Avi.parse(m.payload)
+      var sampled = 0L
+      var matched = 0L
+      var i = 0
+      while (i < info.frames.size) {
+        val got = Avi.framePlane(m.payload, info, info.frames(i))
+        val want = ImageIoCodec.bgrPlane(ImageIoCodec.read(imageIoEncode(
+          mjpegFrameImage(m.media_id, i, info.width, info.height), "jpg")))
+        sampled += 1
+        if (java.util.Arrays.equals(got, want)) matched += 1
+        i += frameStride
+      }
+      MediaMjpegVerify(m.media_id, info.width.toLong, info.height.toLong,
+        info.frames.size.toLong, sampled, matched)
     })
   }
 

@@ -509,5 +509,47 @@ object GroupH12 {
       .orderBy("media_id")
   }
 
-  val all: Seq[Q] = Seq(h92, h93, h94, h95, h96, h97, h98, h99, h100, h101)
+  /** The MJPEG (compressed-stream) video path oracle-gated end-to-end
+    * (round 12 — closes the one modality branch h99/h100 left to a
+    * spec-only pin): a deterministic MJPG-handler AVI fixture — each '00dc'
+    * chunk a REAL ImageIO-encoded JPEG of an integer pixel law — round-trips
+    * parquet and is decoded by the production path
+    * ([[graft.extensions.Multimodal.AviCodec]]'s container walk → chunk
+    * slice → ImageIO JPEG decode → BGR plane). JPEG's lossy DCT has no
+    * closed integer form a SQL oracle can replay, so the oracle-checkable
+    * quantity is an EQUALITY COUNT ([[graft.extensions.Multimodal
+    * .mjpegVerifyStats]]): each sampled frame's in-container decode is
+    * compared byte-for-byte against the plane decoded from an independently
+    * regenerated encoding of the same logical frame (ImageIO JPEG encode is
+    * deterministic for fixed pixels within a JDK — both sides run in the
+    * same JVM). The oracle replays the dims/frame-count law and pins
+    * n_matched = n_sampled: a one-byte chunk-slice error makes the sliced
+    * JPEG undecodable (the query throws) or its plane unequal (hash
+    * mismatch), so container offsets, lengths, the MJPEG branch, and the
+    * plane extraction are all under the gate.
+    */
+  val h102 = Q(
+    "h102_mjpeg_decode",
+    """WITH m AS (
+      |  SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents)
+      |SELECT doc_id AS media_id,
+      |  CAST(8 + doc_id % 5 AS BIGINT) AS width,
+      |  CAST(6 + doc_id % 4 AS BIGINT) AS height,
+      |  CAST(nf AS BIGINT) AS n_frames,
+      |  CAST((nf + 1) // 2 AS BIGINT) AS n_sampled,
+      |  CAST((nf + 1) // 2 AS BIGINT) AS n_matched
+      |FROM m
+      |ORDER BY media_id""".stripMargin) { (s, d) =>
+    import graft.extensions.Multimodal
+    val media = Multimodal.toMjpegMedia(Tables.documents(s, d), "doc_id")
+    val sfTag = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val fixture = s"${System.getProperty("java.io.tmpdir")}/graft_mjpeg_fixture_" +
+      s"${sfTag}_pid${ProcessHandle.current().pid()}"
+    Multimodal.mjpegVerifyStats(
+        Multimodal.roundTripParquet(media, fixture), frameStride = 2)
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  val all: Seq[Q] = Seq(h92, h93, h94, h95, h96, h97, h98, h99, h100, h101, h102)
 }

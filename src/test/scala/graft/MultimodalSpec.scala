@@ -548,4 +548,47 @@ class MultimodalSpec extends SparkSpec {
     assert(aviPlanes(0).frame_bytes.toSeq === direct(0).toSeq)
     assert(aviPlanes(1).frame_bytes.toSeq === direct(1).toSeq)
   }
+
+  test("mjpegVerifyStats: in-container MJPEG decode matches regenerated frames") {
+    import graft.extensions.{Multimodal => M}
+    val docs = Tables.documents(spark, sf).limit(24)
+    val rows = M.mjpegVerifyStats(M.toMjpegMedia(docs, "doc_id"), frameStride = 2)
+      .collect().sortBy(_.media_id)
+    assert(rows.length === 24)
+    rows.foreach { r =>
+      val id = r.media_id
+      // fixture dims/frame-count law (the part the SQL oracle replays)
+      assert(r.width === 8 + id % 5)
+      assert(r.height === 6 + id % 4)
+      assert(r.n_frames === 2 + id % 3)
+      assert(r.n_sampled === (r.n_frames + 1) / 2)
+      // every sampled frame's container-sliced decode equals the direct
+      // decode of the regenerated JPEG — the h102 equality gate
+      assert(r.n_matched === r.n_sampled,
+        s"media $id: ${r.n_matched}/${r.n_sampled} frames matched")
+    }
+    // stride 1 samples (and must match) every frame
+    val all = M.mjpegVerifyStats(M.toMjpegMedia(docs.limit(5), "doc_id"),
+      frameStride = 1).collect()
+    all.foreach(r => assert(r.n_sampled === r.n_frames && r.n_matched === r.n_frames))
+  }
+
+  test("AviCodec rejects raw frame chunks shorter than one frame") {
+    import graft.extensions.{MediaRow, Multimodal => M}
+    // Avi.encode takes the frame bytes verbatim, so a too-short '00db'
+    // payload yields a structurally valid container whose frame chunk
+    // cannot hold a 4x3 frame — decode must throw (codec contract), not
+    // read adjacent container bytes (idx1/next header) as pixels
+    val short = M.Avi.encode(4, 3, fps = 10, "DIB ",
+      IndexedSeq(Array.fill[Byte](5)(1)))
+    val ex = intercept[IllegalArgumentException] {
+      M.AviCodec.frames(MediaRow(1L, "video", short), 1).toList
+    }
+    assert(ex.getMessage.contains("shorter than one"))
+    // a full-size frame still decodes
+    val ok = M.Avi.encode(4, 3, fps = 10, "DIB ",
+      IndexedSeq(M.Avi.rawFrame(4, 3, _ => 7.toByte)))
+    val planes = M.AviCodec.frames(MediaRow(2L, "video", ok), 1).toList
+    assert(planes.size === 1 && planes.head.frame_bytes.forall(_ === 7.toByte))
+  }
 }

@@ -26,7 +26,9 @@ import org.apache.spark.sql.functions._
   * micro-batches through the stateful streaming operators — throughput +
   * state-row series), `skewjoin` / `skewagg` (salted-vs-plain head-to-head
   * under a 50%-one-key distribution), `video<N>x` (AVI decode + frame
-  * sampling over real containers at 1× vs N× — byte-linearity evidence);
+  * sampling over real containers at 1× vs N× — byte-linearity evidence),
+  * `audio<N>x` (WAV decode + 2:1 resample + sample sums at 1× vs N× — the
+  * audio member of the per-modality linearity series);
   * no mode = the 10× suite.
   */
 object ScaleBench {
@@ -683,6 +685,59 @@ object ScaleBench {
       s""""sec_${copies}x":${f3(tN)},"ratio":${f3(tN / t1)}}""")
   }
 
+  /** Audio decode+resample scale mode (`… ScaleBench <sfDir> audio<N>x`):
+    * wall-clock linearity evidence for the round-11 WAV resample path —
+    * the audio member of [[runVideoNx]]'s per-modality series. Builds REAL
+    * mono PCM16 WAV media tables at 1× and N× (`Multimodal.toWavMedia` with
+    * per-copy-shifted media ids, so every clip is distinct), persists both
+    * as parquet binary columns, then times `resampleAudio(8k→4k)` +
+    * `audioStats` — header parse, nearest-frame 2:1 resample, canonical
+    * re-encode, sign-extended sample sums — best-of-2 over each. Both
+    * passes are scan-side mapPartitions whose only exchange is nothing at
+    * all (stats rows go straight to the noop sink), so time must grow
+    * ~linearly in total clip bytes; the JSON carries rows, MB, and ratio.
+    */
+  private def runAudioNx(spark: SparkSession, sfDir: String, copies: Int): Unit = {
+    import graft.extensions.{MediaRow, Multimodal}
+    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def build(c: Int, out: String): Unit = {
+      if (new java.io.File(s"$out/_SUCCESS").exists()) return
+      val ids = (0 until c).map(k =>
+        docs.select((col("doc_id") + lit(k * 1000000L)).as("doc_id")))
+        .reduce(_ unionByName _)
+      Multimodal.toWavMedia(ids, "doc_id").toDF()
+        .repartition(32).write.mode("overwrite").parquet(out)
+    }
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = s"/root/repo/target/scaleaudio_${sfTag}_1/media.parquet"
+    val big = s"/root/repo/target/scaleaudio_${sfTag}_$copies/media.parquet"
+    build(1, base); build(copies, big)
+    def stats(path: String): (Long, Long) = {
+      val r = spark.read.parquet(path)
+        .agg(count(lit(1)), sum(octet_length(col("payload")))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def time(path: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        Multimodal.audioStats(Multimodal.resampleAudio(
+            spark.read.parquet(path).as[MediaRow], targetRate = 4000))
+          .toDF().write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    val (n1, b1) = stats(base); val (nN, bN) = stats(big)
+    val t1 = time(base); val tN = time(big)
+    println(s"[scale] audio resample 1x: rows=$n1 mb=${b1 / 1000000} t=${f3(t1)}s " +
+      s"${copies}x: rows=$nN mb=${bN / 1000000} t=${f3(tN)}s ratio=${f3(tN / t1)}")
+    println(s"""{"metric":"audio$copies","rows_1x":$n1,"mb_1x":${b1 / 1000000},""" +
+      s""""sec_1x":${f3(t1)},"rows_${copies}x":$nN,"mb_${copies}x":${bN / 1000000},""" +
+      s""""sec_${copies}x":${f3(tN)},"ratio":${f3(tN / t1)}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -708,9 +763,12 @@ object ScaleBench {
     val ChainNk = """chain(\d+)k""".r
     val StreamB = """stream(\d+)""".r
     val VideoNx = """video(\d+)x""".r
+    val AudioNx = """audio(\d+)x""".r
     args.lift(1) match {
       case Some(VideoNx(n)) =>
         runVideoNx(spark, sfDir, copies(n)); spark.stop(); return
+      case Some(AudioNx(n)) =>
+        runAudioNx(spark, sfDir, copies(n)); spark.stop(); return
       case Some(HubNk(n)) =>
         runHubNk(spark, copies(n)); spark.stop(); return
       case Some(StreamB(n)) =>

@@ -30,6 +30,7 @@ def load_bench_line(path):
     pre-round-11 outputs parse identically.
     """
     merged = {}
+    seen = {"total": 0, "total_detail": 0}
     with open(path) as f:
         for line in f:
             line = line.strip()
@@ -45,7 +46,17 @@ def load_bench_line(path):
                 continue
             # merge ONLY the two Bench lines — a file that also carries
             # ScaleBench/other metric JSON must not pollute the pin
-            if d.get("metric") in ("total", "total_detail"):
+            kind = d.get("metric")
+            if kind in seen:
+                seen[kind] += 1
+                # a file holding TWO appended bench runs would silently mix
+                # run 1's queries map with run 2's summary — one run per
+                # file is the contract, so fail loudly instead
+                if seen[kind] > 1:
+                    raise SystemExit(
+                        f"{path}: {seen[kind]} '{kind}' bench lines found — "
+                        "one run per file; split appended runs into "
+                        "separate files")
                 merged.update(d)
     if "queries" not in merged:
         raise SystemExit(f"{path}: no bench JSON line with a queries map found")
