@@ -44,32 +44,32 @@ object Bench {
     * literal (one command, can't drift from the median rule).
     */
   private[graft] val pinMedianSec: Map[String, Double] = Map(
-    "a1" -> 0.697, "a2" -> 0.642, "a3" -> 0.293, "a4" -> 0.677, "a5" -> 0.182, "a6" -> 0.185,
-    "a7" -> 0.211, "a8" -> 0.411, "b1" -> 0.242, "c1" -> 1.237, "c2" -> 0.422, "c3" -> 0.521,
-    "c4" -> 0.508, "d1" -> 0.401, "d2" -> 0.631, "d3" -> 0.428, "d4" -> 0.336, "d5" -> 0.317,
-    "d6" -> 1.31, "d7" -> 0.314, "d8" -> 0.333, "e1" -> 1.03, "e10" -> 0.619, "e11" -> 0.348,
-    "e12" -> 0.455, "e13" -> 0.308, "e14" -> 0.276, "e15" -> 0.754, "e2" -> 0.788, "e3" -> 0.413,
-    "e4" -> 0.633, "e5" -> 0.402, "e6" -> 1.751, "e7" -> 0.226, "e8" -> 0.825, "e9" -> 0.522,
-    "f1" -> 0.439, "f10" -> 0.55, "f11" -> 0.247, "f2" -> 0.629, "f3" -> 0.753, "f4" -> 0.191,
-    "f5" -> 0.296, "f6" -> 0.393, "f7" -> 0.299, "f8" -> 0.317, "f9" -> 0.632, "g1" -> 0.217,
-    "g2" -> 0.415, "g3" -> 1.118, "g4" -> 0.752, "g5" -> 0.222, "g6" -> 0.369, "h1" -> 0.236,
-    "h10" -> 0.391, "h100" -> 0.538, "h11" -> 0.811, "h12" -> 0.502, "h13" -> 0.506, "h14" -> 0.421,
-    "h15" -> 1.555, "h16" -> 0.338, "h17" -> 1.389, "h18" -> 0.57, "h19" -> 0.685, "h2" -> 0.308,
-    "h20" -> 0.991, "h21" -> 0.19, "h22" -> 0.579, "h23" -> 0.784, "h24" -> 0.513, "h25" -> 0.85,
-    "h26" -> 0.897, "h27" -> 1.354, "h28" -> 0.703, "h29" -> 0.682, "h3" -> 0.279, "h30" -> 0.749,
-    "h31" -> 0.308, "h32" -> 0.487, "h33" -> 0.318, "h34" -> 0.249, "h35" -> 0.188, "h36" -> 0.358,
-    "h37" -> 0.279, "h38" -> 1.596, "h39" -> 0.857, "h4" -> 0.629, "h40" -> 0.812, "h41" -> 0.202,
-    "h42" -> 0.659, "h43" -> 0.433, "h44" -> 1.253, "h45" -> 0.637, "h46" -> 0.505, "h47" -> 1.828,
-    "h48" -> 1.229, "h49" -> 0.649, "h5" -> 2.274, "h50" -> 1.119, "h51" -> 0.748, "h52" -> 0.376,
-    "h53" -> 0.521, "h54" -> 0.967, "h55" -> 1.173, "h56" -> 1.364, "h57" -> 0.399, "h58" -> 0.711,
-    "h59" -> 0.575, "h6" -> 0.962, "h60" -> 1.022, "h61" -> 3.418, "h62" -> 0.761, "h63" -> 0.55,
-    "h64" -> 0.522, "h65" -> 1.042, "h66" -> 0.924, "h67" -> 1.733, "h68" -> 0.809, "h69" -> 0.477,
-    "h7" -> 0.685, "h70" -> 0.209, "h71" -> 0.235, "h72" -> 0.705, "h73" -> 0.535, "h74" -> 1.932,
-    "h75" -> 1.283, "h76" -> 0.274, "h77" -> 0.306, "h78" -> 1.266, "h79" -> 0.44, "h8" -> 0.44,
-    "h80" -> 2.026, "h81" -> 0.837, "h82" -> 0.498, "h83" -> 0.325, "h84" -> 0.416, "h85" -> 0.559,
-    "h86" -> 0.808, "h87" -> 0.753, "h88" -> 0.465, "h89" -> 1.224, "h9" -> 0.583, "h90" -> 1.298,
-    "h91" -> 0.679, "h92" -> 0.499, "h93" -> 0.504, "h94" -> 0.515, "h95" -> 0.642, "h96" -> 0.299,
-    "h97" -> 0.479, "h98" -> 0.537, "h99" -> 0.568)
+    "a1" -> 0.727, "a2" -> 0.521, "a3" -> 0.271, "a4" -> 0.584, "a5" -> 0.134, "a6" -> 0.15,
+    "a7" -> 0.207, "a8" -> 0.389, "b1" -> 0.251, "c1" -> 0.985, "c2" -> 0.734, "c3" -> 0.49,
+    "c4" -> 0.46, "d1" -> 0.372, "d2" -> 0.543, "d3" -> 0.356, "d4" -> 0.301, "d5" -> 0.257,
+    "d6" -> 1.166, "d7" -> 0.294, "d8" -> 0.261, "e1" -> 0.883, "e10" -> 0.613, "e11" -> 0.351,
+    "e12" -> 0.406, "e13" -> 0.277, "e14" -> 0.249, "e15" -> 0.653, "e2" -> 0.681, "e3" -> 0.354,
+    "e4" -> 0.523, "e5" -> 0.311, "e6" -> 1.766, "e7" -> 0.229, "e8" -> 0.798, "e9" -> 0.445,
+    "f1" -> 0.361, "f10" -> 0.464, "f11" -> 0.23, "f2" -> 0.493, "f3" -> 0.587, "f4" -> 0.173,
+    "f5" -> 0.29, "f6" -> 0.334, "f7" -> 0.289, "f8" -> 0.29, "f9" -> 0.499, "g1" -> 0.185,
+    "g2" -> 0.397, "g3" -> 0.989, "g4" -> 0.668, "g5" -> 0.2, "g6" -> 0.315, "h1" -> 0.245,
+    "h10" -> 0.356, "h100" -> 0.512, "h101" -> 0.44, "h102" -> 1.915, "h11" -> 0.687, "h12" -> 0.501,
+    "h13" -> 0.471, "h14" -> 0.348, "h15" -> 1.125, "h16" -> 0.309, "h17" -> 1.272, "h18" -> 0.47,
+    "h19" -> 0.648, "h2" -> 0.249, "h20" -> 0.867, "h21" -> 0.153, "h22" -> 0.497, "h23" -> 0.81,
+    "h24" -> 0.512, "h25" -> 0.741, "h26" -> 0.769, "h27" -> 0.864, "h28" -> 0.62, "h29" -> 0.632,
+    "h3" -> 0.238, "h30" -> 0.647, "h31" -> 0.309, "h32" -> 0.366, "h33" -> 0.322, "h34" -> 0.213,
+    "h35" -> 0.168, "h36" -> 0.318, "h37" -> 0.239, "h38" -> 1.434, "h39" -> 0.799, "h4" -> 0.619,
+    "h40" -> 0.704, "h41" -> 0.194, "h42" -> 0.637, "h43" -> 0.413, "h44" -> 1.03, "h45" -> 0.578,
+    "h46" -> 0.48, "h47" -> 1.908, "h48" -> 0.91, "h49" -> 0.609, "h5" -> 2.062, "h50" -> 0.832,
+    "h51" -> 0.632, "h52" -> 0.313, "h53" -> 0.494, "h54" -> 0.852, "h55" -> 1.127, "h56" -> 1.256,
+    "h57" -> 0.333, "h58" -> 0.74, "h59" -> 0.49, "h6" -> 0.944, "h60" -> 1.01, "h61" -> 2.922,
+    "h62" -> 0.718, "h63" -> 0.437, "h64" -> 0.508, "h65" -> 0.848, "h66" -> 0.838, "h67" -> 1.537,
+    "h68" -> 0.725, "h69" -> 0.306, "h7" -> 0.565, "h70" -> 0.177, "h71" -> 0.213, "h72" -> 0.591,
+    "h73" -> 0.51, "h74" -> 1.751, "h75" -> 0.968, "h76" -> 0.24, "h77" -> 0.266, "h78" -> 0.928,
+    "h79" -> 0.339, "h8" -> 0.411, "h80" -> 1.731, "h81" -> 0.751, "h82" -> 0.476, "h83" -> 0.3,
+    "h84" -> 0.388, "h85" -> 0.516, "h86" -> 0.718, "h87" -> 0.664, "h88" -> 0.364, "h89" -> 0.96,
+    "h9" -> 0.499, "h90" -> 1.048, "h91" -> 0.661, "h92" -> 0.401, "h93" -> 0.504, "h94" -> 0.489,
+    "h95" -> 0.618, "h96" -> 0.3, "h97" -> 0.448, "h98" -> 0.544, "h99" -> 0.447)
 
   /** Queries declared in the registry but not yet pinned above — the
     * documented mid-round grace window between a query's addition and the
@@ -80,7 +80,7 @@ object Bench {
     * silently join the fallback path: it must either be pinned or be listed
     * here explicitly. Empty whenever the pin is fresh.
     */
-  private[graft] val pinGrace: Set[String] = Set("h101", "h102")
+  private[graft] val pinGrace: Set[String] = Set.empty
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
