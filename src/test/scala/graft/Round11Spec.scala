@@ -60,7 +60,12 @@ class Round11Spec extends SparkSpec {
     // h100 adds the per-frame resample + raw-DIB re-encode before the same
     // stats pass — still scan-side, same single stats-sort exchange
     ("h100_video_resize", "/root/testdata/sf0.001", 750L),
-    ("h100_video_resize", "/root/testdata/sf0.1", 7500L))
+    ("h100_video_resize", "/root/testdata/sf0.1", 7500L),
+    // h102 (round 12): the MJPEG decode-vs-expected pass — all JPEG
+    // encode/decode work is scan-side mapPartitions, so like h99/h100 the
+    // only exchange is the 48 B/row display sort over the verify rows
+    ("h102_mjpeg_decode", "/root/testdata/sf0.001", 750L),
+    ("h102_mjpeg_decode", "/root/testdata/sf0.1", 7500L))
 
   for ((name, dir, ceiling) <- pins) {
     val sfLabel = dir.split('/').last
