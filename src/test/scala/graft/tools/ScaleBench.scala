@@ -27,8 +27,9 @@ import org.apache.spark.sql.functions._
   * state-row series), `skewjoin` / `skewagg` (salted-vs-plain head-to-head
   * under a 50%-one-key distribution), `video<N>x` (AVI decode + frame
   * sampling over real containers at 1× vs N× — byte-linearity evidence),
-  * `audio<N>x` (WAV decode + 2:1 resample + sample sums at 1× vs N× — the
-  * audio member of the per-modality linearity series);
+  * `mjpeg<N>x` (same harness over MJPG containers — the ImageIO JPEG
+  * frame-decode branch), `audio<N>x` (WAV decode + 2:1 resample + sample
+  * sums at 1× vs N× — the audio member of the per-modality series);
   * no mode = the 10× suite.
   */
 object ScaleBench {
@@ -642,10 +643,16 @@ object ScaleBench {
     * stats-row sort, so time must grow ~linearly in total container bytes;
     * the JSON carries row counts, MB, and the time ratio.
     */
-  private def runVideoNx(spark: SparkSession, sfDir: String, copies: Int): Unit = {
+  private def runVideoNx(spark: SparkSession, sfDir: String, copies: Int,
+      mjpeg: Boolean = false): Unit = {
     import graft.extensions.{MediaRow, Multimodal}
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    // mjpeg=true swaps the raw-DIB fixture for MJPG containers (ImageIO
+    // JPEG frames — h102's codec path): same harness, but the decode cost
+    // profile is per-frame JPEG entropy decode instead of a stride walk,
+    // so the two series bound both branches of Avi.framePlane
+    val label = if (mjpeg) "mjpeg" else "video"
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     def build(c: Int, out: String): Unit = {
       // cache key carries the sf tag (below) so another sfDir can't reuse a
@@ -655,12 +662,14 @@ object ScaleBench {
       val ids = (0 until c).map(k =>
         docs.select((col("doc_id") + lit(k * 1000000L)).as("doc_id")))
         .reduce(_ unionByName _)
-      Multimodal.toAviMedia(ids, "doc_id").toDF()
+      val media = if (mjpeg) Multimodal.toMjpegMedia(ids, "doc_id")
+                  else Multimodal.toAviMedia(ids, "doc_id")
+      media.toDF()
         .repartition(32).write.mode("overwrite").parquet(out)
     }
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val base = s"/root/repo/target/scalevideo_${sfTag}_1/media.parquet"
-    val big = s"/root/repo/target/scalevideo_${sfTag}_$copies/media.parquet"
+    val base = s"/root/repo/target/scale${label}_${sfTag}_1/media.parquet"
+    val big = s"/root/repo/target/scale${label}_${sfTag}_$copies/media.parquet"
     build(1, base); build(copies, big)
     def stats(path: String): (Long, Long) = {
       val r = spark.read.parquet(path)
@@ -678,9 +687,9 @@ object ScaleBench {
     }
     val (n1, b1) = stats(base); val (nN, bN) = stats(big)
     val t1 = time(base); val tN = time(big)
-    println(s"[scale] video decode 1x: rows=$n1 mb=${b1 / 1000000} t=${f3(t1)}s " +
+    println(s"[scale] $label decode 1x: rows=$n1 mb=${b1 / 1000000} t=${f3(t1)}s " +
       s"${copies}x: rows=$nN mb=${bN / 1000000} t=${f3(tN)}s ratio=${f3(tN / t1)}")
-    println(s"""{"metric":"video$copies","rows_1x":$n1,"mb_1x":${b1 / 1000000},""" +
+    println(s"""{"metric":"$label$copies","rows_1x":$n1,"mb_1x":${b1 / 1000000},""" +
       s""""sec_1x":${f3(t1)},"rows_${copies}x":$nN,"mb_${copies}x":${bN / 1000000},""" +
       s""""sec_${copies}x":${f3(tN)},"ratio":${f3(tN / t1)}}""")
   }
@@ -763,10 +772,13 @@ object ScaleBench {
     val ChainNk = """chain(\d+)k""".r
     val StreamB = """stream(\d+)""".r
     val VideoNx = """video(\d+)x""".r
+    val MjpegNx = """mjpeg(\d+)x""".r
     val AudioNx = """audio(\d+)x""".r
     args.lift(1) match {
       case Some(VideoNx(n)) =>
         runVideoNx(spark, sfDir, copies(n)); spark.stop(); return
+      case Some(MjpegNx(n)) =>
+        runVideoNx(spark, sfDir, copies(n), mjpeg = true); spark.stop(); return
       case Some(AudioNx(n)) =>
         runAudioNx(spark, sfDir, copies(n)); spark.stop(); return
       case Some(HubNk(n)) =>
