@@ -99,7 +99,7 @@ object Bench {
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2400").toDouble
     // Absolute stall-retry cap: a best-of-2 above this is a host freeze no
     // matter which query (worst documented freeze measured ~127 s on a ~1 s
-    // query; slowest pinned median ≈ 2.6 s, ×2 slow-window ×3+ safety ≈ 25).
+    // query; slowest pinned median ≈ 2.9 s, ×2 slow-window ×3 safety ≈ 25).
     // Round-9 change: this is now only the FALLBACK/CAP — per query the
     // trigger is min(this, 3 × its BASELINE pin median) via pinMedianSec
     // below, because a fixed 25 s was useless for sub-second queries: the
@@ -182,7 +182,7 @@ object Bench {
     // stall: those fall back to the absolute cap instead of producing
     // spurious stall-retries and misleading stall_suspect entries.
     val prebuiltAll = prebuild.map(_._1).toSet ==
-      Set("pairs", "verified_pairs", "h61_corpus_index", "shingle_rows")
+      graft.queries.DupGraph.constructionLabels.toSet
     def stallThreshold(name: String): Double = {
       val short = name.takeWhile(_ != '_')
       if (prebuiltAll || !consumerNames.contains(short))

@@ -46,6 +46,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object DupGraph {
 
+  /** The canonical label set of the shared constructions — ONE place, so
+    * the consumers that enumerate them cannot drift from each other:
+    * Bench's eager prebuild (and its prebuilt-all stall-threshold check)
+    * and Round12Spec's construction-side shuffle-volume pins both derive
+    * from this list. Adding a construction here without a Round12Spec pin
+    * fails that suite's completeness assertion.
+    */
+  val constructionLabels: Seq[String] =
+    Seq("shingle_rows", "pairs", "verified_pairs", "h61_corpus_index")
+
   @volatile private var materialize = false
   private val memo = new ConcurrentHashMap[String, DataFrame]()
   private val memoVerified = new ConcurrentHashMap[String, DataFrame]()
