@@ -156,13 +156,11 @@ object Bench {
           // fall back to computing through the memoized (lazy) plans
           System.err.println(s"[bench] ${now()} prebuild $label failed: $e")
         }
-      mat("pairs")(Seq(graft.queries.DupGraph.pairs(spark, sfDir)))
-      mat("verified_pairs")(Seq(graft.queries.DupGraph.verifiedPairs(spark, sfDir)))
-      mat("h61_corpus_index") {
-        val idx = graft.queries.DupGraph.h61CorpusIndex(spark, sfDir)
-        Seq(idx.fingerprints, idx.bandRows, idx.shingles, idx.sizes)
-      }
-      mat("shingle_rows")(Seq(graft.queries.DupGraph.shingleRows(spark, sfDir)))
+      // the label→builder enumeration lives in DupGraph.constructionBuilders
+      // (one place with the label list and Round12Spec's volume pins) so a
+      // construction added there is prebuilt here without a second edit
+      for ((label, build) <- graft.queries.DupGraph.constructionBuilders(spark, sfDir))
+        mat(label)(build())
     }
 
     val benchT0 = System.nanoTime()

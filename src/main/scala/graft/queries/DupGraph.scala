@@ -48,13 +48,35 @@ object DupGraph {
 
   /** The canonical label set of the shared constructions — ONE place, so
     * the consumers that enumerate them cannot drift from each other:
-    * Bench's eager prebuild (and its prebuilt-all stall-threshold check)
-    * and Round12Spec's construction-side shuffle-volume pins both derive
-    * from this list. Adding a construction here without a Round12Spec pin
-    * fails that suite's completeness assertion.
+    * Bench's eager prebuild loop, its prebuilt-all stall-threshold check,
+    * and Round12Spec's construction-side shuffle-volume pins all derive
+    * from this list (via [[constructionBuilders]]). Adding a label here
+    * without a builder case throws at first use; adding one without a
+    * Round12Spec ceiling fails that suite's completeness assertion.
+    * Order = Bench's historical prebuild order, keeping the per-label
+    * prebuild timings in BENCH_r* artifacts comparable across rounds.
     */
   val constructionLabels: Seq[String] =
-    Seq("shingle_rows", "pairs", "verified_pairs", "h61_corpus_index")
+    Seq("pairs", "verified_pairs", "h61_corpus_index", "shingle_rows")
+
+  /** label → fresh construction plans, in [[constructionLabels]] order —
+    * THE enumeration Bench's prebuild and Round12Spec's volume pins both
+    * iterate, so the label list, the builders, and the guards cannot
+    * drift. A label added to [[constructionLabels]] without a case here
+    * fails loudly (MatchError) the first time anything enumerates the
+    * constructions.
+    */
+  def constructionBuilders(s: SparkSession,
+      dir: String): Seq[(String, () => Seq[DataFrame])] =
+    constructionLabels.map {
+      case l @ "pairs"          => l -> (() => Seq(pairs(s, dir)))
+      case l @ "verified_pairs" => l -> (() => Seq(verifiedPairs(s, dir)))
+      case l @ "h61_corpus_index" => l -> { () =>
+        val idx = h61CorpusIndex(s, dir)
+        Seq(idx.fingerprints, idx.bandRows, idx.shingles, idx.sizes)
+      }
+      case l @ "shingle_rows"   => l -> (() => Seq(shingleRows(s, dir)))
+    }
 
   @volatile private var materialize = false
   private val memo = new ConcurrentHashMap[String, DataFrame]()

@@ -643,16 +643,24 @@ object ScaleBench {
     * stats-row sort, so time must grow ~linearly in total container bytes;
     * the JSON carries row counts, MB, and the time ratio.
     */
-  private def runVideoNx(spark: SparkSession, sfDir: String, copies: Int,
-      mjpeg: Boolean = false): Unit = {
-    import graft.extensions.{MediaRow, Multimodal}
+  /** Shared 1×-vs-N× media linearity harness behind the `video<N>x` /
+    * `mjpeg<N>x` / `audio<N>x` modes: build REAL media tables at 1× and N×
+    * via `toMedia` (per-copy-shifted ids, so every payload is distinct),
+    * persist both as parquet binary columns (the production shape), then
+    * time `timedPass` best-of-2 over each. Every timed pass is scan-side
+    * mapPartitions whose only exchange (if any) is result-row-sized, so
+    * time must grow ~linearly in total payload bytes once the
+    * stage-latency floor amortizes; the JSON carries rows, MB, and ratio.
+    */
+  private def runMediaNx(spark: SparkSession, sfDir: String, copies: Int,
+      label: String,
+      toMedia: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.Dataset[graft.extensions.MediaRow],
+      timedPass: org.apache.spark.sql.Dataset[graft.extensions.MediaRow] =>
+        org.apache.spark.sql.DataFrame): Unit = {
+    import graft.extensions.MediaRow
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
-    // mjpeg=true swaps the raw-DIB fixture for MJPG containers (ImageIO
-    // JPEG frames — h102's codec path): same harness, but the decode cost
-    // profile is per-frame JPEG entropy decode instead of a stride walk,
-    // so the two series bound both branches of Avi.framePlane
-    val label = if (mjpeg) "mjpeg" else "video"
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     def build(c: Int, out: String): Unit = {
       // cache key carries the sf tag (below) so another sfDir can't reuse a
@@ -662,9 +670,7 @@ object ScaleBench {
       val ids = (0 until c).map(k =>
         docs.select((col("doc_id") + lit(k * 1000000L)).as("doc_id")))
         .reduce(_ unionByName _)
-      val media = if (mjpeg) Multimodal.toMjpegMedia(ids, "doc_id")
-                  else Multimodal.toAviMedia(ids, "doc_id")
-      media.toDF()
+      toMedia(ids).toDF()
         .repartition(32).write.mode("overwrite").parquet(out)
     }
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -679,72 +685,47 @@ object ScaleBench {
     def time(path: String): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
-        Multimodal.videoStats(spark.read.parquet(path).as[MediaRow], frameStride = 2)
-          .toDF().write.mode("overwrite").format("noop").save()
+        timedPass(spark.read.parquet(path).as[MediaRow])
+          .write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
       math.min(once(), once())
     }
     val (n1, b1) = stats(base); val (nN, bN) = stats(big)
     val t1 = time(base); val tN = time(big)
-    println(s"[scale] $label decode 1x: rows=$n1 mb=${b1 / 1000000} t=${f3(t1)}s " +
+    println(s"[scale] $label 1x: rows=$n1 mb=${b1 / 1000000} t=${f3(t1)}s " +
       s"${copies}x: rows=$nN mb=${bN / 1000000} t=${f3(tN)}s ratio=${f3(tN / t1)}")
     println(s"""{"metric":"$label$copies","rows_1x":$n1,"mb_1x":${b1 / 1000000},""" +
       s""""sec_1x":${f3(t1)},"rows_${copies}x":$nN,"mb_${copies}x":${bN / 1000000},""" +
       s""""sec_${copies}x":${f3(tN)},"ratio":${f3(tN / t1)}}""")
   }
 
-  /** Audio decode+resample scale mode (`… ScaleBench <sfDir> audio<N>x`):
-    * wall-clock linearity evidence for the round-11 WAV resample path —
-    * the audio member of [[runVideoNx]]'s per-modality series. Builds REAL
-    * mono PCM16 WAV media tables at 1× and N× (`Multimodal.toWavMedia` with
-    * per-copy-shifted media ids, so every clip is distinct), persists both
-    * as parquet binary columns, then times `resampleAudio(8k→4k)` +
-    * `audioStats` — header parse, nearest-frame 2:1 resample, canonical
-    * re-encode, sign-extended sample sums — best-of-2 over each. Both
-    * passes are scan-side mapPartitions whose only exchange is nothing at
-    * all (stats rows go straight to the noop sink), so time must grow
-    * ~linearly in total clip bytes; the JSON carries rows, MB, and ratio.
+  /** `video<N>x` / `mjpeg<N>x`: AVI decode + every-2nd-frame sampling over
+    * real containers ([[runMediaNx]]). mjpeg=true swaps the raw-DIB fixture
+    * for MJPG containers (ImageIO JPEG frames — h102's codec path): same
+    * harness, but the decode cost profile is per-frame JPEG entropy decode
+    * instead of a stride walk, so the two series bound both branches of
+    * `Avi.framePlane`.
+    */
+  private def runVideoNx(spark: SparkSession, sfDir: String, copies: Int,
+      mjpeg: Boolean = false): Unit = {
+    import graft.extensions.Multimodal
+    runMediaNx(spark, sfDir, copies, if (mjpeg) "mjpeg" else "video",
+      ids => if (mjpeg) Multimodal.toMjpegMedia(ids, "doc_id")
+             else Multimodal.toAviMedia(ids, "doc_id"),
+      m => Multimodal.videoStats(m, frameStride = 2).toDF())
+  }
+
+  /** `audio<N>x`: WAV decode + nearest-frame 2:1 resample (8k→4k) +
+    * sign-extended sample sums over real mono PCM16 clips — the audio
+    * member of the per-modality linearity series ([[runMediaNx]]).
     */
   private def runAudioNx(spark: SparkSession, sfDir: String, copies: Int): Unit = {
-    import graft.extensions.{MediaRow, Multimodal}
-    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    def build(c: Int, out: String): Unit = {
-      if (new java.io.File(s"$out/_SUCCESS").exists()) return
-      val ids = (0 until c).map(k =>
-        docs.select((col("doc_id") + lit(k * 1000000L)).as("doc_id")))
-        .reduce(_ unionByName _)
-      Multimodal.toWavMedia(ids, "doc_id").toDF()
-        .repartition(32).write.mode("overwrite").parquet(out)
-    }
-    val sfTag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val base = s"/root/repo/target/scaleaudio_${sfTag}_1/media.parquet"
-    val big = s"/root/repo/target/scaleaudio_${sfTag}_$copies/media.parquet"
-    build(1, base); build(copies, big)
-    def stats(path: String): (Long, Long) = {
-      val r = spark.read.parquet(path)
-        .agg(count(lit(1)), sum(octet_length(col("payload")))).head()
-      (r.getLong(0), r.getLong(1))
-    }
-    def time(path: String): Double = {
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        Multimodal.audioStats(Multimodal.resampleAudio(
-            spark.read.parquet(path).as[MediaRow], targetRate = 4000))
-          .toDF().write.mode("overwrite").format("noop").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      math.min(once(), once())
-    }
-    val (n1, b1) = stats(base); val (nN, bN) = stats(big)
-    val t1 = time(base); val tN = time(big)
-    println(s"[scale] audio resample 1x: rows=$n1 mb=${b1 / 1000000} t=${f3(t1)}s " +
-      s"${copies}x: rows=$nN mb=${bN / 1000000} t=${f3(tN)}s ratio=${f3(tN / t1)}")
-    println(s"""{"metric":"audio$copies","rows_1x":$n1,"mb_1x":${b1 / 1000000},""" +
-      s""""sec_1x":${f3(t1)},"rows_${copies}x":$nN,"mb_${copies}x":${bN / 1000000},""" +
-      s""""sec_${copies}x":${f3(tN)},"ratio":${f3(tN / t1)}}""")
+    import graft.extensions.Multimodal
+    runMediaNx(spark, sfDir, copies, "audio",
+      ids => Multimodal.toWavMedia(ids, "doc_id"),
+      m => Multimodal.audioStats(
+        Multimodal.resampleAudio(m, targetRate = 4000)).toDF())
   }
 
   def main(args: Array[String]): Unit = {

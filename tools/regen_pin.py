@@ -98,7 +98,10 @@ def main(argv):
     lines = []
     for i in range(0, len(entries), 6):
         lines.append("    " + ", ".join(entries[i:i + 6]))
-    print("\n  private val pinMedianSec: Map[String, Double] = Map(")
+    # private[graft], not private: Round12Spec reads the map for its
+    # pin-completeness assertion — emitting object-private would break the
+    # test compile on the next by-the-book re-pin paste
+    print("\n  private[graft] val pinMedianSec: Map[String, Double] = Map(")
     print(",\n".join(lines) + ")")
 
 
