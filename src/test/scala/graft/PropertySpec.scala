@@ -268,6 +268,68 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("MJPEG container slices decode identically to the standalone JPEGs (generated dims)") {
+    import graft.extensions.{MediaRow, Multimodal => M}
+    // generated dims/frame counts/fills produce JPEGs of arbitrary (odd and
+    // even) byte lengths, so the word-padding path in the chunk walk is
+    // exercised; the property pins that the in-container path (RIFF walk ->
+    // '00dc' slice -> ImageIO) and the standalone ImageIO decode of the
+    // SAME bytes agree bit-for-bit on every frame — h102's core claim over
+    // the whole generated domain, not just the fixture law
+    def jpeg(w: Int, h: Int, seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (((seed + y * w + x) * 1315423911L) & 0xffffff).toInt)
+      val baos = new java.io.ByteArrayOutputStream()
+      val out = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+      try require(javax.imageio.ImageIO.write(img, "jpg", out)) finally out.close()
+      baos.toByteArray
+    }
+    val gen = for {
+      w <- Gen.choose(1, 16)
+      h <- Gen.choose(1, 12)
+      nf <- Gen.choose(1, 4)
+      seed <- Gen.choose(0L, 1000000L)
+    } yield (w, h, nf, seed)
+    check(Prop.forAll(gen) { case (w, h, nf, seed) =>
+      val jpegs = IndexedSeq.tabulate(nf)(k => jpeg(w, h, seed + k * 977))
+      val avi = M.Avi.encode(w, h, fps = 10, "MJPG", jpegs)
+      val row = MediaRow(seed, "video", avi)
+      val meta = M.AviCodec.decode(row)
+      val planes = M.AviCodec.frames(row, 1).toList.sortBy(_.frame_idx)
+      val direct = jpegs.map(j =>
+        M.ImageIoCodec.frames(MediaRow(0L, "image", j), 1).next().frame_bytes)
+      (meta.width == w.toLong && meta.height == h.toLong) :| "dims" &&
+        (meta.n_frames == nf.toLong) :| "frame count" &&
+        (planes.size == nf) :| "planes" &&
+        planes.zip(direct).forall { case (p, d) =>
+          p.frame_bytes.toSeq == d.toSeq
+        } :| "slice == standalone decode"
+    })
+  }
+
+  test("mjpegVerifyStats: every generated id/stride matches in full (vs the dims law)") {
+    import graft.extensions.{Multimodal => M}
+    import spark.implicits._
+    val gen = for {
+      ids <- Gen.listOfN(3, Gen.choose(0L, 100000L)).map(_.distinct)
+      stride <- Gen.choose(1, 4)
+    } yield (ids, stride)
+    check(Prop.forAll(gen) { case (ids, stride) =>
+      val media = M.toMjpegMedia(ids.toDF("doc_id"), "doc_id")
+      val rows = M.mjpegVerifyStats(media, stride).collect()
+      (rows.length == ids.size) :| "row per id" &&
+        rows.forall { r =>
+          val nf = 2 + r.media_id % 3
+          r.width == 8 + r.media_id % 5 && r.height == 6 + r.media_id % 4 &&
+            r.n_frames == nf &&
+            r.n_sampled == (nf + stride - 1) / stride &&
+            r.n_matched == r.n_sampled
+        } :| "dims law + full match"
+    })
+  }
+
   test("rfmSegments fused ranking == driver-side ntile reference (generated activity)") {
     // random activity tables with deliberate ties (few distinct amounts and
     // dates) drive the fused union-rank path; a driver-side fold re-derives
