@@ -170,6 +170,57 @@ object Mixing {
     *
     * Output: (domain, n_docs, n_tokens, share_q, weight_q, weight).
     */
+  /** Temperature-scaled source mixture — the α-smoothing recipe
+    * multilingual corpora use (mBERT/XLM-R/mT5): sampling probability
+    * `p_i ∝ q_i^α` where `q_i` is source i's token share; α < 1 lifts
+    * low-resource sources (α → 0 is uniform, α = 1 is proportional). The
+    * output carries the integer-quantized share, the normalized sampling
+    * probability, and the up-sampling factor `p_i / q_i` a sampler applies
+    * per source.
+    *
+    * Determinism: the share quantizes to micro-units BEFORE the
+    * exponentiation, and the default α = 0.5 exponentiates via `sqrt` —
+    * which IEEE 754 requires to be correctly rounded, so Spark and any
+    * oracle engine produce bit-identical doubles from the identical
+    * quantized inputs (ln/pow only promise last-ulp-library behavior; sqrt
+    * is exact). The normalization and the up-sample ratio are pure integer
+    * division over the quantized values. Other α values go through `pow`,
+    * whose last ulp is libm-specific — quantize more coarsely if
+    * oracle-matching those.
+    *
+    * Shapes: per-doc token counts ride the scan (no explode), one
+    * groupBy(source) over doc-sized rows, and the two totals rows broadcast
+    * back — source cardinality is tiny by construction, so every join here
+    * is a broadcast of a handful of rows. Sources whose quantized share is
+    * zero are excluded (no finite up-sample factor is defined for them).
+    */
+  def temperatureMixture(docs: DataFrame, domainCol: String, textCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val perSource = docs
+      .select(col(domainCol).as("source"),
+        coalesce(size(TextOps.tokens(col(textCol))).cast("long"), lit(0L)).as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    val totals = perSource.agg(sum(col("n_tokens")).as("t"))
+    val share = perSource.crossJoin(broadcast(totals))
+      .withColumn("share_q",
+        floor(col("n_tokens").cast("double") * 1e6 / col("t").cast("double") + 0.5)
+          .cast("long"))
+      .filter(col("share_q") > 0)
+    val shareD = col("share_q").cast("double") / 1e6
+    val powCol = if (alpha == 0.5) sqrt(shareD) else pow(shareD, lit(alpha))
+    val pq = share.withColumn("pow_q", floor(powCol * 1e6 + 0.5).cast("long"))
+    val z = pq.agg(sum(col("pow_q")).as("z"))
+    pq.crossJoin(broadcast(z))
+      .withColumn("p_q", expr("CAST((pow_q * 1000000) div z AS BIGINT)"))
+      .withColumn("upsample_q", expr("CAST((p_q * 1000000) div share_q AS BIGINT)"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("share_q"),
+        col("p_q"), col("upsample_q"),
+        (col("p_q").cast("double") / 1e6).as("p"),
+        (col("upsample_q").cast("double") / 1e6).as("upsample"))
+  }
+
   def domainMixture(docs: DataFrame, domainCol: String, textCol: String): DataFrame = {
     val perDomain = docs
       .select(col(domainCol).as("domain"),

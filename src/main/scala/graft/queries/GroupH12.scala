@@ -551,5 +551,52 @@ object GroupH12 {
       .orderBy("media_id")
   }
 
-  val all: Seq[Q] = Seq(h92, h93, h94, h95, h96, h97, h98, h99, h100, h101, h102)
+  /** Temperature-scaled source mixing (Mixing.temperatureMixture at
+    * α = 0.5) — the multilingual up-sampling recipe: p_i ∝ q_i^0.5 over
+    * token shares, with the per-source up-sample factor p_i/q_i. The
+    * whole chain is oracle-exact: shares quantize to micro-units BEFORE
+    * the exponentiation, α = 0.5 goes through sqrt (correctly rounded by
+    * IEEE 754, so both engines produce bit-identical doubles — ln/pow only
+    * promise libm last-ulp behavior), and the normalization + ratio are
+    * pure integer division. One scan-side token count, one tiny groupBy,
+    * two broadcast totals rows.
+    */
+  val h103 = Q(
+    "h103_temperature_mixing",
+    """WITH tok AS (
+      |  SELECT source,
+      |    len(list_filter(string_split_regex(lower(text), '\s+'),
+      |                    t -> len(t) > 0)) AS n
+      |  FROM documents),
+      |per AS (
+      |  SELECT source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+      |  FROM tok GROUP BY source),
+      |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per),
+      |sh AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    CAST(floor(CAST(n_tokens AS DOUBLE) * 1000000
+      |      / CAST(t AS DOUBLE) + 0.5) AS BIGINT) AS share_q
+      |  FROM per, tot
+      |  WHERE CAST(floor(CAST(n_tokens AS DOUBLE) * 1000000
+      |      / CAST(t AS DOUBLE) + 0.5) AS BIGINT) > 0),
+      |pq AS (
+      |  SELECT *, CAST(floor(sqrt(CAST(share_q AS DOUBLE) / 1000000)
+      |    * 1000000 + 0.5) AS BIGINT) AS pow_q
+      |  FROM sh),
+      |z AS (SELECT CAST(sum(pow_q) AS BIGINT) AS z FROM pq)
+      |SELECT source, n_docs, n_tokens, share_q,
+      |  CAST((pow_q * 1000000) // z AS BIGINT) AS p_q,
+      |  CAST((((pow_q * 1000000) // z) * 1000000) // share_q AS BIGINT) AS upsample_q,
+      |  CAST(CAST((pow_q * 1000000) // z AS BIGINT) AS DOUBLE) / 1000000 AS p,
+      |  CAST(CAST((((pow_q * 1000000) // z) * 1000000) // share_q AS BIGINT) AS DOUBLE)
+      |    / 1000000 AS upsample
+      |FROM pq, z
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    graft.extensions.Mixing.temperatureMixture(
+        Tables.documents(s, d), "source", "text", alpha = 0.5)
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] =
+    Seq(h92, h93, h94, h95, h96, h97, h98, h99, h100, h101, h102, h103)
 }
