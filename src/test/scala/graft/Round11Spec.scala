@@ -65,7 +65,15 @@ class Round11Spec extends SparkSpec {
     // encode/decode work is scan-side mapPartitions, so like h99/h100 the
     // only exchange is the 48 B/row display sort over the verify rows
     ("h102_mjpeg_decode", "/root/testdata/sf0.001", 750L),
-    ("h102_mjpeg_decode", "/root/testdata/sf0.1", 7500L))
+    ("h102_mjpeg_decode", "/root/testdata/sf0.1", 7500L),
+    // h103 (round 12): token counts ride the scan, so the shuffled rows are
+    // the partial-agg emits of the per-source groupBy (≤ sources×partitions)
+    // plus the broadcast totals/normalizer rows and the 20-row display sort —
+    // corpus-size-INDEPENDENT by construction, which is why one ceiling
+    // serves both scale points (measured 62 records at sf0.001 AND sf0.1;
+    // ceiling leaves ~1.5× headroom over sources×2 growth)
+    ("h103_temperature_mixing", "/root/testdata/sf0.001", 100L),
+    ("h103_temperature_mixing", "/root/testdata/sf0.1", 100L))
 
   for ((name, dir, ceiling) <- pins) {
     val sfLabel = dir.split('/').last
