@@ -157,19 +157,6 @@ object Mixing {
           .as("kl_nats"))
   }
 
-  /** Per-domain token accounting + sampling weights toward a uniform token
-    * mixture: `weight = (T/S) / tokens(domain)` — domains under-represented
-    * in tokens get weight > 1, over-represented < 1 (the rebalancing step of
-    * a DoReMi/uniform-mixture data recipe; the target shares are a constant
-    * vector, uniform here).
-    *
-    * Shapes: per-doc token counts ride the scan (one codegen projection, no
-    * explode); one groupBy(domain) over doc-count rows; the totals row
-    * broadcasts back. Share and weight are micro-unit-quantized doubles with
-    * identical op trees in both engines.
-    *
-    * Output: (domain, n_docs, n_tokens, share_q, weight_q, weight).
-    */
   /** Temperature-scaled source mixture — the α-smoothing recipe
     * multilingual corpora use (mBERT/XLM-R/mT5): sampling probability
     * `p_i ∝ q_i^α` where `q_i` is source i's token share; α < 1 lifts
@@ -221,6 +208,19 @@ object Mixing {
         (col("upsample_q").cast("double") / 1e6).as("upsample"))
   }
 
+  /** Per-domain token accounting + sampling weights toward a uniform token
+    * mixture: `weight = (T/S) / tokens(domain)` — domains under-represented
+    * in tokens get weight > 1, over-represented < 1 (the rebalancing step of
+    * a DoReMi/uniform-mixture data recipe; the target shares are a constant
+    * vector, uniform here).
+    *
+    * Shapes: per-doc token counts ride the scan (one codegen projection, no
+    * explode); one groupBy(domain) over doc-count rows; the totals row
+    * broadcasts back. Share and weight are micro-unit-quantized doubles with
+    * identical op trees in both engines.
+    *
+    * Output: (domain, n_docs, n_tokens, share_q, weight_q, weight).
+    */
   def domainMixture(docs: DataFrame, domainCol: String, textCol: String): DataFrame = {
     val perDomain = docs
       .select(col(domainCol).as("domain"),

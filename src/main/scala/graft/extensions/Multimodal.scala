@@ -549,8 +549,10 @@ object Multimodal {
       if (!fr.compressed) {
         // a '00db' chunk shorter than one frame would otherwise misdecode
         // adjacent container bytes (idx1/next header) as pixels or walk off
-        // the buffer — malformed bytes must throw, per the codec contract
-        require(fr.length >= Bmp.rowSize(info.width) * info.height,
+        // the buffer — malformed bytes must throw, per the codec contract;
+        // the minimum size is computed in Long so adversarial header dims
+        // can't overflow Int to a negative product that passes the guard
+        require(fr.length >= Bmp.rowSize(info.width).toLong * info.height,
           s"raw AVI frame chunk of ${fr.length} B is shorter than one " +
             s"${info.width}x${info.height} frame")
         rawPlane(b, fr.offset, info.width, info.height)

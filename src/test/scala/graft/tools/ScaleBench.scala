@@ -633,16 +633,6 @@ object ScaleBench {
     println(s"""{"metric":"skewagg","plain_sec":${f3(tPlain)},"salted_sec":${f3(tSalted)}}""")
   }
 
-  /** Video-decode scale mode (`… ScaleBench <sfDir> video<N>x`): wall-clock
-    * linearity evidence for the round-11 AVI path. Builds REAL AVI media
-    * tables at 1× and N× (`Multimodal.toAviMedia` with per-copy-shifted
-    * media ids, so every container is distinct), persists both as parquet
-    * binary columns (the production shape), then times `videoStats` —
-    * container parse + every-2nd-frame decode + pixel sums — best-of-2 over
-    * each. Decode is scan-side mapPartitions whose only exchange is the
-    * stats-row sort, so time must grow ~linearly in total container bytes;
-    * the JSON carries row counts, MB, and the time ratio.
-    */
   /** Shared 1×-vs-N× media linearity harness behind the `video<N>x` /
     * `mjpeg<N>x` / `audio<N>x` modes: build REAL media tables at 1× and N×
     * via `toMedia` (per-copy-shifted ids, so every payload is distinct),
