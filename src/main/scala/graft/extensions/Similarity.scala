@@ -274,6 +274,77 @@ object Similarity {
         col("dup_id").isNull.as("is_kept"))
   }
 
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
+    * ratio-margin rule CCMatrix mines bitext with): for every `src` vector
+    * x, its best `tgt` match y is scored not by raw cosine but by the
+    * MARGIN `cos(x,y) / ((avgₖNN(x,tgt) + avgₖNN(y,src)) / 2)` — dividing
+    * by both sides' local similarity neighborhoods cancels the hubness
+    * that makes raw-cosine mining precision collapse. A pair is flagged
+    * `is_mutual` when y's best source is x back (mutual-best is the
+    * high-precision mining setting).
+    *
+    * Determinism (oracle-exact end to end): the cosine is the same
+    * sequentially-accumulated double as [[bruteForceTopK]] (bit-identical
+    * to DuckDB's list_aggregate), quantized ONCE to 10⁻⁴ units
+    * (`cq = floor(cos·10⁴ + 0.5)` as a long); the top-k sums are exact
+    * integer sums of those units; and the margin is pure integer math —
+    * `margin_q = (2·cq·nx·ny·10⁶) div (sx·ny + sy·nx)` with nx/ny the
+    * actual neighbor counts (≤ k at corpus edges) — computed only when
+    * numerator and denominator are positive (a negative-cosine best match
+    * has no meaningful margin; NULL otherwise, same CASE in the oracle, and
+    * positivity keeps trunc-vs-floor division agreement moot).
+    *
+    * 100 TB posture: each direction is ONE scored pass in the
+    * [[bruteForceTopK]] shape — broadcast the opposite side, exact cosine
+    * scan-side, and the `row_number ≤ k` filter plans as a two-phase
+    * WindowGroupLimit, so each scan partition forwards ≤ k rows per vector
+    * before the per-vector exchange. Everything after the two passes is
+    * per-VECTOR-sized (one row per src/tgt), so the joins are tiny. At
+    * real scale the exact scorer swaps for [[ivfTopK]]/[[lshTopK]] as the
+    * candidate generator — the margin denominator needs exactly the top-k
+    * lists an ANN pass emits — with identical downstream math; the exact
+    * form here is the recall baseline, never all-pairs materialized
+    * (nothing below ever holds more than k rows per vector past the scan).
+    *
+    * Output: one row per src vector —
+    * (src_id, tgt_id, cos, margin_q, margin, is_mutual).
+    */
+  def marginMining(src: DataFrame, tgt: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4): DataFrame = {
+    require(k >= 1, s"neighborhood size k must be >= 1, got $k")
+    val s = src.select(col(idCol).as("src_id"), col(vecCol).as("sv"))
+    val t = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("tv"))
+    def scored = t.join(broadcast(s))
+      .select(col("src_id"), col("tgt_id"),
+        floor(cosine(col("sv"), col("tv")) * 1e4 + 0.5).cast("long").as("cq"))
+    val wF = Window.partitionBy("src_id").orderBy(col("cq").desc, col("tgt_id"))
+    val wB = Window.partitionBy("tgt_id").orderBy(col("cq").desc, col("src_id"))
+    // per-src: top-k sum/count + the best pair, ONE window-pruned pass
+    val kx = scored.withColumn("rn", row_number().over(wF))
+      .filter(col("rn") <= k)
+      .groupBy("src_id")
+      .agg(sum(col("cq")).as("sx"), count(lit(1)).as("nx"),
+        min_by(struct(col("tgt_id"), col("cq")), col("rn")).as("best"))
+      .select(col("src_id"), col("sx"), col("nx"),
+        col("best.tgt_id").as("tgt_id"), col("best.cq").as("cq"))
+    // per-tgt: top-k sum/count + the backward-best source
+    val ky = scored.withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= k)
+      .groupBy("tgt_id")
+      .agg(sum(col("cq")).as("sy"), count(lit(1)).as("ny"),
+        min_by(col("src_id"), col("rn")).as("b_src"))
+    val marginQ = expr(
+      "CASE WHEN cq > 0 AND (sx * ny + sy * nx) > 0 " +
+        "THEN CAST((2 * cq * nx * ny * 1000000) div (sx * ny + sy * nx) AS BIGINT) END")
+    kx.join(ky, "tgt_id")
+      .withColumn("margin_q", marginQ)
+      .select(col("src_id"), col("tgt_id"),
+        (col("cq").cast("double") / 1e4).as("cos"),
+        col("margin_q"),
+        (col("margin_q").cast("double") / 1e6).as("margin"),
+        (col("b_src") === col("src_id")).as("is_mutual"))
+  }
+
   /** `nPlanes`-bit signature of a vector under one LSH table — the native
     * codegen'd graft.functions.HyperplaneSignature (bit-compatible with
     * [[lshSignatureHof]], asserted in SimilaritySpec).

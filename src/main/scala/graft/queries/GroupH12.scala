@@ -597,6 +597,60 @@ object GroupH12 {
       .orderBy("source")
   }
 
+  /** Margin-based bitext/parallel-pair mining
+    * ([[graft.extensions.Similarity.marginMining]], k = 4): the embeddings
+    * table split into two sides by label parity stands in for the
+    * two-language corpora; each even-label vector gets its best odd-label
+    * match scored by the Artetxe–Schwenk ratio margin (cosine over the mean
+    * of both sides' top-4 neighborhoods) with a mutual-best flag. The whole
+    * chain is oracle-exact: the cosine is the h2 sequentially-accumulated
+    * double, quantized once to 10⁻⁴ units, and the margin is pure positive
+    * integer arithmetic (CASE-guarded), so DuckDB replays it bit-for-bit.
+    */
+  val h104 = Q(
+    "h104_bitext_margin",
+    """WITH s AS (SELECT vec_id AS src_id, embedding AS sv FROM embeddings WHERE label % 2 = 0),
+      |t AS (SELECT vec_id AS tgt_id, embedding AS tv FROM embeddings WHERE label % 2 = 1),
+      |norms AS (
+      |  SELECT vec_id,
+      |    sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')) AS nrm
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT src_id, tgt_id,
+      |    CAST(floor(list_aggregate(
+      |      list_transform(generate_series(1, len(sv)), i -> sv[i]::DOUBLE * tv[i]::DOUBLE),
+      |      'sum') / (ns.nrm * nt.nrm) * 10000 + 0.5) AS BIGINT) AS cq
+      |  FROM s CROSS JOIN t
+      |  JOIN norms ns ON ns.vec_id = src_id
+      |  JOIN norms nt ON nt.vec_id = tgt_id),
+      |rf AS (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY cq DESC, tgt_id) AS rn
+      |  FROM scored),
+      |rb AS (SELECT *, row_number() OVER (PARTITION BY tgt_id ORDER BY cq DESC, src_id) AS rn
+      |  FROM scored),
+      |kx AS (SELECT src_id, CAST(sum(cq) AS BIGINT) AS sx, count(*) AS nx
+      |  FROM rf WHERE rn <= 4 GROUP BY src_id),
+      |ky AS (SELECT tgt_id, CAST(sum(cq) AS BIGINT) AS sy, count(*) AS ny
+      |  FROM rb WHERE rn <= 4 GROUP BY tgt_id),
+      |bf AS (SELECT src_id, tgt_id, cq FROM rf WHERE rn = 1),
+      |bb AS (SELECT tgt_id, src_id AS b_src FROM rb WHERE rn = 1),
+      |m AS (
+      |  SELECT bf.src_id, bf.tgt_id, cq, sx, nx, sy, ny, b_src,
+      |    CASE WHEN cq > 0 AND (sx * ny + sy * nx) > 0
+      |      THEN CAST((2 * cq * nx * ny * 1000000) // (sx * ny + sy * nx) AS BIGINT)
+      |    END AS margin_q
+      |  FROM bf JOIN kx USING (src_id) JOIN ky USING (tgt_id) JOIN bb USING (tgt_id))
+      |SELECT src_id, tgt_id, CAST(cq AS DOUBLE) / 10000 AS cos,
+      |  margin_q, CAST(margin_q AS DOUBLE) / 1000000 AS margin,
+      |  (b_src = src_id) AS is_mutual
+      |FROM m
+      |ORDER BY src_id""".stripMargin) { (s, d) =>
+    val embs = Tables.embeddings(s, d)
+    graft.extensions.Similarity.marginMining(
+        embs.filter(col("label") % 2 === 0), embs.filter(col("label") % 2 === 1),
+        "vec_id", "embedding", k = 4)
+      .orderBy("src_id")
+  }
+
   val all: Seq[Q] =
-    Seq(h92, h93, h94, h95, h96, h97, h98, h99, h100, h101, h102, h103)
+    Seq(h92, h93, h94, h95, h96, h97, h98, h99, h100, h101, h102, h103, h104)
 }

@@ -73,7 +73,17 @@ class Round11Spec extends SparkSpec {
     // serves both scale points (measured 62 records at sf0.001 AND sf0.1;
     // ceiling leaves ~1.5× headroom over sources×2 growth)
     ("h103_temperature_mixing", "/root/testdata/sf0.001", 100L),
-    ("h103_temperature_mixing", "/root/testdata/sf0.1", 100L))
+    ("h103_temperature_mixing", "/root/testdata/sf0.1", 100L),
+    // h104 (round 14): margin mining scores |src|·|tgt| candidate pairs but
+    // the two-phase WindowGroupLimit forwards ≤ k per vector per partition,
+    // so executed shuffle records stay VECTOR-proportional, never
+    // pair-proportional — measured 2,246 records at sf0.001 (500 vectors,
+    // ~62k scored pairs) and 9,025 at sf0.1 (2,000 vectors, ~1M scored
+    // pairs): 4× vectors → 4× records while pairs grew 16×. The ceiling
+    // trips if the prune is lost (full pair relation shuffling would be
+    // ~25–110× these numbers).
+    ("h104_bitext_margin", "/root/testdata/sf0.001", 3400L),
+    ("h104_bitext_margin", "/root/testdata/sf0.1", 13600L))
 
   for ((name, dir, ceiling) <- pins) {
     val sfLabel = dir.split('/').last

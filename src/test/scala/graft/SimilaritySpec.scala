@@ -83,4 +83,54 @@ class SimilaritySpec extends SparkSpec {
     val recall = (lsh intersect exact).size.toDouble / exact.size
     assert(recall >= 0.15, s"LSH recall too low: $recall")
   }
+
+  test("margin mining == driver-side brute-force replay, and prunes map-side") {
+    val src = embs.filter(col("label") % 2 === 0)
+    val tgt = embs.filter(col("label") % 2 === 1)
+    val out = Similarity.marginMining(src, tgt, "vec_id", "embedding", k = 4)
+
+    // the row_number <= k filters must plan as two-phase WindowGroupLimits
+    // (each scan partition forwards <= k candidates per vector) — the shape
+    // the 100 TB posture claims
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+
+    // full driver replay with the same fixed-point math
+    def vecs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Array[Float])] =
+      df.select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toSeq.sortBy(_._1)
+    val sv = vecs(src); val tv = vecs(tgt)
+    def cq(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e4 + 0.5).toLong
+    }
+    val pairs = for ((si, sa) <- sv; (ti, ta) <- tv) yield (si, ti, cq(sa, ta))
+    def topk(rows: Seq[(Long, Long)]): Seq[(Long, Long)] = // (otherId, cq)
+      rows.sortBy { case (id, c) => (-c, id) }.take(4)
+    val bySrc = pairs.groupBy(_._1).map { case (s0, ps) =>
+      s0 -> topk(ps.map(p => (p._2, p._3))) }
+    val byTgt = pairs.groupBy(_._2).map { case (t0, ps) =>
+      t0 -> topk(ps.map(p => (p._1, p._3))) }
+    val expected = bySrc.map { case (s0, top) =>
+      val (bestT, c) = top.head
+      val (sx, nx) = (top.map(_._2).sum, top.size.toLong)
+      val ktop = byTgt(bestT)
+      val (sy, ny) = (ktop.map(_._2).sum, ktop.size.toLong)
+      val den = sx * ny + sy * nx
+      val mq = if (c > 0 && den > 0) Some(2 * c * nx * ny * 1000000L / den) else None
+      (s0, bestT, c, mq, ktop.head._1 == s0)
+    }.toSet
+    val got = out.collect().map { r =>
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e4),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(5))
+    }.toSet
+    assert(got.size === sv.size)
+    assert(got === expected)
+  }
 }
