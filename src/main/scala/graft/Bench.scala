@@ -44,32 +44,35 @@ object Bench {
     * literal (one command, can't drift from the median rule).
     */
   private[graft] val pinMedianSec: Map[String, Double] = Map(
-    "a1" -> 0.727, "a2" -> 0.521, "a3" -> 0.271, "a4" -> 0.584, "a5" -> 0.134, "a6" -> 0.15,
-    "a7" -> 0.207, "a8" -> 0.389, "b1" -> 0.251, "c1" -> 0.985, "c2" -> 0.734, "c3" -> 0.49,
-    "c4" -> 0.46, "d1" -> 0.372, "d2" -> 0.543, "d3" -> 0.356, "d4" -> 0.301, "d5" -> 0.257,
-    "d6" -> 1.166, "d7" -> 0.294, "d8" -> 0.261, "e1" -> 0.883, "e10" -> 0.613, "e11" -> 0.351,
-    "e12" -> 0.406, "e13" -> 0.277, "e14" -> 0.249, "e15" -> 0.653, "e2" -> 0.681, "e3" -> 0.354,
-    "e4" -> 0.523, "e5" -> 0.311, "e6" -> 1.766, "e7" -> 0.229, "e8" -> 0.798, "e9" -> 0.445,
-    "f1" -> 0.361, "f10" -> 0.464, "f11" -> 0.23, "f2" -> 0.493, "f3" -> 0.587, "f4" -> 0.173,
-    "f5" -> 0.29, "f6" -> 0.334, "f7" -> 0.289, "f8" -> 0.29, "f9" -> 0.499, "g1" -> 0.185,
-    "g2" -> 0.397, "g3" -> 0.989, "g4" -> 0.668, "g5" -> 0.2, "g6" -> 0.315, "h1" -> 0.245,
-    "h10" -> 0.356, "h100" -> 0.512, "h101" -> 0.44, "h102" -> 1.915, "h11" -> 0.687, "h12" -> 0.501,
-    "h13" -> 0.471, "h14" -> 0.348, "h15" -> 1.125, "h16" -> 0.309, "h17" -> 1.272, "h18" -> 0.47,
-    "h19" -> 0.648, "h2" -> 0.249, "h20" -> 0.867, "h21" -> 0.153, "h22" -> 0.497, "h23" -> 0.81,
-    "h24" -> 0.512, "h25" -> 0.741, "h26" -> 0.769, "h27" -> 0.864, "h28" -> 0.62, "h29" -> 0.632,
-    "h3" -> 0.238, "h30" -> 0.647, "h31" -> 0.309, "h32" -> 0.366, "h33" -> 0.322, "h34" -> 0.213,
-    "h35" -> 0.168, "h36" -> 0.318, "h37" -> 0.239, "h38" -> 1.434, "h39" -> 0.799, "h4" -> 0.619,
-    "h40" -> 0.704, "h41" -> 0.194, "h42" -> 0.637, "h43" -> 0.413, "h44" -> 1.03, "h45" -> 0.578,
-    "h46" -> 0.48, "h47" -> 1.908, "h48" -> 0.91, "h49" -> 0.609, "h5" -> 2.062, "h50" -> 0.832,
-    "h51" -> 0.632, "h52" -> 0.313, "h53" -> 0.494, "h54" -> 0.852, "h55" -> 1.127, "h56" -> 1.256,
-    "h57" -> 0.333, "h58" -> 0.74, "h59" -> 0.49, "h6" -> 0.944, "h60" -> 1.01, "h61" -> 2.922,
-    "h62" -> 0.718, "h63" -> 0.437, "h64" -> 0.508, "h65" -> 0.848, "h66" -> 0.838, "h67" -> 1.537,
-    "h68" -> 0.725, "h69" -> 0.306, "h7" -> 0.565, "h70" -> 0.177, "h71" -> 0.213, "h72" -> 0.591,
-    "h73" -> 0.51, "h74" -> 1.751, "h75" -> 0.968, "h76" -> 0.24, "h77" -> 0.266, "h78" -> 0.928,
-    "h79" -> 0.339, "h8" -> 0.411, "h80" -> 1.731, "h81" -> 0.751, "h82" -> 0.476, "h83" -> 0.3,
-    "h84" -> 0.388, "h85" -> 0.516, "h86" -> 0.718, "h87" -> 0.664, "h88" -> 0.364, "h89" -> 0.96,
-    "h9" -> 0.499, "h90" -> 1.048, "h91" -> 0.661, "h92" -> 0.401, "h93" -> 0.504, "h94" -> 0.489,
-    "h95" -> 0.618, "h96" -> 0.3, "h97" -> 0.448, "h98" -> 0.544, "h99" -> 0.447)
+    "a1" -> 0.64, "a2" -> 0.616, "a3" -> 0.296, "a4" -> 0.657, "a5" -> 0.189, "a6" -> 0.157,
+    "a7" -> 0.202, "a8" -> 0.445, "b1" -> 0.286, "c1" -> 1.146, "c2" -> 0.375, "c3" -> 0.505,
+    "c4" -> 0.553, "d1" -> 0.404, "d2" -> 0.605, "d3" -> 0.379, "d4" -> 0.3, "d5" -> 0.296,
+    "d6" -> 1.246, "d7" -> 0.341, "d8" -> 0.296, "e1" -> 0.99, "e10" -> 0.645, "e11" -> 0.331,
+    "e12" -> 0.423, "e13" -> 0.323, "e14" -> 0.27, "e15" -> 0.787, "e2" -> 0.753, "e3" -> 0.406,
+    "e4" -> 0.547, "e5" -> 0.343, "e6" -> 1.474, "e7" -> 0.245, "e8" -> 0.828, "e9" -> 0.456,
+    "f1" -> 0.38, "f10" -> 0.576, "f11" -> 0.223, "f2" -> 0.526, "f3" -> 0.61, "f4" -> 0.19,
+    "f5" -> 0.318, "f6" -> 0.43, "f7" -> 0.323, "f8" -> 0.341, "f9" -> 0.566, "g1" -> 0.186,
+    "g2" -> 0.422, "g3" -> 1.079, "g4" -> 0.697, "g5" -> 0.213, "g6" -> 0.382, "h1" -> 0.275,
+    "h10" -> 0.471, "h100" -> 0.578, "h101" -> 0.469, "h102" -> 2.01, "h103" -> 0.498, "h11" -> 0.742,
+    "h12" -> 0.484, "h13" -> 0.462, "h14" -> 0.41, "h15" -> 1.321, "h16" -> 0.294, "h17" -> 1.295,
+    "h18" -> 0.464, "h19" -> 0.697, "h2" -> 0.291, "h20" -> 0.855, "h21" -> 0.163, "h22" -> 0.549,
+    "h23" -> 0.825, "h24" -> 0.512, "h25" -> 0.982, "h26" -> 0.933, "h27" -> 1.128, "h28" -> 0.673,
+    "h29" -> 0.639, "h3" -> 0.275, "h30" -> 0.677, "h31" -> 0.333, "h32" -> 0.481, "h33" -> 0.324,
+    "h34" -> 0.254, "h35" -> 0.203, "h36" -> 0.304, "h37" -> 0.232, "h38" -> 1.523, "h39" -> 0.869,
+    "h4" -> 0.604, "h40" -> 0.855, "h41" -> 0.191, "h42" -> 0.669, "h43" -> 0.452, "h44" -> 1.159,
+    "h45" -> 0.636, "h46" -> 0.513, "h47" -> 1.87, "h48" -> 0.963, "h49" -> 0.687, "h5" -> 2.236,
+    "h50" -> 0.925, "h51" -> 0.685, "h52" -> 0.365, "h53" -> 0.535, "h54" -> 0.907, "h55" -> 0.965,
+    "h56" -> 1.373, "h57" -> 0.368, "h58" -> 0.72, "h59" -> 0.498, "h6" -> 0.937, "h60" -> 0.994,
+    "h61" -> 3.457, "h62" -> 0.73, "h63" -> 0.515, "h64" -> 0.47, "h65" -> 0.902, "h66" -> 1.066,
+    "h67" -> 1.59, "h68" -> 0.817, "h69" -> 0.38, "h7" -> 0.629, "h70" -> 0.19, "h71" -> 0.234,
+    "h72" -> 0.607, "h73" -> 0.516, "h74" -> 1.804, "h75" -> 1.046, "h76" -> 0.24, "h77" -> 0.26,
+    "h78" -> 1.136, "h79" -> 0.388, "h8" -> 0.453, "h80" -> 2.118, "h81" -> 0.791, "h82" -> 0.485,
+    "h83" -> 0.344, "h84" -> 0.443, "h85" -> 0.539, "h86" -> 0.785, "h87" -> 0.713, "h88" -> 0.408,
+    "h89" -> 1.116, "h9" -> 0.586, "h90" -> 1.244, "h91" -> 0.729, "h92" -> 0.418, "h93" -> 0.516,
+    "h94" -> 0.563, "h95" -> 0.621, "h96" -> 0.325, "h97" -> 0.464, "h98" -> 0.522, "h99" -> 0.463,
+    // h104 joined after the r14 triple: QTime 5-sample median anchor
+    // (SPARK_GRAFT_MATERIALIZE=1, same sf0.1), folded into the next re-pin
+    "h104" -> 2.053)
 
   /** Queries declared in the registry but not yet pinned above — the
     * documented mid-round grace window between a query's addition and the
@@ -80,7 +83,7 @@ object Bench {
     * silently join the fallback path: it must either be pinned or be listed
     * here explicitly. Empty whenever the pin is fresh.
     */
-  private[graft] val pinGrace: Set[String] = Set("h103", "h104")
+  private[graft] val pinGrace: Set[String] = Set()
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
