@@ -72,7 +72,9 @@ object Bench {
     "h94" -> 0.563, "h95" -> 0.621, "h96" -> 0.325, "h97" -> 0.464, "h98" -> 0.522, "h99" -> 0.463,
     // h104 joined after the r14 triple: QTime 5-sample median anchor
     // (SPARK_GRAFT_MATERIALIZE=1, same sf0.1), folded into the next re-pin
-    "h104" -> 2.053)
+    "h104" -> 2.053,
+    // h105 likewise: QTime anchor from this round
+    "h105" -> 1.885)
 
   /** Queries declared in the registry but not yet pinned above — the
     * documented mid-round grace window between a query's addition and the

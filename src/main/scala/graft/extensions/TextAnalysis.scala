@@ -358,6 +358,72 @@ object TextAnalysis {
           .as("novelty"))
   }
 
+  /** Cumulative corpus-diversity ("diminishing novelty") curve: the corpus
+    * splits into `nBuckets` equal-width ingestion buckets by id, and each
+    * bucket reports how many of its distinct 3-gram shingles are FIRST seen
+    * there — the marginal-diversity curve a data-acquisition team reads to
+    * decide whether the next crawl slice still adds variety (per-bucket
+    * novelty decays toward the exact-dup floor as the corpus saturates;
+    * complements [[noveltyScores]], which is per-DOC overlap, by profiling
+    * the corpus's GROWTH direction).
+    *
+    * Bucketing is `least(nBuckets−1, (id − lo)·nBuckets div (hi − lo + 1))`
+    * — pure integer math against a broadcast one-row bounds aggregate, so
+    * the bucket is a scan-side column (never a global ntile window, which
+    * would funnel the corpus through one partition).
+    *
+    * Shapes: exactly TWO shingle-keyed exchanges over the whole curve —
+    * (1) occurrences + distinct-per-bucket fused into ONE
+    * groupBy(bucket).agg(count, count_distinct) pass (Catalyst plans the
+    * mixed distinct/plain pair as a partial-deduping two-phase aggregate,
+    * so no separate `.distinct()` subtree runs, let alone twice); (2)
+    * first-seen as groupBy(shingle).min(bucket) DIRECTLY over the raw
+    * occurrence rows — the min is dedup-insensitive, so the distinct
+    * relation is never materialized for it and the partial min combines
+    * map-side. Everything after is nBuckets-row joins. At 100 TB the
+    * shingle strings would fold to xxhash64 first (the
+    * [[Dedup.contaminationPairsFromShingles]] trick) to shrink both
+    * exchanges ~3×; the raw-string form keeps the DuckDB oracle exactly
+    * equal. A bucket whose shingles were ALL seen earlier still reports
+    * (n_first_seen = 0) via the outer join.
+    *
+    * Output: (bucket, n_occurrences, n_distinct, n_first_seen, novelty_q,
+    * novelty), novelty = first-seen share of the bucket's distinct
+    * shingles, micro-quantized.
+    */
+  def noveltyCurve(docs: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int = 10): DataFrame =
+    noveltyCurveFromShingles(
+      Dedup.shingleRows(docs, idCol, textCol), idCol, "shingle", nBuckets)
+
+  /** [[noveltyCurve]] from an ALREADY-BUILT shingle relation (`idCol`,
+    * `shingleCol` [, others — ignored]) — the [[Dedup.shingleRows]]
+    * decomposition; [[noveltyCurve]] delegates here, so the monolithic and
+    * materialized paths cannot drift.
+    */
+  def noveltyCurveFromShingles(shingles: DataFrame, idCol: String,
+      shingleCol: String, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val sh = shingles.select(col(idCol).as("id"), col(shingleCol).as("sh"))
+    val bounds = sh.agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+    val bucketed = sh.crossJoin(broadcast(bounds))
+      .select(least(lit(nBuckets - 1).cast("long"),
+        expr(s"(id - lo) * $nBuckets div (hi - lo + 1)")).as("bucket"),
+        col("sh"))
+    val perBucket = bucketed.groupBy("bucket").agg(
+      count(lit(1)).as("n_occurrences"),
+      countDistinct(col("sh")).as("n_distinct"))
+    val firstSeen = bucketed.groupBy("sh").agg(min(col("bucket")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_first_seen"))
+    perBucket.join(firstSeen, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_occurrences"), col("n_distinct"),
+        coalesce(col("n_first_seen"), lit(0L)).as("n_first_seen"),
+        floor(coalesce(col("n_first_seen"), lit(0L)).cast("double") /
+          col("n_distinct").cast("double") * 1e6 + 0.5)
+          .cast("long").as("novelty_q"))
+      .withColumn("novelty", col("novelty_q").cast("double") / 1e6)
+  }
+
   /** Per-domain percentile quality gate (the FineWeb-style "keep the best
     * X% of each domain" selection): rank every document within its domain
     * by [[qualityScore]] (desc, doc-id tiebreak) and keep the top half —

@@ -651,6 +651,51 @@ object GroupH12 {
       .orderBy("src_id")
   }
 
+  /** Cumulative corpus-diversity curve
+    * ([[graft.extensions.TextAnalysis.noveltyCurve]], 10 buckets): per
+    * ingestion bucket, the share of its distinct 3-gram shingles first seen
+    * there — the diminishing-novelty diagnostic a data-acquisition team
+    * reads before paying for the next crawl slice. Consumes the shared
+    * exploded shingle relation (the h5/h6/h62 pattern); bucket assignment
+    * is scan-side integer math over a broadcast bounds row, and the curve
+    * is two map-side-partial shingle-keyed aggregates — both engines replay
+    * the identical integer chain.
+    */
+  val h105 = Q(
+    "h105_novelty_curve",
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |base AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 3),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      |  FROM base),
+      |bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM sh),
+      |b AS (
+      |  SELECT CAST(least(9, (doc_id - lo) * 10 // (hi - lo + 1)) AS BIGINT) AS bucket, shingle
+      |  FROM sh, bounds),
+      |occ AS (SELECT bucket, count(*) AS n_occurrences FROM b GROUP BY bucket),
+      |d AS (SELECT DISTINCT bucket, shingle FROM b),
+      |nd AS (SELECT bucket, count(*) AS n_distinct FROM d GROUP BY bucket),
+      |fs AS (SELECT bucket, count(*) AS n_first_seen FROM (
+      |  SELECT shingle, min(bucket) AS bucket FROM d GROUP BY shingle) GROUP BY bucket)
+      |SELECT occ.bucket, n_occurrences, n_distinct,
+      |  coalesce(n_first_seen, 0) AS n_first_seen,
+      |  CAST(floor(CAST(coalesce(n_first_seen, 0) AS DOUBLE)
+      |    / CAST(n_distinct AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS novelty_q,
+      |  CAST(CAST(floor(CAST(coalesce(n_first_seen, 0) AS DOUBLE)
+      |    / CAST(n_distinct AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+      |    / 1000000 AS novelty
+      |FROM occ JOIN nd USING (bucket) LEFT JOIN fs USING (bucket)
+      |ORDER BY bucket""".stripMargin) { (s, d) =>
+    graft.extensions.TextAnalysis.noveltyCurveFromShingles(
+        DupGraph.shingleRows(s, d), "doc_id", "shingle", nBuckets = 10)
+      .orderBy("bucket")
+  }
+
   val all: Seq[Q] =
-    Seq(h92, h93, h94, h95, h96, h97, h98, h99, h100, h101, h102, h103, h104)
+    Seq(h92, h93, h94, h95, h96, h97, h98, h99, h100, h101, h102, h103, h104,
+      h105)
 }

@@ -293,6 +293,31 @@ class Round5Spec extends SparkSpec {
     assert(real.filter($"novelty" < 0 || $"novelty" > 1).count() === 0)
   }
 
+  test("noveltyCurve: hand-checked two-bucket curve; first bucket all-novel") {
+    val tiny = Seq(
+      (0L, "a b c"), (1L, "a b c"),           // bucket 0: abc twice
+      (2L, "a b c"), (3L, "d e f")            // bucket 1: abc (seen), def (new)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyCurve(tiny, "doc_id", "text", nBuckets = 2)
+      .orderBy("bucket")
+      .select("bucket", "n_occurrences", "n_distinct", "n_first_seen", "novelty")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(out.toSeq === Seq((0L, 2L, 1L, 1L, 1.0), (1L, 2L, 2L, 1L, 0.5)))
+    // real-corpus invariants: the earliest bucket is all-novel by
+    // construction, shares stay in [0,1], and the first-seen counts
+    // partition the corpus's distinct shingle set exactly
+    val rows = TextAnalysis.noveltyCurve(docs, "doc_id", "text")
+      .orderBy("bucket")
+      .select("bucket", "n_distinct", "n_first_seen", "novelty")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.head._4 === 1.0)
+    assert(rows.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+    val totalDistinct = graft.extensions.Dedup
+      .shingleRows(docs, "doc_id", "text")
+      .select("shingle").distinct().count()
+    assert(rows.map(_._3).sum === totalDistinct)
+  }
+
   test("percentileGate: keeps exactly the top half of each domain, ranks dense from 1") {
     val out = TextAnalysis.percentileGate(docs, "doc_id", "text", "source")
     val bySrc = out.select("domain", "rank_in_domain", "n_in_domain")
