@@ -319,17 +319,52 @@ object Similarity {
         floor(cosine(col("sv"), col("tv")) * 1e4 + 0.5).cast("long").as("cq"))
     val wF = Window.partitionBy("src_id").orderBy(col("cq").desc, col("tgt_id"))
     val wB = Window.partitionBy("tgt_id").orderBy(col("cq").desc, col("src_id"))
-    // per-src: top-k sum/count + the best pair, ONE window-pruned pass
-    val kx = scored.withColumn("rn", row_number().over(wF))
-      .filter(col("rn") <= k)
+    marginTail(
+      scored.withColumn("rn", row_number().over(wF)).filter(col("rn") <= k),
+      scored.withColumn("rn", row_number().over(wB)).filter(col("rn") <= k))
+  }
+
+  /** [[marginMining]]'s margin/mutual tail over ALREADY-BUILT top-k
+    * neighbor relations — the decomposition that makes the "swap the exact
+    * scorer for an ANN candidate generator at scale" posture runnable code.
+    * `forward` holds, per src vector, its (up to k) best tgt neighbors as
+    * `(src_id, tgt_id, rank, cos)` with rank 1 the best; `backward` the
+    * same per tgt vector over src (same column names — `rank` there is the
+    * per-tgt rank). Any generator emitting the [[bruteForceTopK]] output
+    * contract fits after renaming `(query_id, neighbor_id)` to the side's
+    * `(src_id, tgt_id)` roles — exact, [[ivfTopK]] or [[lshTopK]].
+    *
+    * The tail re-quantizes the 4-dp `cos` to the same 10⁻⁴ integer units
+    * and replays [[marginMining]]'s exact integer margin chain, so exact
+    * top-k inputs reproduce it bit-for-bit (SimilaritySpec pins that);
+    * ANN-fed inputs differ only where the generator's recall differs —
+    * margins stay comparable because the denominator uses each side's OWN
+    * candidate neighborhood, mirroring how CCMatrix mines from faiss
+    * top-k lists rather than exact ones.
+    */
+  def marginMiningFromTopK(forward: DataFrame, backward: DataFrame): DataFrame = {
+    def quantized(df: DataFrame) = df.select(col("src_id"), col("tgt_id"),
+      floor(col("cos") * 1e4 + 0.5).cast("long").as("cq"), col("rank").as("rn"))
+    marginTail(quantized(forward), quantized(backward))
+  }
+
+  /** Shared margin math over the two pruned candidate relations
+    * (`src_id`, `tgt_id`, `cq`, `rn` — ≤ k rows per vector): per-side top-k
+    * sums/counts + best pair in ONE aggregate each, then the tiny
+    * per-vector join computing the CASE-guarded integer margin.
+    * [[marginMining]] and [[marginMiningFromTopK]] both delegate here, so
+    * the exact and ANN-fed paths cannot drift.
+    */
+  private def marginTail(f: DataFrame, b: DataFrame): DataFrame = {
+    // per-src: top-k sum/count + the best pair, ONE aggregate pass
+    val kx = f
       .groupBy("src_id")
       .agg(sum(col("cq")).as("sx"), count(lit(1)).as("nx"),
         min_by(struct(col("tgt_id"), col("cq")), col("rn")).as("best"))
       .select(col("src_id"), col("sx"), col("nx"),
         col("best.tgt_id").as("tgt_id"), col("best.cq").as("cq"))
     // per-tgt: top-k sum/count + the backward-best source
-    val ky = scored.withColumn("rn", row_number().over(wB))
-      .filter(col("rn") <= k)
+    val ky = b
       .groupBy("tgt_id")
       .agg(sum(col("cq")).as("sy"), count(lit(1)).as("ny"),
         min_by(col("src_id"), col("rn")).as("b_src"))

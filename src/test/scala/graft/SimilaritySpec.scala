@@ -133,4 +133,42 @@ class SimilaritySpec extends SparkSpec {
     assert(got.size === sv.size)
     assert(got === expected)
   }
+
+  test("marginMiningFromTopK: exact-fed == marginMining bit-for-bit; IVF-fed mines real pairs") {
+    val src = embs.filter(col("label") % 2 === 0)
+    val tgt = embs.filter(col("label") % 2 === 1)
+    val direct = Similarity.marginMining(src, tgt, "vec_id", "embedding", k = 4)
+    // any generator emitting the bruteForceTopK contract plugs in after a
+    // role rename; the parity split makes the two id sets disjoint, so the
+    // generator's self-pair exclusion never fires
+    def roles(df: org.apache.spark.sql.DataFrame, qAs: String, nAs: String) =
+      df.select(col("query_id").as(qAs), col("neighbor_id").as(nAs),
+        col("rank"), col("cos"))
+    val exactFed = Similarity.marginMiningFromTopK(
+      roles(Similarity.bruteForceTopK(tgt, src, "vec_id", "embedding", 4),
+        "src_id", "tgt_id"),
+      roles(Similarity.bruteForceTopK(src, tgt, "vec_id", "embedding", 4),
+        "tgt_id", "src_id"))
+    assert(direct.exceptAll(exactFed).count() === 0)
+    assert(exactFed.exceptAll(direct).count() === 0)
+
+    // the documented scale path: IVF candidate lists feed the same tail
+    val ivfFed = Similarity.marginMiningFromTopK(
+      roles(Similarity.ivfTopK(tgt, src, "vec_id", "embedding", 4),
+        "src_id", "tgt_id"),
+      roles(Similarity.ivfTopK(src, tgt, "vec_id", "embedding", 4),
+        "tgt_id", "src_id"))
+    val exactBest = direct.select("src_id", "tgt_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ivfBest = ivfFed.select("src_id", "tgt_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ivfBest.nonEmpty && ivfBest.size <= exactBest.size)
+    // smoke recall bound (like the LSH test): sf0.001's 2-of-16-centroid
+    // probes are coarse — this guards "the tail mines real neighbors from
+    // ANN lists", not production recall (nProbe/nCentroids tune that up)
+    val agree = ivfBest.count { case (s, t) => exactBest.get(s).contains(t) }
+      .toDouble / ivfBest.size
+    info(s"IVF-fed best-pair agreement with exact: $agree")
+    assert(agree >= 0.3, s"IVF-fed agreement too low: $agree")
+  }
 }
