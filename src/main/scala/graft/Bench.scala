@@ -74,7 +74,7 @@ object Bench {
     // (SPARK_GRAFT_MATERIALIZE=1, same sf0.1), folded into the next re-pin
     "h104" -> 2.053,
     // h105 likewise: QTime anchor from this round
-    "h105" -> 1.885)
+    "h105" -> 1.885, "h106" -> 1.003, "h107" -> 1.618)
 
   /** Queries declared in the registry but not yet pinned above — the
     * documented mid-round grace window between a query's addition and the

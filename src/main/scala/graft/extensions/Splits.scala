@@ -37,4 +37,114 @@ object Splits {
   def withSplit(df: DataFrame, idCol: String, trainBuckets: Int = 205,
       validBuckets: Int = 25): DataFrame =
     df.withColumn("split", splitLabel(col(idCol), trainBuckets, validBuckets))
+
+  /** Deterministic token-budget PPS (probability-proportional-to-size)
+    * sampling — systematic selection over the cumulative weight mass: lay
+    * every row's weight on the integer number line in id order and pick
+    * each row whose interval `(cum − w, cum]` crosses a multiple of
+    * `step = max(1, total div n)`. Rows are selected with probability
+    * proportional to weight (a row with w ≥ step is ALWAYS picked, with
+    * `n_hits` ≥ 1 multiplicity), exactly `total div step` hits are drawn,
+    * and the whole construction is pure integer math — reproducible across
+    * runs, engines and partitionings, and replayable by the SQL oracle
+    * (unlike rand()-keyed PPS, which changes with layout). The canonical
+    * use: sample ~n documents proportional to token counts so the draw's
+    * expected token mass matches a training-mix budget.
+    *
+    * The cumulative sum is a DISTRIBUTED TWO-LEVEL PREFIX SCAN, not a
+    * global window: ids bucket by `id div bucketWidth`; per-bucket totals
+    * aggregate map-side (nBuckets rows out); their exclusive running
+    * offsets compute on that tiny totals relation (the only unpartitioned
+    * window — bounded by nBuckets, then broadcast back); and the
+    * corpus-sized within-bucket cumsum is a window PARTITIONED by bucket.
+    * Every corpus-scale operation is partition-parallel — the classic scan
+    * decomposition. At 100 TB, bucketWidth sizes buckets to a partition,
+    * and the same two-phase shape serves any id-ordered prefix aggregate
+    * (quota fills, curriculum cutoffs, token-budget truncation).
+    *
+    * Output: picked rows only — (id, w, cum, pick_idx, n_hits), pick_idx
+    * the index of the first step multiple inside the row's interval.
+    */
+  def ppsSample(df: DataFrame, idCol: String, weight: Column, n: Int,
+      bucketWidth: Long = 1L << 20): DataFrame = {
+    require(n >= 1, s"sample size n must be >= 1, got $n")
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val w = df.select(col(idCol).as("id"),
+      coalesce(weight.cast("long"), lit(0L)).as("w"))
+    val b = w.withColumn("bucket", expr(s"id div $bucketWidth"))
+    val total = b.agg(sum(col("w")).as("total"))
+    twoLevelCum(b, Seq(col("id")))
+      .crossJoin(broadcast(total))
+      .withColumn("step", greatest(lit(1L), expr(s"total div $n")))
+      .filter(col("w") > 0 &&
+        expr("cum div step") > expr("(cum - w) div step"))
+      .select(col("id"), col("w"), col("cum"),
+        expr("CAST((cum - w) div step + 1 AS BIGINT)").as("pick_idx"),
+        expr("CAST(cum div step - (cum - w) div step AS BIGINT)").as("n_hits"))
+  }
+
+  /** Token-budget fill — "take the BEST documents until the budget is
+    * spent": rows are laid on the cumulative weight line in descending
+    * `score` order (id tiebreak) and every positive-weight row whose
+    * interval starts before `budget` is kept, so the kept set is exactly
+    * the greedy quality-first fill of a token budget (the boundary
+    * document that exhausts the budget ships — drop the last row
+    * client-side for a strict-under fill). The selection recipe of a
+    * "fill N tokens with the highest-quality data" training mix, as pure
+    * integer math: reproducible across runs, engines and layouts, and
+    * replayable by a single SQL cumsum.
+    *
+    * `score` must be a [0,1] value already quantized to 4 dp (the
+    * [[TextAnalysis.qualityScore]] contract); it is lifted to integer
+    * 10⁻⁴ units and the prefix sum runs over the same DISTRIBUTED
+    * TWO-LEVEL SCAN as [[ppsSample]] — here the buckets are descending
+    * score BANDS (`(10000 − score_q) div bandWidth`, ascending bucket ⇔
+    * descending score range, so the band concatenation IS the global
+    * order), the within-band cumsum is band-partitioned, and only the
+    * ≤ 10000/bandWidth band totals cross the one tiny unpartitioned
+    * window. A skewed score distribution concentrates rows in few bands —
+    * shrink bandWidth (more, smaller bands) the way you would re-bucket
+    * any range partitioning.
+    *
+    * Output: kept rows only — (id, w, score_q, cum).
+    */
+  def budgetFill(df: DataFrame, idCol: String, weight: Column, score: Column,
+      budget: Long, bandWidth: Int = 100): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(bandWidth >= 1 && bandWidth <= 10000,
+      s"bandWidth must be in [1, 10000], got $bandWidth")
+    val rows = df.select(col(idCol).as("id"),
+      coalesce(weight.cast("long"), lit(0L)).as("w"),
+      floor(score * 1e4 + 0.5).cast("long").as("score_q"))
+    val b = rows.withColumn("bucket",
+      expr(s"(10000 - score_q) div $bandWidth"))
+    twoLevelCum(b, Seq(col("score_q").desc, col("id")))
+      .filter(col("w") > 0 && col("cum") - col("w") < budget)
+      .select(col("id"), col("w"), col("score_q"), col("cum"))
+  }
+
+  /** The distributed two-level prefix scan [[ppsSample]] and [[budgetFill]]
+    * share: `rows` carries (`bucket`, `w`, order columns…) where ascending
+    * `bucket` concatenated with the within-bucket `order` IS the intended
+    * global order. Per-bucket totals aggregate map-side; their exclusive
+    * running offsets compute on the tiny totals relation (the only
+    * unpartitioned window — nBuckets rows) and broadcast back; the
+    * row-level cumsum is a bucket-PARTITIONED window. Returns the input
+    * plus `cum`.
+    */
+  private def twoLevelCum(rows: DataFrame,
+      order: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val totals = rows.groupBy("bucket").agg(sum(col("w")).as("bw"))
+    val wOff = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("off", coalesce(sum(col("bw")).over(wOff), lit(0L)))
+      .select("bucket", "off")
+    val wIn = Window.partitionBy("bucket").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows.join(broadcast(offsets), "bucket")
+      .withColumn("cum", col("off") + sum(col("w")).over(wIn))
+      .drop("off")
+  }
 }

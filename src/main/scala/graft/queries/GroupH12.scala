@@ -695,7 +695,95 @@ object GroupH12 {
       .orderBy("bucket")
   }
 
+  /** Token-budget PPS sampling ([[graft.extensions.Splits.ppsSample]],
+    * n = 100 over token counts, bucketWidth = 64 so the two-level prefix
+    * scan actually exercises multiple buckets at every SF): systematic
+    * probability-proportional-to-size selection over the cumulative token
+    * mass — pure integer math end to end, so the oracle's single-window
+    * cumsum replays the distributed two-level scan exactly (integer
+    * addition reassociates freely; the per-bucket offsets + partitioned
+    * within-bucket windows produce the identical cum column).
+    */
+  val h106 = Q(
+    "h106_pps_sample",
+    """WITH tok AS (
+      |  SELECT doc_id AS id,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |                         t -> len(t) > 0)) AS BIGINT) AS w
+      |  FROM documents),
+      |c AS (
+      |  SELECT id, w,
+      |    CAST(sum(w) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM tok),
+      |t AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM tok),
+      |s AS (SELECT greatest(1, total // 100) AS step FROM t)
+      |SELECT id AS doc_id, w AS n_tokens, cum AS cum_tokens,
+      |  CAST((cum - w) // step + 1 AS BIGINT) AS pick_idx,
+      |  CAST(cum // step - (cum - w) // step AS BIGINT) AS n_hits
+      |FROM c, s
+      |WHERE w > 0 AND cum // step > (cum - w) // step
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    graft.extensions.Splits.ppsSample(
+        docs, "doc_id",
+        size(graft.extensions.TextOps.tokens(col("text"))), n = 100,
+        bucketWidth = 64L)
+      .select(col("id").as("doc_id"), col("w").as("n_tokens"),
+        col("cum").as("cum_tokens"), col("pick_idx"), col("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality-first token-budget fill ([[graft.extensions.Splits
+    * .budgetFill]] over [[graft.extensions.TextAnalysis.qualityScore]],
+    * budget = 10,000 tokens): the greedy "fill N tokens with the
+    * highest-quality documents" training-mix selection — documents in
+    * descending composite-quality order (id tiebreak) until the budget is
+    * exhausted, boundary doc included. The prefix sum is the same
+    * distributed two-level scan as h106 with descending score BANDS as
+    * buckets; the oracle replays h11's exact quality chain plus one SQL
+    * cumsum — integer token counts reassociate freely, so the band
+    * decomposition is exactly equal.
+    */
+  val h107 = Q(
+    "h107_budget_fill",
+    """WITH tok AS (
+      |  SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\s+'),
+      |                                   t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    floor(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+      |      / greatest(length(text), 1)::DOUBLE * 10000 + 0.5) / 10000 AS alpha_ratio,
+      |    floor(len(list_filter(toks, t -> list_contains(['the','a','and','of','to','in','is','it','for','on'], t)))
+      |      / greatest(len(toks), 1)::DOUBLE * 10000 + 0.5) / 10000 AS stopword_ratio
+      |  FROM tok),
+      |q AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(floor((floor((least(n_tokens / 64.0, 1.0) * 0.5 + alpha_ratio * 0.3 +
+      |          least(stopword_ratio * 4.0, 1.0) * 0.2) * 10000 + 0.5) / 10000)
+      |      * 10000 + 0.5) AS BIGINT) AS score_q
+      |  FROM m),
+      |c AS (
+      |  SELECT doc_id, n_tokens, score_q,
+      |    CAST(sum(n_tokens) OVER (ORDER BY score_q DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM q)
+      |SELECT doc_id, n_tokens, score_q, cum
+      |FROM c
+      |WHERE n_tokens > 0 AND cum - n_tokens < 10000
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.extensions.{Splits, TextAnalysis}
+    val q = TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text")
+    Splits.budgetFill(q, "doc_id", col("n_tokens"), col("quality_score"),
+        budget = 10000L, bandWidth = 100)
+      .select(col("id").as("doc_id"), col("w").as("n_tokens"),
+        col("score_q"), col("cum"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(h92, h93, h94, h95, h96, h97, h98, h99, h100, h101, h102, h103, h104,
-      h105)
+      h105, h106, h107)
 }

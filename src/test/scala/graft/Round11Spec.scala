@@ -83,7 +83,21 @@ class Round11Spec extends SparkSpec {
     // trips if the prune is lost (full pair relation shuffling would be
     // ~25–110× these numbers).
     ("h104_bitext_margin", "/root/testdata/sf0.001", 3400L),
-    ("h104_bitext_margin", "/root/testdata/sf0.1", 13600L))
+    ("h104_bitext_margin", "/root/testdata/sf0.1", 13600L),
+    // h106 (round 14): the two-level prefix scan shuffles ~one row per doc
+    // (the bucket-partitioned window exchange) plus the nBuckets-row totals
+    // and the sampled display sort — measured 617 records at sf0.001 and
+    // 5,259 at sf0.1 (docs-proportional, as the scan decomposition claims);
+    // the ceiling trips if the cumsum regresses to a corpus-sized global
+    // window funneling everything through one partition twice
+    ("h106_pps_sample", "/root/testdata/sf0.001", 950L),
+    ("h106_pps_sample", "/root/testdata/sf0.1", 8000L),
+    // h107 (round 14): budgetFill's banded scan — same docs-proportional
+    // posture as h106 (measured 733 / 5,245 records) with the quality
+    // projection riding the scan; same regression target (a global-window
+    // cumsum would double-funnel the corpus)
+    ("h107_budget_fill", "/root/testdata/sf0.001", 1100L),
+    ("h107_budget_fill", "/root/testdata/sf0.1", 7900L))
 
   for ((name, dir, ceiling) <- pins) {
     val sfLabel = dir.split('/').last
