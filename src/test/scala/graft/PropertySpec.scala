@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalacheck.Prop.propBoolean
 
-import graft.extensions.{Similarity, TextOps}
+import graft.extensions.{Similarity, Splits, TextOps}
 
 /** ScalaCheck property suites (SURVEY.md §5.2): algebraic laws of the text
   * primitives, similarity expression, deterministic dedup, and timestamp
@@ -367,6 +367,57 @@ class PropertySpec extends SparkSpec {
       val f = scores(agg.sortBy(a => (a._3, a._1)).map(_._1))
       val m = scores(agg.sortBy(a => (a._4, a._1)).map(_._1))
       agg.forall { case (e, _, _, _) => got(e) == ((r(e), f(e), m(e))) }
+    })
+  }
+
+  test("ppsSample: draw == driver systematic-PPS reference; hits partition total div step") {
+    val rowsGen = Gen.listOfN(30, Gen.chooseNum(0L, 50L))
+    check(Prop.forAll(rowsGen, Gen.chooseNum(1, 10)) { (ws, n) =>
+      val total = ws.sum
+      (total > 0) ==> {
+        val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "w")
+        val got = Splits.ppsSample(df, "id", $"w", n, bucketWidth = 7L)
+          .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
+        val step = math.max(1L, total / n)
+        var cum = 0L
+        val want = ws.zipWithIndex.flatMap { case (w, i) =>
+          val prev = cum; cum += w
+          if (w > 0 && cum / step > prev / step)
+            Some((i.toLong, cum, cum / step - prev / step))
+          else None
+        }.toSet
+        val heavyDrawn = ws.zipWithIndex
+          .filter { case (w, _) => w >= step }
+          .forall { case (_, i) => got.exists(_._1 == i.toLong) }
+        (got == want) :| s"draw mismatch: got=$got want=$want" &&
+          (got.toSeq.map(_._3).sum == total / step) :| "hits must partition total div step" &&
+          heavyDrawn :| "a row with w >= step must always be drawn"
+      }
+    })
+  }
+
+  test("budgetFill: kept == the greedy quality-order prefix; larger budgets only extend") {
+    val rowGen = for {
+      w <- Gen.chooseNum(0L, 30L)
+      q <- Gen.chooseNum(0, 10000)
+    } yield (w, q)
+    check(Prop.forAll(Gen.listOfN(25, rowGen), Gen.chooseNum(1L, 300L)) { (rows, budget) =>
+      val df = rows.zipWithIndex
+        .map { case ((w, q), i) => (i.toLong, w, q / 10000.0) }.toDF("id", "w", "q")
+      def fill(b: Long) = Splits.budgetFill(df, "id", $"w", $"q", b, bandWidth = 100)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+      val got = fill(budget)
+      var cum = 0L
+      val want = rows.zipWithIndex
+        .map { case ((w, q), i) => (i.toLong, w, q) }
+        .sortBy { case (id, _, q) => (-q, id) }
+        .flatMap { case (id, w, _) =>
+          val prev = cum; cum += w
+          if (w > 0 && prev < budget) Some((id, cum)) else None
+        }.toSet
+      val extended = fill(budget + 37L).map(_._1)
+      (got == want) :| s"greedy prefix mismatch: got=$got want=$want" &&
+        got.map(_._1).subsetOf(extended) :| "raising the budget must only add rows"
     })
   }
 }
