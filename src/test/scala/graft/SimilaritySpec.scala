@@ -171,4 +171,44 @@ class SimilaritySpec extends SparkSpec {
     info(s"IVF-fed best-pair agreement with exact: $agree")
     assert(agree >= 0.3, s"IVF-fed agreement too low: $agree")
   }
+
+  test("margin mining deflates hub matches: equal cosine, lower margin for the hub") {
+    import spark.implicits._
+    // 2-D unit vectors by angle: a hub cluster near 0 rad (the hub target
+    // is everyone's near-match, so both neighborhood averages are high)
+    // and one isolated pair near pi/2 (high mutual cosine, low averages).
+    // Raw cosine scores the two best pairs identically; the ratio margin
+    // must rank the isolated pair ABOVE the hub pair — the hubness
+    // correction the operator exists for (Artetxe & Schwenk 2019 sec. 3).
+    def vec(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    // src ids 0..3 cluster at the hub; src 4 is isolated
+    val src = Seq(
+      (0L, vec(2)), (1L, vec(4)), (2L, vec(6)), (3L, vec(8)),
+      (4L, vec(92))).toDF("vec_id", "embedding")
+    // tgt 100 = the hub (angle 0); 101..102 hub-cluster fillers on the far
+    // side of the hub (so the hub stays every clustered src's BEST match
+    // while keeping their top-k neighborhoods dense); tgt 103 = the
+    // isolated match (angle 90 = the same 2-degree gap to src 4)
+    val tgt = Seq(
+      (100L, vec(0)), (101L, vec(-3)), (102L, vec(-5)),
+      (103L, vec(90))).toDF("vec_id", "embedding")
+    val out = Similarity.marginMining(src, tgt, "vec_id", "embedding", k = 3)
+      .select("src_id", "tgt_id", "cos", "margin")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val (hubTgt, hubCos, hubMargin) = out(0L)
+    val (isoTgt, isoCos, isoMargin) = out(4L)
+    assert(hubTgt === 100L)
+    assert(isoTgt === 103L)
+    // identical raw cosine (both best pairs are 2 degrees apart)...
+    assert(hubCos === isoCos)
+    // ...but the hub pair's margin is deflated by its dense neighborhood
+    assert(isoMargin > hubMargin,
+      s"isolated margin $isoMargin must exceed hub margin $hubMargin")
+    assert(isoMargin > 1.2 && hubMargin < 1.1,
+      s"expected a clear separation, got iso=$isoMargin hub=$hubMargin")
+  }
 }
