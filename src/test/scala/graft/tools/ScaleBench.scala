@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   * but the shared constructions persist as bucketed parquet tables —
   * exchange-count evidence in the JSON), `tail<N>x` (the steady-state
   * tail: blocked fuzzy linkage, novelty, column profile, decontamination,
-  * bigram LM, basket lift at N×), `hub<N>k` (adversarial-skew triangle
+  * bigram LM, basket lift, novelty curve, PPS sampling, budget fill at N×), `hub<N>k` (adversarial-skew triangle
   * enumeration, hub degree N·1000), `chain<N>k` (adversarial-diameter
   * connected components, N·1000-node path), `stream<B>` (B×100k-event
   * micro-batches through the stateful streaming operators — throughput +
@@ -139,7 +139,7 @@ object ScaleBench {
   }
 
   /** Steady-state-tail mode (`… ScaleBench <sfDir> tail<N>x`, e.g.
-    * `tail10x`, `tail30x`): the six 1.6–1.9 s sf0.1 queries whose scale
+    * `tail10x`, `tail30x`): the steady-state-tail queries whose scale
     * stories were plan-read but never measured — h74 blocked fuzzy linkage
     * (Σ|block|²), h62 n-gram novelty (shingle-df join-back), h38 column
     * profile (stack generator → partial agg), h28 decontamination
@@ -177,7 +177,13 @@ object ScaleBench {
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val names = Seq("h74_blocked_fuzzy_match", "h62_ngram_novelty",
       "h38_column_profile", "h28_benchmark_decontamination",
-      "h47_bigram_lm_score", "h80_basket_lift")
+      "h47_bigram_lm_score", "h80_basket_lift",
+      // round 14: the three new document-table operators — novelty curve
+      // (two shingle-keyed aggregates), PPS sampling and budget fill (the
+      // two-level prefix scan) — join the measured-tail set so their
+      // docs-linear claims carry wall-clock evidence, not just the
+      // Round11Spec record ceilings
+      "h105_novelty_curve", "h106_pps_sample", "h107_budget_fill")
     val js = names.map { n =>
       def once(d: String): Double = {
         val t0 = System.nanoTime()
