@@ -29,7 +29,9 @@ import org.apache.spark.sql.functions._
   * sampling over real containers at 1× vs N× — byte-linearity evidence),
   * `mjpeg<N>x` (same harness over MJPG containers — the ImageIO JPEG
   * frame-decode branch), `audio<N>x` (WAV decode + 2:1 resample + sample
-  * sums at 1× vs N× — the audio member of the per-modality series);
+  * sums at 1× vs N× — the audio member of the per-modality series),
+  * `margin<N>x` (h104's exact vs IVF-fed margin-mining scorers at 1× vs
+  * N× embeddings — the swap-the-scorer-at-scale evidence);
   * no mode = the 10× suite.
   */
 object ScaleBench {
@@ -136,6 +138,70 @@ object ScaleBench {
       s""""${n.takeWhile(_ != '_')}":{"base":${f3(t1)},"x$copies":${f3(tN)},"ratio":${f3(tN / t1)}}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scale$copies","queries":$js}""")
+  }
+
+  /** Margin-mining scale mode (`… ScaleBench <sfDir> margin<N>x`, e.g.
+    * `margin10x`): times h104's two scorer paths on 1× and N× embeddings
+    * (per-copy component rotation — disjoint geometry, same distribution,
+    * the build10x trick generalized to N copies): the EXACT brute-force
+    * [[graft.extensions.Similarity.marginMining]], whose compute is
+    * |src|·|tgt| by design (the recall baseline), and the IVF-fed
+    * [[graft.extensions.Similarity.marginMiningFromTopK]] with
+    * √N-scaled centroid counts, whose candidate scans touch only
+    * nProbe/nCentroids of the corpus — the measured pair is the "swap the
+    * exact scorer for the ANN candidate generator at scale" claim: the
+    * exact ratio must grow toward N² while the IVF-fed ratio stays far
+    * below it.
+    */
+  private def runMarginNx(spark: SparkSession, sfDir: String, copies: Int): Unit = {
+    import graft.extensions.Similarity
+    val dir = scaleNDir(copies)
+    val embPath = s"$dir/embeddings.parquet"
+    if (!new java.io.File(embPath).exists()) {
+      val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val dim = embs.select(size(col("embedding"))).head().getInt(0)
+      val embsN = (0 until copies).map { k =>
+        val r = k % dim
+        val rotated = if (r == 0) col("embedding")
+          else concat(slice(col("embedding"), r + 1, dim - r),
+            slice(col("embedding"), 1, r))
+        embs.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+          rotated.as("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+      embsN.repartition(8).write.mode("overwrite").parquet(embPath)
+    }
+    spark.read.parquet(embPath).selectExpr("count(*)").collect()
+    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def time(body: => org.apache.spark.sql.DataFrame): Double = {
+      def once = {
+        val t0 = System.nanoTime()
+        body.write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once, once)
+    }
+    def run(path: String, nCentroids: Int): (Double, Double) = {
+      val embs = spark.read.parquet(path)
+      val src = embs.filter(col("label") % 2 === 0)
+      val tgt = embs.filter(col("label") % 2 === 1)
+      val exact = time(Similarity.marginMining(src, tgt, "vec_id", "embedding", k = 4))
+      def roles(df: org.apache.spark.sql.DataFrame, qAs: String, nAs: String) =
+        df.select(col("query_id").as(qAs), col("neighbor_id").as(nAs),
+          col("rank"), col("cos"))
+      val ivf = time(Similarity.marginMiningFromTopK(
+        roles(Similarity.ivfTopK(tgt, src, "vec_id", "embedding", 4,
+          nCentroids = nCentroids), "src_id", "tgt_id"),
+        roles(Similarity.ivfTopK(src, tgt, "vec_id", "embedding", 4,
+          nCentroids = nCentroids), "tgt_id", "src_id")))
+      (exact, ivf)
+    }
+    val (e1, i1) = run(s"$sfDir/embeddings.parquet", 16)
+    val nN = math.max(16, (16 * math.sqrt(copies.toDouble)).toInt)
+    val (eN, iN) = run(embPath, nN)
+    println(s"[scale] margin exact sf0.1=${f3(e1)}s ${copies}x=${f3(eN)}s ratio=${f3(eN / e1)}")
+    println(s"[scale] margin ivf-fed sf0.1=${f3(i1)}s ${copies}x=${f3(iN)}s ratio=${f3(iN / i1)} (centroids 16->$nN)")
+    println(s"""{"metric":"margin$copies","exact":{"base":${f3(e1)},"xN":${f3(eN)},"ratio":${f3(eN / e1)}},""" +
+      s""""ivf":{"base":${f3(i1)},"xN":${f3(iN)},"ratio":${f3(iN / i1)}}}""")
   }
 
   /** Steady-state-tail mode (`… ScaleBench <sfDir> tail<N>x`, e.g.
@@ -745,6 +811,7 @@ object ScaleBench {
       c
     }
     val TailNx = """tail(\d+)x""".r
+    val MarginNx = """margin(\d+)x""".r
     val HubNk = """hub(\d+)k""".r
     val ChainNk = """chain(\d+)k""".r
     val StreamB = """stream(\d+)""".r
@@ -770,6 +837,8 @@ object ScaleBench {
         runChainNk(spark, copies(n)); spark.stop(); return
       case Some(TailNx(n)) =>
         runTailNx(spark, sfDir, copies(n)); spark.stop(); return
+      case Some(MarginNx(n)) =>
+        runMarginNx(spark, sfDir, copies(n)); spark.stop(); return
       case Some(NxMatBkt(n)) =>
         runNxMat(spark, sfDir, copies(n), bucketed = true); spark.stop(); return
       case Some(NxMat(n)) =>
