@@ -172,6 +172,36 @@ class SimilaritySpec extends SparkSpec {
     assert(agree >= 0.3, s"IVF-fed agreement too low: $agree")
   }
 
+  test("IVF index: FromIndex == inline ivfTopK exactly; construction shuffles gone") {
+    import graft.plans.ShuffleMetrics
+    val qs = embs.filter(col("vec_id") < 8)
+    val (ct, at) = Similarity.buildIvfIndex(embs, "vec_id", "embedding",
+      s"graft_ivftest_pid${ProcessHandle.current().pid()}")
+    try {
+      // identical output: the index path shares the probe tail and the
+      // deterministic fixed-point k-means reproduces the same centroids
+      val inline = Similarity.ivfTopK(embs, qs, "vec_id", "embedding", 5)
+      val fromIdx = Similarity.ivfTopKFromIndex(spark, ct, at, qs,
+        "vec_id", "embedding", 5)
+      assert(inline.exceptAll(fromIdx).count() === 0)
+      assert(fromIdx.exceptAll(inline).count() === 0)
+      // steady-state: the k-means + assignment construction shuffles are
+      // paid at build time, not per probe — executed records must collapse
+      val vInline = ShuffleMetrics.measure(
+        Similarity.ivfTopK(embs, qs, "vec_id", "embedding", 5))
+      val vIdx = ShuffleMetrics.measure(
+        Similarity.ivfTopKFromIndex(spark, ct, at, qs, "vec_id", "embedding", 5))
+      info(s"inline records=${vInline.records} fromIndex records=${vIdx.records}")
+      assert(vIdx.records > 0)
+      assert(vIdx.records * 2 < vInline.records,
+        s"index path shuffled ${vIdx.records} vs inline ${vInline.records} — " +
+          "construction work leaked into the steady state")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $ct")
+      spark.sql(s"DROP TABLE IF EXISTS $at")
+    }
+  }
+
   test("margin mining deflates hub matches: equal cosine, lower margin for the hub") {
     import spark.implicits._
     // 2-D unit vectors by angle: a hub cluster near 0 rad (the hub target
