@@ -296,6 +296,29 @@ object Similarity {
     (centTable, asgTable)
   }
 
+  /** Append a vector batch to a persisted [[buildIvfIndex]] layout WITHOUT
+    * rebuilding: the batch is assigned against the FROZEN persisted
+    * centroids (standard IVF maintenance — centroids refresh on a rebuild
+    * cadence, not per batch, and the frozen-centroid assignment keeps the
+    * layout deterministic) and appended through the SAME bucket spec, so
+    * new rows land hash-bucketed by cid exactly like the originals (Spark
+    * rejects a mismatched spec, so a wrong `buckets` fails loudly instead
+    * of silently corrupting the layout). Cost: ONE broadcast-argmax pass
+    * over the BATCH — corpus-size-independent, the h61 incremental-dedup
+    * posture applied to ANN index maintenance.
+    */
+  def appendToIvfIndex(newVectors: DataFrame, idCol: String, vecCol: String,
+      centroidsTable: String, assignmentTable: String,
+      buckets: Int = 8): Unit = {
+    val spark = newVectors.sparkSession
+    val c = newVectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    assignToCentroids(c, spark.table(centroidsTable), payload = Seq("cv"))
+      .select("neighbor_id", "cid", "cv")
+      .write.mode("append")
+      .bucketBy(buckets, "cid").sortBy("cid")
+      .format("parquet").saveAsTable(assignmentTable)
+  }
+
   /** [[ivfTopK]] from a persisted [[buildIvfIndex]] layout: identical
     * output for the same parameters (same probe tail — shared code), but
     * steady-state cost only — no k-means, no assignment pass, and the

@@ -202,6 +202,48 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF index append: frozen-centroid batch assignment, layout intact") {
+    import spark.implicits._
+    val base = embs.filter(col("vec_id") < 400)
+    val batch = embs.filter(col("vec_id") >= 400)
+    val (ct, at) = Similarity.buildIvfIndex(base, "vec_id", "embedding",
+      s"graft_ivfapp_pid${ProcessHandle.current().pid()}")
+    try {
+      Similarity.appendToIvfIndex(batch, "vec_id", "embedding", ct, at)
+      // content == a driver frozen-centroid argmax over ALL vectors (same
+      // double math, same (acos, -cid) tie rule) — pins both the appended
+      // batch's assignment AND that the base rows were left untouched
+      val cents = spark.table(ct).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i).toDouble * b(i).toDouble
+          na += a(i).toDouble * a(i).toDouble
+          nb += b(i).toDouble * b(i).toDouble
+          i += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val want = embs.select("vec_id", "embedding").collect().map { r =>
+        val v = r.getSeq[Float](1).toArray
+        r.getLong(0) -> cents.map { case (cid, cv) => (cos(v, cv), -cid, cid) }.max._3
+      }.toMap
+      val got = spark.table(at).select("neighbor_id", "cid")
+        .as[(Long, Long)].collect().toMap
+      assert(got.size === want.size) // every vector exactly once, none lost
+      assert(got === want)
+      // probes run through the appended layout
+      val qs = embs.filter(col("vec_id") < 8)
+      val res = Similarity.ivfTopKFromIndex(spark, ct, at, qs,
+        "vec_id", "embedding", 5)
+      assert(res.count() === qs.count() * 5)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $ct")
+      spark.sql(s"DROP TABLE IF EXISTS $at")
+    }
+  }
+
   test("margin mining deflates hub matches: equal cosine, lower margin for the hub") {
     import spark.implicits._
     // 2-D unit vectors by angle: a hub cluster near 0 rad (the hub target
