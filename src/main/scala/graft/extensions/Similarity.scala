@@ -272,6 +272,13 @@ object Similarity {
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       tablePrefix: String, nCentroids: Int = 16, kmeansIters: Int = 2,
       buckets: Int = 8): (String, String) = {
+    // clear() derives the stale-dir path as warehouse.dir/<table> — a
+    // database-qualified or otherwise non-plain prefix would compute a
+    // WRONG path (deleting an unrelated dir, or missing the stale one it
+    // exists to remove), so restrict the prefix to a bare identifier in
+    // the session's current (default) database
+    require(tablePrefix.matches("[A-Za-z][A-Za-z0-9_]*"),
+      s"tablePrefix must be a plain unqualified identifier, got '$tablePrefix'")
     val spark = corpus.sparkSession
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val cent = refineCentroids(corpus, c, idCol, vecCol, nCentroids, kmeansIters)
@@ -450,6 +457,14 @@ object Similarity {
     * per-vector join computing the CASE-guarded integer margin.
     * [[marginMining]] and [[marginMiningFromTopK]] both delegate here, so
     * the exact and ANN-fed paths cannot drift.
+    *
+    * The backward aggregate joins LEFT: under an ANN-fed generator a tgt
+    * whose probed buckets were all empty has no backward rows, and a src
+    * whose best match is that tgt must still surface — with NULL margin_q /
+    * margin / is_mutual (no neighborhood to normalize or reciprocate
+    * against) rather than silently vanishing from the output. Exact-fed
+    * inputs score every (src, tgt) pair, so the left join degenerates to
+    * the old inner join there (every tgt has backward rows).
     */
   private def marginTail(f: DataFrame, b: DataFrame): DataFrame = {
     // per-src: top-k sum/count + the best pair, ONE aggregate pass
@@ -467,7 +482,7 @@ object Similarity {
     val marginQ = expr(
       "CASE WHEN cq > 0 AND (sx * ny + sy * nx) > 0 " +
         "THEN CAST((2 * cq * nx * ny * 1000000) div (sx * ny + sy * nx) AS BIGINT) END")
-    kx.join(ky, "tgt_id")
+    kx.join(ky, Seq("tgt_id"), "left")
       .withColumn("margin_q", marginQ)
       .select(col("src_id"), col("tgt_id"),
         (col("cq").cast("double") / 1e4).as("cos"),

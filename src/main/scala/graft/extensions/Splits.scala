@@ -69,8 +69,12 @@ object Splits {
       bucketWidth: Long = 1L << 20): DataFrame = {
     require(n >= 1, s"sample size n must be >= 1, got $n")
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    // NULL and negative weights both clamp to 0 (and are then excluded by
+    // the w > 0 pick filter): a negative w would make the cumulative sum
+    // non-monotonic, silently breaking the systematic-selection invariants
+    // (duplicate/missed picks, wrong n_hits) the contract promises
     val w = df.select(col(idCol).as("id"),
-      coalesce(weight.cast("long"), lit(0L)).as("w"))
+      greatest(coalesce(weight.cast("long"), lit(0L)), lit(0L)).as("w"))
     val b = w.withColumn("bucket", expr(s"id div $bucketWidth"))
     val total = b.agg(sum(col("w")).as("total"))
     twoLevelCum(b, Seq(col("id")))
@@ -113,8 +117,9 @@ object Splits {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     require(bandWidth >= 1 && bandWidth <= 10000,
       s"bandWidth must be in [1, 10000], got $bandWidth")
+    // same NULL/negative clamp as ppsSample — the cum line must be monotonic
     val rows = df.select(col(idCol).as("id"),
-      coalesce(weight.cast("long"), lit(0L)).as("w"),
+      greatest(coalesce(weight.cast("long"), lit(0L)), lit(0L)).as("w"),
       floor(score * 1e4 + 0.5).cast("long").as("score_q"))
     val b = rows.withColumn("bucket",
       expr(s"(10000 - score_q) div $bandWidth"))

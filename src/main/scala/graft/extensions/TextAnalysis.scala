@@ -406,9 +406,16 @@ object TextAnalysis {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val sh = shingles.select(col(idCol).as("id"), col(shingleCol).as("sh"))
     val bounds = sh.agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+    // equal-width buckets via DIVIDE-FIRST integer math: width =
+    // ceil(span / nBuckets) as (hi - lo) div nBuckets + 1. The naive
+    // (id - lo) * nBuckets div (hi - lo + 1) form overflows the Long
+    // multiply for wide or hashed 64-bit id spaces and least() would then
+    // silently emit negative/garbage buckets; dividing first keeps every
+    // intermediate inside the id range (the least() cap remains as the
+    // boundary guard — e.g. span 11, n 10 → width 2 → raw bucket ≤ 5)
     val bucketed = sh.crossJoin(broadcast(bounds))
       .select(least(lit(nBuckets - 1).cast("long"),
-        expr(s"(id - lo) * $nBuckets div (hi - lo + 1)")).as("bucket"),
+        expr(s"(id - lo) div ((hi - lo) div $nBuckets + 1)")).as("bucket"),
         col("sh"))
     val perBucket = bucketed.groupBy("bucket").agg(
       count(lit(1)).as("n_occurrences"),

@@ -674,7 +674,7 @@ object GroupH12 {
       |  FROM base),
       |bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM sh),
       |b AS (
-      |  SELECT CAST(least(9, (doc_id - lo) * 10 // (hi - lo + 1)) AS BIGINT) AS bucket, shingle
+      |  SELECT CAST(least(9, (doc_id - lo) // ((hi - lo) // 10 + 1)) AS BIGINT) AS bucket, shingle
       |  FROM sh, bounds),
       |occ AS (SELECT bucket, count(*) AS n_occurrences FROM b GROUP BY bucket),
       |d AS (SELECT DISTINCT bucket, shingle FROM b),
