@@ -444,6 +444,13 @@ object Similarity {
     * margins stay comparable because the denominator uses each side's OWN
     * candidate neighborhood, mirroring how CCMatrix mines from faiss
     * top-k lists rather than exact ones.
+    *
+    * Output contract: margin_q, margin AND is_mutual are NULLABLE — a src
+    * whose best tgt has no backward rows (an ANN generator probed only
+    * empty buckets for that tgt) surfaces with all three NULL (tri-state
+    * is_mutual: read with isNullAt / null-safe predicates, never a bare
+    * getBoolean). Exact-fed inputs never produce the NULL rows (every tgt
+    * has backward rows), so there the columns are effectively non-null.
     */
   def marginMiningFromTopK(forward: DataFrame, backward: DataFrame): DataFrame = {
     def quantized(df: DataFrame) = df.select(col("src_id"), col("tgt_id"),

@@ -367,10 +367,12 @@ object TextAnalysis {
     * complements [[noveltyScores]], which is per-DOC overlap, by profiling
     * the corpus's GROWTH direction).
     *
-    * Bucketing is `least(nBuckets−1, (id − lo)·nBuckets div (hi − lo + 1))`
-    * — pure integer math against a broadcast one-row bounds aggregate, so
-    * the bucket is a scan-side column (never a global ntile window, which
-    * would funnel the corpus through one partition).
+    * Bucketing is `least(nBuckets−1, (id − lo) div ceilWidth)` with
+    * `ceilWidth = (hi − lo) div nBuckets + 1` — divide-first pure integer
+    * math against a broadcast one-row bounds aggregate, so the bucket is a
+    * scan-side column (never a global ntile window, which would funnel the
+    * corpus through one partition). Ids must be NON-NEGATIVE (asserted
+    * in-plan; see the body comment) — fold hashed ids into [0, 2⁶³) first.
     *
     * Shapes: exactly TWO shingle-keyed exchanges over the whole curve —
     * (1) occurrences + distinct-per-bucket fused into ONE
@@ -389,7 +391,12 @@ object TextAnalysis {
     *
     * Output: (bucket, n_occurrences, n_distinct, n_first_seen, novelty_q,
     * novelty), novelty = first-seen share of the bucket's distinct
-    * shingles, micro-quantized.
+    * shingles, micro-quantized. The bucket column is NOT guaranteed dense:
+    * under the ceil-width scheme up to nBuckets − 1 TRAILING buckets can be
+    * entirely absent (no id maps there — e.g. span 21, nBuckets 10 → width
+    * 3 → buckets 7–9 never emitted) and the last emitted bucket can hold
+    * fewer ids than the rest; only buckets that received at least one
+    * shingle occurrence appear.
     */
   def noveltyCurve(docs: DataFrame, idCol: String, textCol: String,
       nBuckets: Int = 10): DataFrame =
@@ -405,14 +412,35 @@ object TextAnalysis {
       shingleCol: String, nBuckets: Int = 10): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val sh = shingles.select(col(idCol).as("id"), col(shingleCol).as("sh"))
+    // ids must be NON-NEGATIVE: a mixed-sign span wider than Long.MaxValue
+    // (e.g. raw xxhash64 ids) wraps hi - lo itself, and NO signed-64 integer
+    // form survives that — so the bounds row asserts lo >= 0 in-plan
+    // (fused into lo via an always-0 addend, so column pruning cannot drop
+    // the check) and fails loudly instead of silently emitting garbage
+    // buckets. Hashed ids fold to a non-negative space first (id & MaxValue
+    // or abs-with-MinValue-care); the DuckDB oracle needs no twin guard —
+    // its BIGINT arithmetic raises Out of Range on overflow rather than
+    // wrapping.
     val bounds = sh.agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+      .select((col("lo") + coalesce(
+        assert_true(col("lo") >= 0, lit(
+          "noveltyCurve ids must be non-negative (mixed-sign 64-bit " +
+            "spans overflow the bucket math)")).cast("long"),
+        lit(0L))).as("lo"), col("hi"))
     // equal-width buckets via DIVIDE-FIRST integer math: width =
     // ceil(span / nBuckets) as (hi - lo) div nBuckets + 1. The naive
     // (id - lo) * nBuckets div (hi - lo + 1) form overflows the Long
-    // multiply for wide or hashed 64-bit id spaces and least() would then
-    // silently emit negative/garbage buckets; dividing first keeps every
-    // intermediate inside the id range (the least() cap remains as the
-    // boundary guard — e.g. span 11, n 10 → width 2 → raw bucket ≤ 5)
+    // multiply already for wide NON-NEGATIVE id spaces (e.g. ids spanning
+    // [0, Long.MaxValue)) and least() would then silently emit
+    // negative/garbage buckets; dividing first keeps every intermediate
+    // inside the id range for the whole non-negative domain the guard
+    // above admits (the least() cap remains as the boundary guard — e.g.
+    // span 11, n 10 → width 2 → raw bucket ≤ 5). Note the ceil-width
+    // scheme's output shape: ids concentrate in the FIRST ceil(span/width)
+    // buckets, so up to nBuckets − 1 TRAILING buckets can be absent from
+    // the output entirely (span 21, n 10 → width 3 → only buckets 0–6
+    // exist) or hold fewer ids than the rest — consumers must not assume a
+    // dense 0..nBuckets−1 bucket column.
     val bucketed = sh.crossJoin(broadcast(bounds))
       .select(least(lit(nBuckets - 1).cast("long"),
         expr(s"(id - lo) div ((hi - lo) div $nBuckets + 1)")).as("bucket"),

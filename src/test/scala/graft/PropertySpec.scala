@@ -371,11 +371,19 @@ class PropertySpec extends SparkSpec {
   }
 
   test("ppsSample: draw == driver systematic-PPS reference; hits partition total div step") {
-    val rowsGen = Gen.listOfN(30, Gen.chooseNum(0L, 50L))
-    check(Prop.forAll(rowsGen, Gen.chooseNum(1, 10)) { (ws, n) =>
+    // weights include NEGATIVE and NULL entries: the contract clamps both
+    // to 0 (keeping the cumulative line monotonic), and the w > 0 pick
+    // filter then excludes them from the draw — the reference model applies
+    // the same clamp before replaying the systematic selection
+    val wGen = Gen.frequency(
+      (8, Gen.chooseNum(-20L, 50L).map(Option(_))),
+      (1, Gen.const(Option.empty[Long])))
+    val rowsGen = Gen.listOfN(30, wGen)
+    check(Prop.forAll(rowsGen, Gen.chooseNum(1, 10)) { (ws0, n) =>
+      val ws = ws0.map(_.map(w => math.max(0L, w)).getOrElse(0L))
       val total = ws.sum
       (total > 0) ==> {
-        val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "w")
+        val df = ws0.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "w")
         val got = Splits.ppsSample(df, "id", $"w", n, bucketWidth = 7L)
           .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
         val step = math.max(1L, total / n)
@@ -391,14 +399,20 @@ class PropertySpec extends SparkSpec {
           .forall { case (_, i) => got.exists(_._1 == i.toLong) }
         (got == want) :| s"draw mismatch: got=$got want=$want" &&
           (got.toSeq.map(_._3).sum == total / step) :| "hits must partition total div step" &&
-          heavyDrawn :| "a row with w >= step must always be drawn"
+          heavyDrawn :| "a row with w >= step must always be drawn" &&
+          got.forall { case (i, _, _) => ws0(i.toInt).exists(_ > 0) } :|
+            "a NULL- or negative-weight row must never be drawn"
       }
     })
   }
 
   test("budgetFill: kept == the greedy quality-order prefix; larger budgets only extend") {
+    // weights again include NEGATIVE and NULL entries (clamp-to-0, then
+    // excluded by the w > 0 kept filter) — the reference model clamps first
     val rowGen = for {
-      w <- Gen.chooseNum(0L, 30L)
+      w <- Gen.frequency(
+        (8, Gen.chooseNum(-15L, 30L).map(Option(_))),
+        (1, Gen.const(Option.empty[Long])))
       q <- Gen.chooseNum(0, 10000)
     } yield (w, q)
     check(Prop.forAll(Gen.listOfN(25, rowGen), Gen.chooseNum(1L, 300L)) { (rows, budget) =>
@@ -409,7 +423,8 @@ class PropertySpec extends SparkSpec {
       val got = fill(budget)
       var cum = 0L
       val want = rows.zipWithIndex
-        .map { case ((w, q), i) => (i.toLong, w, q) }
+        .map { case ((w, q), i) =>
+          (i.toLong, w.map(x => math.max(0L, x)).getOrElse(0L), q) }
         .sortBy { case (id, _, q) => (-q, id) }
         .flatMap { case (id, w, _) =>
           val prev = cum; cum += w

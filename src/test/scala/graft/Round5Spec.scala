@@ -318,6 +318,19 @@ class Round5Spec extends SparkSpec {
     assert(rows.map(_._3).sum === totalDistinct)
   }
 
+  test("noveltyCurve: negative ids are rejected in-plan, not silently mis-bucketed") {
+    // a mixed-sign span wider than Long.MaxValue wraps hi-lo and would emit
+    // garbage buckets — the bounds row asserts lo >= 0 at execution time
+    val bad = Seq((-5L, "a b c d"), (3L, "a b c d")).toDF("doc_id", "text")
+    val e = intercept[Throwable] {
+      TextAnalysis.noveltyCurve(bad, "doc_id", "text", nBuckets = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("non-negative")),
+      messages(e).mkString(" | "))
+  }
+
   test("percentileGate: keeps exactly the top half of each domain, ranks dense from 1") {
     val out = TextAnalysis.percentileGate(docs, "doc_id", "text", "source")
     val bySrc = out.select("domain", "rank_in_domain", "n_in_domain")

@@ -244,6 +244,45 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("marginMiningFromTopK: tgt with no backward rows surfaces with NULL margin/is_mutual") {
+    import spark.implicits._
+    // forward: src 1's best (rank 1) is tgt 10, but the backward relation
+    // never reached tgt 10 (an ANN generator probed only empty buckets for
+    // it); src 2's best tgt 11 does carry backward rows and must keep the
+    // exact integer margin. `rank` in backward is the per-tgt rank.
+    val fwd = Seq(
+      (1L, 10L, 1, 0.9), (1L, 11L, 2, 0.5),
+      (2L, 11L, 1, 0.8)).toDF("src_id", "tgt_id", "rank", "cos")
+    val bwd = Seq(
+      (2L, 11L, 1, 0.8), (1L, 11L, 2, 0.5))
+      .toDF("src_id", "tgt_id", "rank", "cos")
+    val out = Similarity.marginMiningFromTopK(fwd, bwd).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // the left-join path: src 1 SURVIVES (no silent drop) with tri-state
+    // NULLs — no backward neighborhood to normalize or reciprocate against
+    assert(out.keySet === Set(1L, 2L))
+    val r1 = out(1L)
+    assert(r1.getLong(1) === 10L)
+    assert(r1.getDouble(2) === 0.9)
+    assert(r1.isNullAt(3) && r1.isNullAt(4) && r1.isNullAt(5))
+    // the populated path is untouched by the left join: sx=8000 nx=1
+    // cq=8000, sy=13000 ny=2 → margin_q = 32e9 div 29000, mutual best
+    val r2 = out(2L)
+    assert(r2.getLong(1) === 11L)
+    assert(r2.getLong(3) ===
+      2L * 8000L * 1L * 2L * 1000000L / (8000L * 2L + 13000L * 1L))
+    assert(r2.getBoolean(5))
+  }
+
+  test("buildIvfIndex rejects non-plain table prefixes") {
+    // the stale-dir cleanup derives warehouse paths from the prefix — a
+    // qualified or non-identifier prefix would compute a WRONG path
+    for (bad <- Seq("db.qualified", "has-dash", "9leading_digit", ""))
+      assertThrows[IllegalArgumentException] {
+        Similarity.buildIvfIndex(embs, "vec_id", "embedding", bad)
+      }
+  }
+
   test("margin mining deflates hub matches: equal cosine, lower margin for the hub") {
     import spark.implicits._
     // 2-D unit vectors by angle: a hub cluster near 0 rad (the hub target
