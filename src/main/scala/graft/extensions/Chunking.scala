@@ -136,4 +136,102 @@ object Chunking {
         when(col("n_kept") > 0, array_join(col("__kept"), " "))
           .as("text_clean"))
   }
+
+  /** VARIABLE-LENGTH exact substring deduplication — the ExactSubstr pass
+    * of Lee et al. 2022 (arXiv:2107.06499, "Deduplicating Training Data
+    * Makes Language Models Better") re-expressed over `minTokens`-token
+    * ANCHOR fingerprints instead of a corpus suffix array: every repeated
+    * substring of ≥ minTokens tokens is exactly the union of its
+    * (length − minTokens + 1) consecutive repeated anchors, so detecting
+    * repeated anchors and merging overlapping loser windows with integer
+    * interval math recovers the MAXIMAL duplicated spans (h44's
+    * [[spanDedup]] removes fixed non-overlapping 16-token tiles and misses
+    * any repeat that straddles a tile boundary; this pass removes the
+    * full repeated range at token granularity, whatever its length).
+    *
+    * Contract: anchor `(d, w)` = tokens `[w, w + minTokens)` of doc `d`
+    * (stride 1, 1-based, [[TextOps.tokens]] tokenization). Each distinct
+    * anchor text's corpus-wide FIRST occurrence (smallest `(id, w)`) is the
+    * winner; a token position is REMOVED iff some LOSER window covers it,
+    * and consecutive removed positions merge into maximal spans (each
+    * ≥ minTokens long by construction). A doc that first contributed a
+    * span keeps it; later copies lose the whole maximal range. Caveat
+    * (shared by suffix-array implementations that cut each repeat
+    * independently): where two DIFFERENT repeats overlap, a winner's
+    * positions can still be cut by the other repeat's loser window — the
+    * rule is positional, deterministic, and engine-replayable, not
+    * "at least one copy of every span survives verbatim".
+    *
+    * Scale shape: the anchor relation is corpus-TOKEN-sized (exactly the
+    * suffix-array construction's input size) and everything heavier is
+    * duplicate-mass-sized — the winner aggregate pays ONE map-side-partial
+    * fingerprint exchange, and the join back either broadcasts the
+    * aggregated winner relation (AQE, when the distinct-anchor set is
+    * small) or re-keys on the same fingerprint so the anchor exchange is
+    * shared (ReusedExchange under SMJ at scale); the island merge windows
+    * and the span aggregates all share ONE doc-keyed exchange of LOSER
+    * rows only (HashPartitioning(id) satisfies the (id, island)
+    * clusterings, verified in the executed plan); and
+    * reassembly is a scan-side higher-order filter against each doc's own
+    * tiny span list (no token-level explode, no corpus-sized reassembly
+    * shuffle — the HOF is interpreted but runs once per doc over ≤ n·|spans|
+    * cheap long comparisons). Docs with < minTokens tokens skip anchoring
+    * entirely and pass through the left join unchanged.
+    *
+    * Output: `idCol, n_tokens:long, n_removed:long, n_spans:long,
+    * max_span:long, text_clean` — text_clean is the kept tokens joined by
+    * single spaces (whitespace-normalized like every TextOps consumer),
+    * null when every token was removed; empty/whitespace-only/null docs are
+    * absent (the [[chunks]]/[[spanDedup]] convention).
+    */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 16): DataFrame = {
+    require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
+    val k = minTokens
+    val base = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .filter(col("__n") > 0)
+    val anchors = base
+      .filter(col("__n") >= k)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(1L), col("__n") - (k - 1))).as("__w"))
+      .select(col(idCol), col("__w"),
+        md5(array_join(slice(col("__toks"), col("__w").cast("int"), lit(k)),
+          " ")).as("__g"))
+    val winners = anchors.groupBy("__g")
+      .agg(min(struct(col(idCol), col("__w"))).as("__win"))
+    val losers = anchors.join(winners, "__g")
+      .filter(struct(col(idCol), col("__w")) =!= col("__win"))
+      .select(col(idCol), col("__w"))
+    val byDoc = Window.partitionBy(idCol).orderBy("__w")
+    val spans = losers
+      .withColumn("__prevEnd", max(col("__w") + (k - 1)).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__brk",
+        when(col("__prevEnd").isNull || col("__w") > col("__prevEnd") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__brk")).over(byDoc))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("__w")).as("__s"), max(col("__w") + (k - 1)).as("__e"))
+    val perDoc = spans.groupBy(idCol).agg(
+      count(lit(1)).as("n_spans"),
+      sum(col("__e") - col("__s") + 1).as("n_removed"),
+      max(col("__e") - col("__s") + 1).as("max_span"),
+      collect_list(struct(col("__s"), col("__e"))).as("__spans"))
+    base.join(perDoc, Seq(idCol), "left")
+      .withColumn("__kept",
+        when(col("__spans").isNull, col("__toks"))
+          .otherwise(filter(col("__toks"), (_, i) =>
+            !exists(col("__spans"), sp =>
+              (i.cast("long") + 1) >= sp.getField("__s") &&
+                (i.cast("long") + 1) <= sp.getField("__e")))))
+      .select(col(idCol),
+        col("__n").as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"),
+        when(size(col("__kept")) > 0, array_join(col("__kept"), " "))
+          .as("text_clean"))
+  }
 }

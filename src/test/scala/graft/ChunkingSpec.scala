@@ -149,4 +149,57 @@ class ChunkingSpec extends SparkSpec {
       .collect().toSet
     assert(a === b)
   }
+
+  // --- substringDedup ---------------------------------------------------
+
+  test("substringDedup: maximal variable-length spans, first occurrence wins") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"), // all anchors win (smallest id)
+      (2L, "p q c d e f g h r s"), // copies doc 1's c..h — a 6-token run
+      (3L, "t u a b c d e f v w g h i j x y"), // TWO separated copied runs
+      (4L, "z1 z2 z3"), // < minTokens tokens: no anchors, passes through
+      (5L, "a b c d e f g h i j") // exact copy: removed whole
+    ).toDF("doc_id", "text")
+    val out = Chunking.substringDedup(df, "doc_id", "text", minTokens = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    assert(out(0) === ((1L, 10L, 0L, 0L, 0L, "a b c d e f g h i j")))
+    // the three consecutive loser anchors merge to ONE maximal 6-token
+    // span (> minTokens — the variable-length point of the operator)
+    assert(out(1) === ((2L, 10L, 6L, 1L, 6L, "p q r s")))
+    // two non-adjacent runs stay two islands: 6 + 4 tokens removed
+    assert(out(2) === ((3L, 16L, 10L, 2L, 6L, "t u v w x y")))
+    assert(out(3) === ((4L, 3L, 0L, 0L, 0L, "z1 z2 z3")))
+    assert(out(4) === ((5L, 10L, 10L, 1L, 10L, null)))
+  }
+
+  test("substringDedup: conservation and span-length floor on the real corpus") {
+    val out = Chunking.substringDedup(docs, "doc_id", "text", minTokens = 16)
+    // removed + kept partitions the tokens exactly (size(tokens(null)) is
+    // null → coalesce 0 for the all-removed docs)
+    assert(out.filter(
+      coalesce(size(TextOps.tokens($"text_clean")), lit(0)).cast("long") +
+        $"n_removed" =!= $"n_tokens").count() === 0)
+    // every maximal span is >= minTokens by construction
+    val spanned = out.filter($"n_spans" > 0)
+    assert(spanned.count() > 0, "fixture has no duplicated substrings?")
+    assert(spanned.filter($"max_span" < 16).count() === 0)
+    assert(spanned.filter($"n_removed" < $"n_spans" * 16).count() === 0)
+    assert(spanned.filter($"max_span" > $"n_removed").count() === 0)
+  }
+
+  test("substringDedup: idempotent — a second pass removes nothing") {
+    val once = Chunking.substringDedup(docs, "doc_id", "text", minTokens = 16)
+    val cleaned = once.filter($"text_clean".isNotNull)
+      .select($"doc_id", $"text_clean".as("text"))
+    val twice = Chunking.substringDedup(cleaned, "doc_id", "text", minTokens = 16)
+    assert(twice.agg(sum($"n_removed")).as[Long].head() === 0L)
+  }
+
+  test("substringDedup: stable under repartitioning") {
+    val a = Chunking.substringDedup(docs, "doc_id", "text", 16).collect().toSet
+    val b = Chunking.substringDedup(docs.repartition(5), "doc_id", "text", 16)
+      .collect().toSet
+    assert(a === b)
+  }
 }

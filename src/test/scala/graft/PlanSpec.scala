@@ -360,6 +360,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("h109 substring dedup: one doc-keyed exchange for the island tail; winner agg partial") {
+    val p = planStr(qdf("h109_substring_dedup"))
+    // winner = groupBy(anchor fp).min(struct) with map-side combine
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // both island-merge windows are doc-partitioned, never a global window
+    assert(p.contains("windowspecdefinition(doc_id"), p)
+    assert(!p.contains("SinglePartition"), p)
+    // the interval-merge windows AND the two span aggregates all ride ONE
+    // hashpartitioning(doc_id) exchange of loser rows (subset-key
+    // co-location) — a second doc exchange means the tail re-shuffled
+    assert("hashpartitioning\\(doc_id".r.findAllIn(p).size === 1, p)
+  }
+
   test("h47/h49 LM and entropy: partial aggregation, no cross products beyond 1-row totals") {
     for (q <- Seq("h47_bigram_lm_score", "h49_token_entropy")) {
       val p = planStr(qdf(q))
