@@ -44,37 +44,33 @@ object Bench {
     * literal (one command, can't drift from the median rule).
     */
   private[graft] val pinMedianSec: Map[String, Double] = Map(
-    "a1" -> 0.64, "a2" -> 0.616, "a3" -> 0.296, "a4" -> 0.657, "a5" -> 0.189, "a6" -> 0.157,
-    "a7" -> 0.202, "a8" -> 0.445, "b1" -> 0.286, "c1" -> 1.146, "c2" -> 0.375, "c3" -> 0.505,
-    "c4" -> 0.553, "d1" -> 0.404, "d2" -> 0.605, "d3" -> 0.379, "d4" -> 0.3, "d5" -> 0.296,
-    "d6" -> 1.246, "d7" -> 0.341, "d8" -> 0.296, "e1" -> 0.99, "e10" -> 0.645, "e11" -> 0.331,
-    "e12" -> 0.423, "e13" -> 0.323, "e14" -> 0.27, "e15" -> 0.787, "e2" -> 0.753, "e3" -> 0.406,
-    "e4" -> 0.547, "e5" -> 0.343, "e6" -> 1.474, "e7" -> 0.245, "e8" -> 0.828, "e9" -> 0.456,
-    "f1" -> 0.38, "f10" -> 0.576, "f11" -> 0.223, "f2" -> 0.526, "f3" -> 0.61, "f4" -> 0.19,
-    "f5" -> 0.318, "f6" -> 0.43, "f7" -> 0.323, "f8" -> 0.341, "f9" -> 0.566, "g1" -> 0.186,
-    "g2" -> 0.422, "g3" -> 1.079, "g4" -> 0.697, "g5" -> 0.213, "g6" -> 0.382, "h1" -> 0.275,
-    "h10" -> 0.471, "h100" -> 0.578, "h101" -> 0.469, "h102" -> 2.01, "h103" -> 0.498, "h11" -> 0.742,
-    "h12" -> 0.484, "h13" -> 0.462, "h14" -> 0.41, "h15" -> 1.321, "h16" -> 0.294, "h17" -> 1.295,
-    "h18" -> 0.464, "h19" -> 0.697, "h2" -> 0.291, "h20" -> 0.855, "h21" -> 0.163, "h22" -> 0.549,
-    "h23" -> 0.825, "h24" -> 0.512, "h25" -> 0.982, "h26" -> 0.933, "h27" -> 1.128, "h28" -> 0.673,
-    "h29" -> 0.639, "h3" -> 0.275, "h30" -> 0.677, "h31" -> 0.333, "h32" -> 0.481, "h33" -> 0.324,
-    "h34" -> 0.254, "h35" -> 0.203, "h36" -> 0.304, "h37" -> 0.232, "h38" -> 1.523, "h39" -> 0.869,
-    "h4" -> 0.604, "h40" -> 0.855, "h41" -> 0.191, "h42" -> 0.669, "h43" -> 0.452, "h44" -> 1.159,
-    "h45" -> 0.636, "h46" -> 0.513, "h47" -> 1.87, "h48" -> 0.963, "h49" -> 0.687, "h5" -> 2.236,
-    "h50" -> 0.925, "h51" -> 0.685, "h52" -> 0.365, "h53" -> 0.535, "h54" -> 0.907, "h55" -> 0.965,
-    "h56" -> 1.373, "h57" -> 0.368, "h58" -> 0.72, "h59" -> 0.498, "h6" -> 0.937, "h60" -> 0.994,
-    "h61" -> 3.457, "h62" -> 0.73, "h63" -> 0.515, "h64" -> 0.47, "h65" -> 0.902, "h66" -> 1.066,
-    "h67" -> 1.59, "h68" -> 0.817, "h69" -> 0.38, "h7" -> 0.629, "h70" -> 0.19, "h71" -> 0.234,
-    "h72" -> 0.607, "h73" -> 0.516, "h74" -> 1.804, "h75" -> 1.046, "h76" -> 0.24, "h77" -> 0.26,
-    "h78" -> 1.136, "h79" -> 0.388, "h8" -> 0.453, "h80" -> 2.118, "h81" -> 0.791, "h82" -> 0.485,
-    "h83" -> 0.344, "h84" -> 0.443, "h85" -> 0.539, "h86" -> 0.785, "h87" -> 0.713, "h88" -> 0.408,
-    "h89" -> 1.116, "h9" -> 0.586, "h90" -> 1.244, "h91" -> 0.729, "h92" -> 0.418, "h93" -> 0.516,
-    "h94" -> 0.563, "h95" -> 0.621, "h96" -> 0.325, "h97" -> 0.464, "h98" -> 0.522, "h99" -> 0.463,
-    // h104 joined after the r14 triple: QTime 5-sample median anchor
-    // (SPARK_GRAFT_MATERIALIZE=1, same sf0.1), folded into the next re-pin
-    "h104" -> 2.053,
-    // h105 likewise: QTime anchor from this round
-    "h105" -> 1.885, "h106" -> 1.003, "h107" -> 1.618)
+    "a1" -> 0.624, "a2" -> 0.51, "a3" -> 0.305, "a4" -> 0.69, "a5" -> 0.142, "a6" -> 0.175,
+    "a7" -> 0.226, "a8" -> 0.417, "b1" -> 0.245, "c1" -> 1.089, "c2" -> 0.351, "c3" -> 0.447,
+    "c4" -> 0.507, "d1" -> 0.419, "d2" -> 0.66, "d3" -> 0.4, "d4" -> 0.315, "d5" -> 0.294,
+    "d6" -> 1.171, "d7" -> 0.345, "d8" -> 0.266, "e1" -> 0.993, "e10" -> 0.627, "e11" -> 0.344,
+    "e12" -> 0.476, "e13" -> 0.341, "e14" -> 0.263, "e15" -> 0.738, "e2" -> 0.697, "e3" -> 0.398,
+    "e4" -> 0.502, "e5" -> 0.369, "e6" -> 1.468, "e7" -> 0.218, "e8" -> 0.837, "e9" -> 0.46,
+    "f1" -> 0.533, "f10" -> 0.494, "f11" -> 0.208, "f2" -> 0.566, "f3" -> 0.471, "f4" -> 0.184,
+    "f5" -> 0.264, "f6" -> 0.368, "f7" -> 0.314, "f8" -> 0.265, "f9" -> 0.542, "g1" -> 0.196,
+    "g2" -> 0.468, "g3" -> 0.942, "g4" -> 0.709, "g5" -> 0.229, "g6" -> 0.338, "h1" -> 0.283,
+    "h10" -> 0.428, "h100" -> 0.589, "h101" -> 0.455, "h102" -> 2.368, "h103" -> 0.439, "h104" -> 1.64,
+    "h105" -> 0.599, "h106" -> 0.592, "h107" -> 1.092, "h108" -> 0.941, "h109" -> 3.418, "h11" -> 0.713,
+    "h12" -> 0.547, "h13" -> 0.458, "h14" -> 0.388, "h15" -> 1.366, "h16" -> 0.359, "h17" -> 1.246,
+    "h18" -> 0.472, "h19" -> 0.741, "h2" -> 0.431, "h20" -> 0.797, "h21" -> 0.17, "h22" -> 0.495,
+    "h23" -> 0.804, "h24" -> 0.523, "h25" -> 0.775, "h26" -> 0.826, "h27" -> 0.94, "h28" -> 0.673,
+    "h29" -> 0.889, "h3" -> 0.253, "h30" -> 0.689, "h31" -> 0.333, "h32" -> 0.348, "h33" -> 0.331,
+    "h34" -> 0.248, "h35" -> 0.204, "h36" -> 0.346, "h37" -> 0.25, "h38" -> 1.695, "h39" -> 0.722,
+    "h4" -> 0.597, "h40" -> 0.809, "h41" -> 0.172, "h42" -> 0.657, "h43" -> 0.466, "h44" -> 1.138,
+    "h45" -> 0.586, "h46" -> 0.506, "h47" -> 1.561, "h48" -> 1.043, "h49" -> 0.694, "h5" -> 2.483,
+    "h50" -> 0.897, "h51" -> 0.71, "h52" -> 0.295, "h53" -> 0.458, "h54" -> 0.965, "h55" -> 1.105,
+    "h56" -> 1.317, "h57" -> 0.421, "h58" -> 0.803, "h59" -> 0.611, "h6" -> 0.944, "h60" -> 1.006,
+    "h61" -> 2.827, "h62" -> 0.653, "h63" -> 0.508, "h64" -> 0.441, "h65" -> 0.824, "h66" -> 0.86,
+    "h67" -> 1.818, "h68" -> 0.673, "h69" -> 0.406, "h7" -> 0.593, "h70" -> 0.166, "h71" -> 0.22,
+    "h72" -> 0.562, "h73" -> 0.483, "h74" -> 1.839, "h75" -> 1.083, "h76" -> 0.234, "h77" -> 0.238,
+    "h78" -> 1.051, "h79" -> 0.36, "h8" -> 0.386, "h80" -> 1.79, "h81" -> 0.874, "h82" -> 0.513,
+    "h83" -> 0.353, "h84" -> 0.353, "h85" -> 0.564, "h86" -> 0.819, "h87" -> 0.839, "h88" -> 0.435,
+    "h89" -> 1.062, "h9" -> 0.535, "h90" -> 0.965, "h91" -> 0.722, "h92" -> 0.481, "h93" -> 0.485,
+    "h94" -> 0.491, "h95" -> 0.634, "h96" -> 0.304, "h97" -> 0.441, "h98" -> 0.496, "h99" -> 0.423)
 
   /** Queries declared in the registry but not yet pinned above — the
     * documented mid-round grace window between a query's addition and the
@@ -85,7 +81,7 @@ object Bench {
     * silently join the fallback path: it must either be pinned or be listed
     * here explicitly. Empty whenever the pin is fresh.
     */
-  private[graft] val pinGrace: Set[String] = Set("h108", "h109")
+  private[graft] val pinGrace: Set[String] = Set()
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
