@@ -339,6 +339,73 @@ object Similarity {
       graft.sources.Bucketing.readBucketed(spark, assignmentTable),
       queries, idCol, vecCol, k, nProbe)
 
+  /** Staleness profile of a persisted [[buildIvfIndex]] layout — the
+    * read-before-deciding diagnostic for the rebuild-vs-append question
+    * [[appendToIvfIndex]]'s frozen-centroid contract raises (the h71
+    * profile-the-knob pattern applied to index maintenance). Frozen
+    * centroids are never "wrong" against themselves (argmax assignment is
+    * self-consistent), so staleness is measured against a REFRESHED
+    * centroid set: one exact fixed-point k-means step over the current
+    * assignment ([[kmeansStep]] — precisely the centroids a rebuild's next
+    * iteration would produce). Per cluster:
+    *
+    *   - `n` — current size (read the skew: one bloated cluster means its
+    *     inverted list dominates probe cost);
+    *   - `n_would_move` — members whose argmax against the refreshed
+    *     centroids leaves the cluster (the assignment-churn a rebuild
+    *     would perform; Σ n_would_move / Σ n is the headline migration
+    *     rate);
+    *   - `mean_own_q` / `mean_best_q` / `mean_gain_q` — micro-quantized
+    *     mean cosine to the refreshed OWN centroid vs the refreshed BEST
+    *     centroid, and the gap (how much assignment quality a rebuild
+    *     buys, in 10⁻⁶ cosine units — integer sums then one `div`, so the
+    *     numbers are partition-order-independent);
+    *   - `centroid_cos_q` — cosine between the frozen centroid and its
+    *     refreshed position (drift of the center itself; low values mean
+    *     the appended mass pulled the cluster away from its frozen seed).
+    *
+    * Cost: ONE [[kmeansStep]] (corpus scan → (cid, dim)-keyed partial
+    * aggregate, k·dim rows out) plus ONE assignment-shaped pass (broadcast
+    * refreshed centroids, per-vector argmax combines map-side, one
+    * vector-count-row exchange) — the same shape as the append it
+    * adjudicates, so running the diagnostic per maintenance window is
+    * always affordable. SimilaritySpec pins the numbers against a driver
+    * replay; ScaleBench's `ivfdrift<N>x` mode reads this profile while
+    * measuring the append-vs-rebuild recall/cost crossover.
+    */
+  def ivfStaleness(spark: org.apache.spark.sql.SparkSession,
+      centroidsTable: String, assignmentTable: String): DataFrame = {
+    val frozen = spark.table(centroidsTable)
+    val asg = graft.sources.Bucketing.readBucketed(spark, assignmentTable)
+      .select(col("cid"), col("neighbor_id"), col("cv"))
+    val refreshed = kmeansStep(asg)
+    val perVector = asg.select(col("neighbor_id"), col("cid").as("acid"), col("cv"))
+      .join(broadcast(refreshed))
+      .withColumn("acos", cosine(col("cv"), col("centroid")))
+      .groupBy("neighbor_id")
+      .agg(min(col("acid")).as("cid"),
+        max_by(col("cid"), struct(col("acos"), (-col("cid")).as("t"))).as("best_cid"),
+        floor(max(when(col("cid") === col("acid"), col("acos"))) * 1e6 + 0.5)
+          .cast("long").as("own_q"),
+        floor(max(col("acos")) * 1e6 + 0.5).cast("long").as("best_q"))
+    val perCluster = perVector.groupBy("cid").agg(
+      count(lit(1)).as("n"),
+      sum((col("best_cid") =!= col("cid")).cast("long")).as("n_would_move"),
+      sum(col("own_q")).as("__sum_own_q"),
+      sum(col("best_q")).as("__sum_best_q"))
+    val drift = frozen.select(col("cid"), col("centroid").as("__c0"))
+      .join(refreshed.select(col("cid"), col("centroid").as("__c1")), "cid")
+      .select(col("cid"),
+        floor(cosine(col("__c0"), col("__c1")) * 1e6 + 0.5)
+          .cast("long").as("centroid_cos_q"))
+    perCluster.join(broadcast(drift), Seq("cid"), "left")
+      .select(col("cid"), col("n"), col("n_would_move"),
+        expr("__sum_own_q div n").as("mean_own_q"),
+        expr("__sum_best_q div n").as("mean_best_q"),
+        expr("(__sum_best_q - __sum_own_q) div n").as("mean_gain_q"),
+        col("centroid_cos_q"))
+  }
+
   /** Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding
     * space with the same deterministic fixed-point k-means as [[ivfTopK]],
     * then drop any vector that has a LOWER-id near-duplicate (cosine ≥

@@ -244,6 +244,81 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfStaleness: profile == driver replay; rotated appends raise the staleness signals") {
+    val base = embs.filter(col("vec_id") < 400)
+    val (ct, at) = Similarity.buildIvfIndex(base, "vec_id", "embedding",
+      s"graft_ivfstale_pid${ProcessHandle.current().pid()}")
+    try {
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i).toDouble * b(i).toDouble
+          na += a(i).toDouble * a(i).toDouble
+          nb += b(i).toDouble * b(i).toDouble
+          i += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      // exact replay of the diagnostic chain: one fixed-point k-means step
+      // over the current assignment, per-vector argmax against it (tie →
+      // lowest cid), micro-quantized integer means, frozen-vs-refreshed
+      // centroid cosine
+      def replay(): Set[(Long, Long, Long, Long, Long, Long, Long)] = {
+        val asg = spark.table(at).select("neighbor_id", "cid", "cv").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray))
+        val frozen = spark.table(ct).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+        val refreshed = asg.groupBy(_._2).map { case (cid, vs) =>
+          val dim = vs.head._3.length
+          cid -> Array.tabulate(dim) { d =>
+            val s = vs.map(v => math.floor(v._3(d).toDouble * 1e6 + 0.5).toLong).sum
+            (s.toDouble / (vs.length.toDouble * 1e6)).toFloat
+          }
+        }
+        val perVec = asg.map { case (id, acid, v) =>
+          val scored = refreshed.toSeq.map { case (cid, c) => (cid, cos(v, c)) }
+          val best = scored.maxBy { case (cid, a) => (a, -cid) }._1
+          (id, acid, best,
+            math.floor(scored.toMap.apply(acid) * 1e6 + 0.5).toLong,
+            math.floor(scored.map(_._2).max * 1e6 + 0.5).toLong)
+        }
+        perVec.groupBy(_._2).map { case (cid, vs) =>
+          val n = vs.length.toLong
+          val so = vs.map(_._4).sum; val sb = vs.map(_._5).sum
+          (cid, n, vs.count(_._3 != cid).toLong, so / n, sb / n,
+            (sb - so) / n,
+            math.floor(cos(frozen(cid), refreshed(cid)) * 1e6 + 0.5).toLong)
+        }.toSet
+      }
+      def profile(): Set[(Long, Long, Long, Long, Long, Long, Long)] =
+        Similarity.ivfStaleness(spark, ct, at).collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+      val before = profile()
+      assert(before === replay())
+      // distribution shift: append ROTATED vectors the frozen centroids
+      // never saw — the staleness signals must move the honest direction
+      val rotated = embs.filter(col("vec_id") >= 400)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          concat(slice(col("embedding"), 33, 32),
+            slice(col("embedding"), 1, 32)).as("embedding"))
+      Similarity.appendToIvfIndex(rotated, "vec_id", "embedding", ct, at)
+      val after = profile()
+      assert(after === replay()) // replay holds over the appended state too
+      val moveBefore = before.toSeq.map(_._3).sum
+      val moveAfter = after.toSeq.map(_._3).sum
+      info(s"would-move before=$moveBefore after=$moveAfter; " +
+        s"min centroid_cos_q ${before.map(_._7).min} -> ${after.map(_._7).min}")
+      assert(moveAfter > moveBefore,
+        "appending shifted mass must raise the would-move churn")
+      assert(after.map(_._7).min < before.map(_._7).min,
+        "appending shifted mass must drag some frozen centroid off its refreshed position")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $ct")
+      spark.sql(s"DROP TABLE IF EXISTS $at")
+    }
+  }
+
   test("marginMiningFromTopK: tgt with no backward rows surfaces with NULL margin/is_mutual") {
     import spark.implicits._
     // forward: src 1's best (rank 1) is tgt 10, but the backward relation

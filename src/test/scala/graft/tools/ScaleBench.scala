@@ -31,7 +31,10 @@ import org.apache.spark.sql.functions._
   * frame-decode branch), `audio<N>x` (WAV decode + 2:1 resample + sample
   * sums at 1× vs N× — the audio member of the per-modality series),
   * `margin<N>x` (h104's exact vs IVF-fed margin-mining scorers at 1× vs
-  * N× embeddings — the swap-the-scorer-at-scale evidence);
+  * N× embeddings — the swap-the-scorer-at-scale evidence), `ivfdrift<N>x`
+  * (frozen-centroid append vs rebuild: per-batch recall, cost, and the
+  * ivfStaleness profile as N−1 rotated batches accumulate — the
+  * rebuild-cadence crossover evidence);
   * no mode = the 10× suite.
   */
 object ScaleBench {
@@ -202,6 +205,90 @@ object ScaleBench {
     println(s"[scale] margin ivf-fed sf0.1=${f3(i1)}s ${copies}x=${f3(iN)}s ratio=${f3(iN / i1)} (centroids 16->$nN)")
     println(s"""{"metric":"margin$copies","exact":{"base":${f3(e1)},"xN":${f3(eN)},"ratio":${f3(eN / e1)}},""" +
       s""""ivf":{"base":${f3(i1)},"xN":${f3(iN)},"ratio":${f3(iN / i1)}}}""")
+  }
+
+  /** Rebuild-vs-append crossover mode (`… ScaleBench <sfDir> ivfdrift<N>x`):
+    * build the IVF index once on the base sf vectors, then append N−1
+    * ROTATED batches (the margin-mode generator — geometrically shifted
+    * mass the frozen centroids never saw, the honest worst case for
+    * frozen-centroid maintenance). After EVERY append, measure the three
+    * signals the maintenance decision needs:
+    *
+    *   - recall@10 of the appended (frozen-centroid) index vs a
+    *     freshly-REBUILT index on the same corpus, against brute-force
+    *     ground truth over a fixed 16-query panel (with nProbe scaled the
+    *     same for both — the structural comparison, not a tuning contest);
+    *   - append cost (batch-proportional) vs rebuild cost
+    *     (corpus-proportional) at that corpus size;
+    *   - the [[graft.extensions.Similarity.ivfStaleness]] headline numbers
+    *     (would-move migration rate, min frozen-vs-refreshed centroid
+    *     cosine) — the cheap profile a maintainer reads INSTEAD of paying
+    *     ground-truth recall.
+    *
+    * The crossover statement this produces: the batch index at which
+    * appended-index recall falls materially under the rebuilt index's, and
+    * whether the staleness profile flagged it first (it must — that is the
+    * diagnostic's job). Emits one JSON line with the per-batch series.
+    */
+  private def runIvfDriftNx(spark: SparkSession, sfDir: String,
+      copies: Int): Unit = {
+    import graft.extensions.Similarity
+    require(copies >= 2, s"ivfdrift needs N >= 2, got $copies")
+    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def time[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    embs.selectExpr("count(*)").collect()
+    val dim = embs.select(size(col("embedding"))).head().getInt(0)
+    def batch(k: Int): DataFrame = {
+      val r = (k * 7) % dim // spread rotations across the dimension ring
+      val rotated = if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, dim - r),
+          slice(col("embedding"), 1, r))
+      embs.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+        rotated.as("embedding"), col("label"))
+    }
+    val qs = embs.filter(col("vec_id") < 16)
+    def recall(corpus: DataFrame, ct: String, at: String): Double = {
+      val exact = Similarity.bruteForceTopK(corpus, qs, "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val approx = Similarity.ivfTopKFromIndex(spark, ct, at, qs,
+          "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(approx).size.toDouble / exact.size
+    }
+    val ((ct, at), buildSec) = time(
+      Similarity.buildIvfIndex(embs, "vec_id", "embedding", "graft_ivfdrift"))
+    println(s"[scale] ivfdrift base index built in ${f3(buildSec)}s")
+    var corpus = embs
+    val rows = (1 until copies).map { k =>
+      val b = batch(k)
+      val (_, appendSec) = time(
+        Similarity.appendToIvfIndex(b, "vec_id", "embedding", ct, at))
+      corpus = corpus.unionByName(b)
+      val ((ctR, atR), rebuildSec) = time(Similarity.buildIvfIndex(
+        corpus, "vec_id", "embedding", "graft_ivfdrift_rb"))
+      val recAppended = recall(corpus, ct, at)
+      val recRebuilt = recall(corpus, ctR, atR)
+      val prof = Similarity.ivfStaleness(spark, ct, at).collect()
+      val n = prof.map(_.getLong(1)).sum
+      val mv = prof.map(_.getLong(2)).sum
+      val minCq = prof.map(_.getLong(6)).min
+      val maxN = prof.map(_.getLong(1)).max
+      println(s"[scale] ivfdrift batch $k: recall appended=${f3(recAppended)} " +
+        s"rebuilt=${f3(recRebuilt)} append=${f3(appendSec)}s rebuild=${f3(rebuildSec)}s " +
+        s"would_move=$mv/$n min_centroid_cos_q=$minCq max_cluster=$maxN")
+      s"""{"batch":$k,"recall_appended":${f3(recAppended)},"recall_rebuilt":${f3(recRebuilt)},""" +
+        s""""append_sec":${f3(appendSec)},"rebuild_sec":${f3(rebuildSec)},""" +
+        s""""would_move":$mv,"n":$n,"min_centroid_cos_q":$minCq,"max_cluster":$maxN}"""
+    }
+    println(s"""{"metric":"ivfdrift$copies","build_sec":${f3(buildSec)},""" +
+      s""""batches":[${rows.mkString(",")}]}""")
   }
 
   /** Steady-state-tail mode (`… ScaleBench <sfDir> tail<N>x`, e.g.
@@ -812,6 +899,7 @@ object ScaleBench {
     }
     val TailNx = """tail(\d+)x""".r
     val MarginNx = """margin(\d+)x""".r
+    val IvfDriftNx = """ivfdrift(\d+)x""".r
     val HubNk = """hub(\d+)k""".r
     val ChainNk = """chain(\d+)k""".r
     val StreamB = """stream(\d+)""".r
@@ -839,6 +927,8 @@ object ScaleBench {
         runTailNx(spark, sfDir, copies(n)); spark.stop(); return
       case Some(MarginNx(n)) =>
         runMarginNx(spark, sfDir, copies(n)); spark.stop(); return
+      case Some(IvfDriftNx(n)) =>
+        runIvfDriftNx(spark, sfDir, copies(n)); spark.stop(); return
       case Some(NxMatBkt(n)) =>
         runNxMat(spark, sfDir, copies(n), bucketed = true); spark.stop(); return
       case Some(NxMat(n)) =>
