@@ -236,6 +236,19 @@ object Similarity {
     */
   private def probeIvf(cent: DataFrame, assigned: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int): DataFrame =
+    probeIvfMulti(cent, Seq(assigned), queries, idCol, vecCol, k, nProbe)
+
+  /** [[probeIvf]] over SEVERAL assigned relations (base bucketed table +
+    * streamed delta epochs): each relation's candidate join is scored
+    * SEPARATELY — so the bucketed base keeps its exchange-free join (a
+    * pre-union would erase the bucket metadata, the h61 union lesson) and
+    * the batch-sized delta joins pay only their own size — and the scored
+    * candidates union into ONE shared top-k window (two-phase
+    * WindowGroupLimit, same as the single-relation path).
+    */
+  private def probeIvfMulti(cent: DataFrame, assigned: Seq[DataFrame],
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nProbe: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val wProbe = Window.partitionBy("query_id")
@@ -247,9 +260,12 @@ object Similarity {
       .select("query_id", "qv", "cid")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
-    probes.join(assigned, "cid")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", Det.floorRound(cosine(col("qv"), col("cv")), 4))
+    assigned.map { a =>
+      probes.join(a, "cid")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", Det.floorRound(cosine(col("qv"), col("cv")), 4))
+        .select("query_id", "neighbor_id", "cos")
+    }.reduce(_ unionByName _)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
@@ -316,15 +332,41 @@ object Similarity {
     */
   def appendToIvfIndex(newVectors: DataFrame, idCol: String, vecCol: String,
       centroidsTable: String, assignmentTable: String,
-      buckets: Int = 8): Unit = {
+      buckets: Int = 8): Unit =
+    assignToFrozenCentroids(newVectors, idCol, vecCol, centroidsTable)
+      .write.mode("append")
+      .bucketBy(buckets, "cid").sortBy("cid")
+      .format("parquet").saveAsTable(assignmentTable)
+
+  /** The frozen-centroid assignment half of [[appendToIvfIndex]], exposed
+    * for sinks that land the assigned rows elsewhere (the streaming delta
+    * layout — [[graft.streaming.StreamAnnIngest]]): ONE broadcast-argmax
+    * pass over the batch against the persisted centroids, returning
+    * `(neighbor_id, cid, cv)` rows in the assignment-table schema.
+    */
+  def assignToFrozenCentroids(newVectors: DataFrame, idCol: String,
+      vecCol: String, centroidsTable: String): DataFrame = {
     val spark = newVectors.sparkSession
     val c = newVectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     assignToCentroids(c, spark.table(centroidsTable), payload = Seq("cv"))
       .select("neighbor_id", "cid", "cv")
-      .write.mode("append")
-      .bucketBy(buckets, "cid").sortBy("cid")
-      .format("parquet").saveAsTable(assignmentTable)
   }
+
+  /** [[ivfTopKFromIndex]] over the bucketed base assignment PLUS a streamed
+    * delta directory ([[graft.streaming.StreamAnnIngest]]'s
+    * epoch-partitioned layout): the base join keeps its bucket-metadata
+    * exchange elimination, the delta join pays only the delta's size, and
+    * one shared window takes the combined top-k — the sealed-segments +
+    * growing-segment serving shape of a streaming ANN deployment.
+    */
+  def ivfTopKFromIndexWithDelta(spark: org.apache.spark.sql.SparkSession,
+      centroidsTable: String, assignmentTable: String, deltaPath: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 2): DataFrame =
+    probeIvfMulti(spark.table(centroidsTable),
+      Seq(graft.sources.Bucketing.readBucketed(spark, assignmentTable),
+        spark.read.parquet(deltaPath).select("neighbor_id", "cid", "cv")),
+      queries, idCol, vecCol, k, nProbe)
 
   /** [[ivfTopK]] from a persisted [[buildIvfIndex]] layout: identical
     * output for the same parameters (same probe tail — shared code), but

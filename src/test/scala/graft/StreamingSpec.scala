@@ -601,4 +601,69 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("streaming ANN ingest: epochs land exactly-once, probes == batch twin, compaction folds in") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.extensions.Similarity
+    import graft.streaming.StreamAnnIngest
+    val embs = Tables.embeddings(spark, sf)
+    val base = embs.filter(col("vec_id") < 300)
+    val streamed = embs.filter(col("vec_id") >= 300 && col("vec_id") < 500)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toSeq
+    val pid = ProcessHandle.current().pid()
+    val (ct, at) = Similarity.buildIvfIndex(base, "vec_id", "embedding",
+      s"graft_annstream_pid$pid")
+    val (ctB, atB) = Similarity.buildIvfIndex(base, "vec_id", "embedding",
+      s"graft_annbatch_pid$pid")
+    val deltaPath = s"target/scratch/ann_delta_$pid"
+    def batchDf(xs: Seq[(Long, Array[Float])]) =
+      xs.toDF("vec_id", "embedding")
+    try {
+      val mem = MemoryStream[(Long, Array[Float])]
+      val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          StreamAnnIngest.ingestEpoch(df, id, "vec_id", "embedding", ct, deltaPath))
+        .start()
+      try {
+        mem.addData(streamed.take(100): _*); q.processAllAvailable()
+        mem.addData(streamed.drop(100): _*); q.processAllAvailable()
+      } finally q.stop()
+      // batch twin: the SAME two batches appended directly to a second
+      // copy of the base index — frozen-centroid assignment is per-row
+      // deterministic, so probe results must be identical
+      Similarity.appendToIvfIndex(batchDf(streamed.take(100)),
+        "vec_id", "embedding", ctB, atB)
+      Similarity.appendToIvfIndex(batchDf(streamed.drop(100)),
+        "vec_id", "embedding", ctB, atB)
+      val qs = embs.filter(col("vec_id") < 8)
+      def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val batchRes = res(Similarity.ivfTopKFromIndex(spark, ctB, atB, qs,
+        "vec_id", "embedding", 5))
+      val streamRes = res(Similarity.ivfTopKFromIndexWithDelta(spark, ct, at,
+        deltaPath, qs, "vec_id", "embedding", 5))
+      assert(streamRes === batchRes)
+      // at-least-once re-delivery of epoch 0: the epoch partition is
+      // REPLACED, not appended — content and probes unchanged
+      StreamAnnIngest.ingestEpoch(batchDf(streamed.take(100)), 0L,
+        "vec_id", "embedding", ct, deltaPath)
+      assert(spark.read.parquet(deltaPath).count() === 200)
+      assert(res(Similarity.ivfTopKFromIndexWithDelta(spark, ct, at,
+        deltaPath, qs, "vec_id", "embedding", 5)) === batchRes)
+      // compaction: fold the delta into the bucketed base — probes over the
+      // base ALONE now match, and the table content equals the batch twin's
+      StreamAnnIngest.compactDelta(spark, deltaPath, at)
+      assert(res(Similarity.ivfTopKFromIndex(spark, ct, at, qs,
+        "vec_id", "embedding", 5)) === batchRes)
+      val cont = spark.table(at).select("neighbor_id", "cid")
+        .as[(Long, Long)].collect().toSet
+      val contB = spark.table(atB).select("neighbor_id", "cid")
+        .as[(Long, Long)].collect().toSet
+      assert(cont === contB)
+      assert(spark.table(at).count() === spark.table(atB).count())
+    } finally {
+      for (t <- Seq(ct, at, ctB, atB)) spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
 }

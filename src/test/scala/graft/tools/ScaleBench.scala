@@ -183,11 +183,18 @@ object ScaleBench {
       }
       math.min(once, once)
     }
+    // beyond the second decade the exact scorer is only re-measuring a
+    // proven quadratic (30x already took 300 s; 100x would be ~3,000 s of
+    // scheduled waste) — the third-decade point measures the IVF-fed path
+    // alone against the shared 1x baseline
+    val withExact = copies <= 30
     def run(path: String, nCentroids: Int): (Double, Double) = {
       val embs = spark.read.parquet(path)
       val src = embs.filter(col("label") % 2 === 0)
       val tgt = embs.filter(col("label") % 2 === 1)
-      val exact = time(Similarity.marginMining(src, tgt, "vec_id", "embedding", k = 4))
+      val exact = if (withExact)
+        time(Similarity.marginMining(src, tgt, "vec_id", "embedding", k = 4))
+      else 0.0
       def roles(df: org.apache.spark.sql.DataFrame, qAs: String, nAs: String) =
         df.select(col("query_id").as(qAs), col("neighbor_id").as(nAs),
           col("rank"), col("cos"))
@@ -201,9 +208,15 @@ object ScaleBench {
     val (e1, i1) = run(s"$sfDir/embeddings.parquet", 16)
     val nN = math.max(16, (16 * math.sqrt(copies.toDouble)).toInt)
     val (eN, iN) = run(embPath, nN)
-    println(s"[scale] margin exact sf0.1=${f3(e1)}s ${copies}x=${f3(eN)}s ratio=${f3(eN / e1)}")
+    if (withExact)
+      println(s"[scale] margin exact sf0.1=${f3(e1)}s ${copies}x=${f3(eN)}s ratio=${f3(eN / e1)}")
+    else
+      println(s"[scale] margin exact SKIPPED at ${copies}x (proven quadratic; see margin30x)")
     println(s"[scale] margin ivf-fed sf0.1=${f3(i1)}s ${copies}x=${f3(iN)}s ratio=${f3(iN / i1)} (centroids 16->$nN)")
-    println(s"""{"metric":"margin$copies","exact":{"base":${f3(e1)},"xN":${f3(eN)},"ratio":${f3(eN / e1)}},""" +
+    val exactJs = if (withExact)
+      s""""exact":{"base":${f3(e1)},"xN":${f3(eN)},"ratio":${f3(eN / e1)}},"""
+    else """"exact":"skipped (proven quadratic at 30x)","""
+    println(s"""{"metric":"margin$copies",$exactJs""" +
       s""""ivf":{"base":${f3(i1)},"xN":${f3(iN)},"ratio":${f3(iN / i1)}}}""")
   }
 
