@@ -110,19 +110,43 @@ object Splits {
     * shrink bandWidth (more, smaller bands) the way you would re-bucket
     * any range partitioning.
     *
+    * `tieWidth` is the escape hatch for the DEGENERATE distribution no
+    * bandWidth can split — mass TIES on few quantized values (worst case:
+    * every score equal, one band holds the corpus and its window
+    * serializes through one task). With `tieWidth > 0` (requires
+    * `bandWidth == 1`), the bucket becomes the PAIR
+    * `(10000 − score_q, id div tieWidth)`: a width-1 band holds a single
+    * quantized score, so subdividing it by id ranges is still exactly the
+    * global `(score desc, id)` order — the concatenation of (band asc,
+    * id-range asc, id asc) IS (score desc, id) when each band is one score
+    * — and the window partition count scales with the corpus again
+    * (ties/tieWidth partitions instead of 1). Size tieWidth like
+    * [[ppsSample]]'s bucketWidth: one id-range ≈ one comfortable task. The
+    * kept set and every cum are IDENTICAL to the plain path
+    * (PropertySpec pins the equality); only the partitioning changes.
+    *
     * Output: kept rows only — (id, w, score_q, cum).
     */
   def budgetFill(df: DataFrame, idCol: String, weight: Column, score: Column,
-      budget: Long, bandWidth: Int = 100): DataFrame = {
+      budget: Long, bandWidth: Int = 100, tieWidth: Long = 0L): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     require(bandWidth >= 1 && bandWidth <= 10000,
       s"bandWidth must be in [1, 10000], got $bandWidth")
+    require(tieWidth >= 0, s"tieWidth must be >= 0, got $tieWidth")
+    require(tieWidth == 0 || bandWidth == 1,
+      s"tieWidth > 0 requires bandWidth == 1 (a multi-score band subdivided " +
+        s"by id is no longer the global score order); got bandWidth=$bandWidth")
     // same NULL/negative clamp as ppsSample — the cum line must be monotonic
     val rows = df.select(col(idCol).as("id"),
       greatest(coalesce(weight.cast("long"), lit(0L)), lit(0L)).as("w"),
       floor(score * 1e4 + 0.5).cast("long").as("score_q"))
-    val b = rows.withColumn("bucket",
-      expr(s"(10000 - score_q) div $bandWidth"))
+    val b =
+      if (tieWidth == 0)
+        rows.withColumn("bucket", expr(s"(10000 - score_q) div $bandWidth"))
+      else
+        rows.withColumn("bucket",
+          struct(expr("10000 - score_q").as("band"),
+            expr(s"id div $tieWidth").as("sub")))
     twoLevelCum(b, Seq(col("score_q").desc, col("id")))
       .filter(col("w") > 0 && col("cum") - col("w") < budget)
       .select(col("id"), col("w"), col("score_q"), col("cum"))

@@ -431,8 +431,34 @@ class PropertySpec extends SparkSpec {
           if (w > 0 && prev < budget) Some((id, cum)) else None
         }.toSet
       val extended = fill(budget + 37L).map(_._1)
+      // the tie-split bucketing (exact-score bands subdivided by id range)
+      // must be a pure partitioning change: identical kept set AND cums
+      val gotTieSplit = Splits
+        .budgetFill(df, "id", $"w", $"q", budget, bandWidth = 1, tieWidth = 3L)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
       (got == want) :| s"greedy prefix mismatch: got=$got want=$want" &&
-        got.map(_._1).subsetOf(extended) :| "raising the budget must only add rows"
+        got.map(_._1).subsetOf(extended) :| "raising the budget must only add rows" &&
+        (gotTieSplit == got) :| "tie-split path must equal the plain path exactly"
     })
+  }
+
+  test("budgetFill: degenerate all-equal scores — tie-split equals plain, greedy by id") {
+    // the distribution no bandWidth can split: every score identical, one
+    // band holds the corpus; tieWidth subdivides it by id ranges without
+    // changing a single output value
+    val df = (0L until 200L).map(i => (i, 5L, 0.5)).toDF("id", "w", "q")
+    def out(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(3))).toSeq.sortBy(_._1)
+    val plain = out(Splits.budgetFill(df, "id", $"w", $"q", 333L, bandWidth = 100))
+    val split = out(Splits.budgetFill(df, "id", $"w", $"q", 333L,
+      bandWidth = 1, tieWidth = 7L))
+    assert(plain === split)
+    // greedy fill at equal quality is pure id order: 5 tokens each, prev
+    // cum < 333 keeps ids 0..66 (the 67th row starts at 330 < 333)
+    assert(plain === (0L to 66L).map(i => (i, (i + 1) * 5L)))
+    // tieWidth without exact-score bands is rejected
+    assertThrows[IllegalArgumentException] {
+      Splits.budgetFill(df, "id", $"w", $"q", 333L, bandWidth = 100, tieWidth = 7L)
+    }
   }
 }

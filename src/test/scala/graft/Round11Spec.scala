@@ -113,4 +113,30 @@ class Round11Spec extends SparkSpec {
           "a plan change re-inflated shuffle volume (lost split/bucket/prune?)")
     }
   }
+
+  // the round-16 tie-split path (budgetFill bandWidth=1 + tieWidth, the
+  // degenerate all-equal-score escape hatch): record volume must stay
+  // docs-proportional like h107's — the split changes PARTITIONING (one
+  // corpus-band window task → corpus/tieWidth tasks), not volume, so a
+  // ceiling trip means the subdivision started duplicating or re-keying
+  // rows. Measured 2026-08-15: 516 records at sf0.001, 5,158 at sf0.1
+  // (docs-proportional: ~one window row per doc + the (band, sub) totals);
+  // ceilings ×1.5 rounded up.
+  for ((dir, ceiling) <- Seq(
+      ("/root/testdata/sf0.001", 800L), ("/root/testdata/sf0.1", 7800L))) {
+    val sfLabel = dir.split('/').last
+    test(s"budgetFill tie-split on all-equal scores stays docs-proportional at $sfLabel") {
+      import org.apache.spark.sql.functions.{col, lit, size}
+      val out = graft.extensions.Splits.budgetFill(
+        graft.Tables.documents(spark, dir), "doc_id",
+        size(graft.extensions.TextOps.tokens(col("text"))), lit(0.5),
+        budget = Long.MaxValue / 4, bandWidth = 1, tieWidth = 64L)
+      val vol = ShuffleMetrics.measure(out)
+      info(s"tiesplit@$sfLabel: exchanges=${vol.exchanges} records=${vol.records} bytes=${vol.bytes}")
+      assert(vol.records > 0, "no shuffle records measured — metric wiring broken?")
+      assert(vol.records <= ceiling,
+        s"tie-split budgetFill shuffled ${vol.records} records at $sfLabel, " +
+          s"ceiling $ceiling — the subdivision must change partitioning, not volume")
+    }
+  }
 }

@@ -34,7 +34,9 @@ import org.apache.spark.sql.functions._
   * N× embeddings — the swap-the-scorer-at-scale evidence), `ivfdrift<N>x`
   * (frozen-centroid append vs rebuild: per-batch recall, cost, and the
   * ivfStaleness profile as N−1 rotated batches accumulate — the
-  * rebuild-cadence crossover evidence);
+  * rebuild-cadence crossover evidence), `skewband<N>x` (budgetFill's
+  * two-level scan under a degenerate all-equal score distribution:
+  * balanced vs one-band-degenerate vs tie-split, timed at 1× and N×);
   * no mode = the 10× suite.
   */
 object ScaleBench {
@@ -302,6 +304,66 @@ object ScaleBench {
     }
     println(s"""{"metric":"ivfdrift$copies","build_sec":${f3(buildSec)},""" +
       s""""batches":[${rows.mkString(",")}]}""")
+  }
+
+  /** Degenerate-tie stress for the two-level prefix scan
+    * (`… ScaleBench <sfDir> skewband<N>x`): [[graft.extensions.Splits
+    * .budgetFill]]'s band partitioning concentrates when scores TIE — the
+    * worst case (every score identical) puts the whole corpus in one band
+    * and its within-band window serializes through one task, the exact
+    * failure the two-level decomposition exists to avoid. Three variants
+    * timed at 1× and N× docs:
+    *
+    *   - `balanced` — md5-uniform scores, bandWidth 100 (the h107 shape;
+    *     the healthy reference);
+    *   - `degenerate` — all-equal scores, bandWidth 1, NO tie split (one
+    *     band = the corpus; expected to scale with the single task's sort);
+    *   - `tiesplit`  — all-equal scores, bandWidth 1, tieWidth 4096 (exact-
+    *     score bands subdivided by id range — output-identical to
+    *     `degenerate`, PropertySpec-pinned, but partition count scales with
+    *     the corpus again).
+    *
+    * The statement this measures: the tie-split keeps the degenerate
+    * distribution at the balanced variant's scaling while the plain path
+    * degrades, and the knob costs nothing when unused.
+    */
+  private def runSkewBandNx(spark: SparkSession, sfDir: String,
+      copies: Int): Unit = {
+    import graft.extensions.{Splits, TextOps}
+    val dir = s"/root/repo/target/scaleskewband$copies"
+    if (!new java.io.File(s"$dir/documents.parquet").exists())
+      buildDocsNx(spark, sfDir, dir, copies)
+    spark.read.parquet(s"$dir/documents.parquet").selectExpr("count(*)").collect()
+    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def time(body: => DataFrame): Double = {
+      def once = {
+        val t0 = System.nanoTime()
+        body.write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once, once)
+    }
+    // md5-uniform 4-dp score — scan-side, engine-agnostic, ~uniform [0,1]
+    def uniformScore = (expr("conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10)")
+      .cast("long") % 10000).cast("double") / 10000.0
+    def fill(path: String, score: org.apache.spark.sql.Column,
+        bandWidth: Int, tieWidth: Long): DataFrame =
+      Splits.budgetFill(spark.read.parquet(s"$path/documents.parquet"),
+        "doc_id", size(TextOps.tokens(col("text"))), score,
+        budget = Long.MaxValue / 4, bandWidth = bandWidth, tieWidth = tieWidth)
+    def suite(path: String): (Double, Double, Double) = (
+      time(fill(path, uniformScore, 100, 0L)),
+      time(fill(path, lit(0.5), 1, 0L)),
+      time(fill(path, lit(0.5), 1, 4096L)))
+    val (b1, d1, t1) = suite(sfDir)
+    val (bN, dN, tN) = suite(dir)
+    println(s"[scale] skewband balanced   sf0.1=${f3(b1)}s ${copies}x=${f3(bN)}s ratio=${f3(bN / b1)}")
+    println(s"[scale] skewband degenerate sf0.1=${f3(d1)}s ${copies}x=${f3(dN)}s ratio=${f3(dN / d1)}")
+    println(s"[scale] skewband tiesplit   sf0.1=${f3(t1)}s ${copies}x=${f3(tN)}s ratio=${f3(tN / t1)}")
+    println(s"""{"metric":"skewband$copies",""" +
+      s""""balanced":{"base":${f3(b1)},"xN":${f3(bN)},"ratio":${f3(bN / b1)}},""" +
+      s""""degenerate":{"base":${f3(d1)},"xN":${f3(dN)},"ratio":${f3(dN / d1)}},""" +
+      s""""tiesplit":{"base":${f3(t1)},"xN":${f3(tN)},"ratio":${f3(tN / t1)}}}""")
   }
 
   /** Steady-state-tail mode (`… ScaleBench <sfDir> tail<N>x`, e.g.
@@ -913,6 +975,7 @@ object ScaleBench {
     val TailNx = """tail(\d+)x""".r
     val MarginNx = """margin(\d+)x""".r
     val IvfDriftNx = """ivfdrift(\d+)x""".r
+    val SkewBandNx = """skewband(\d+)x""".r
     val HubNk = """hub(\d+)k""".r
     val ChainNk = """chain(\d+)k""".r
     val StreamB = """stream(\d+)""".r
@@ -942,6 +1005,8 @@ object ScaleBench {
         runMarginNx(spark, sfDir, copies(n)); spark.stop(); return
       case Some(IvfDriftNx(n)) =>
         runIvfDriftNx(spark, sfDir, copies(n)); spark.stop(); return
+      case Some(SkewBandNx(n)) =>
+        runSkewBandNx(spark, sfDir, copies(n)); spark.stop(); return
       case Some(NxMatBkt(n)) =>
         runNxMat(spark, sfDir, copies(n), bucketed = true); spark.stop(); return
       case Some(NxMat(n)) =>
