@@ -362,11 +362,20 @@ object Similarity {
   def ivfTopKFromIndexWithDelta(spark: org.apache.spark.sql.SparkSession,
       centroidsTable: String, assignmentTable: String, deltaPath: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      nProbe: Int = 2): DataFrame =
+      nProbe: Int = 2): DataFrame = {
+    // a serving path must work BEFORE the first epoch lands (or after a
+    // compaction retired the delta dir) — a missing delta reads as empty,
+    // not as an AnalysisException at plan time
+    val loc = new org.apache.hadoop.fs.Path(deltaPath)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val delta =
+      if (fs.exists(loc))
+        Some(spark.read.parquet(deltaPath).select("neighbor_id", "cid", "cv"))
+      else None
     probeIvfMulti(spark.table(centroidsTable),
-      Seq(graft.sources.Bucketing.readBucketed(spark, assignmentTable),
-        spark.read.parquet(deltaPath).select("neighbor_id", "cid", "cv")),
+      graft.sources.Bucketing.readBucketed(spark, assignmentTable) +: delta.toSeq,
       queries, idCol, vecCol, k, nProbe)
+  }
 
   /** [[ivfTopK]] from a persisted [[buildIvfIndex]] layout: identical
     * output for the same parameters (same probe tail — shared code), but

@@ -620,6 +620,14 @@ class StreamingSpec extends SparkSpec {
     def batchDf(xs: Seq[(Long, Array[Float])]) =
       xs.toDF("vec_id", "embedding")
     try {
+      // serving before the FIRST epoch lands: the missing delta dir reads
+      // as empty — probes equal the base-only index path
+      val qs0 = embs.filter(col("vec_id") < 8)
+      assert(
+        Similarity.ivfTopKFromIndexWithDelta(spark, ct, at, deltaPath, qs0,
+          "vec_id", "embedding", 5).collect().map(_.toString).sorted.toSeq ===
+        Similarity.ivfTopKFromIndex(spark, ct, at, qs0,
+          "vec_id", "embedding", 5).collect().map(_.toString).sorted.toSeq)
       val mem = MemoryStream[(Long, Array[Float])]
       val q = mem.toDF().toDF("vec_id", "embedding").writeStream
         .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>

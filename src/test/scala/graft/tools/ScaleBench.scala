@@ -411,7 +411,13 @@ object ScaleBench {
       // two-level prefix scan) — join the measured-tail set so their
       // docs-linear claims carry wall-clock evidence, not just the
       // Round11Spec record ceilings
-      "h105_novelty_curve", "h106_pps_sample", "h107_budget_fill")
+      "h105_novelty_curve", "h106_pps_sample", "h107_budget_fill",
+      // round 16: variable-length substring dedup — its anchor relation is
+      // corpus-TOKEN-sized by construction (stride-1 16-gram fingerprints),
+      // the steepest scaling story in the tail set; everything downstream
+      // is duplicate-mass-sized (the disjoint-vocabulary blow-up keeps
+      // per-copy duplicate structure at base density)
+      "h109_substring_dedup")
     val js = names.map { n =>
       def once(d: String): Double = {
         val t0 = System.nanoTime()
