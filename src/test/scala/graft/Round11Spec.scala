@@ -97,7 +97,23 @@ class Round11Spec extends SparkSpec {
     // projection riding the scan; same regression target (a global-window
     // cumsum would double-funnel the corpus)
     ("h107_budget_fill", "/root/testdata/sf0.001", 1100L),
-    ("h107_budget_fill", "/root/testdata/sf0.1", 7900L))
+    ("h107_budget_fill", "/root/testdata/sf0.1", 7900L),
+    // h108 (round 16): the steady-state ANN-fed margin funnel — both IVF
+    // probes' WindowGroupLimits forward <= k rows per vector and the margin
+    // tail is per-vector-sized, so records stay VECTOR-proportional
+    // (measured 1,492 at sf0.001 / 6,050 at sf0.1 — 4x vectors -> 4x
+    // records; the index BUILD's shuffles land at build time, not here)
+    ("h108_ann_margin_mining", "/root/testdata/sf0.001", 2300L),
+    ("h108_ann_margin_mining", "/root/testdata/sf0.1", 9100L),
+    // h109 (round 16): the stride-1 anchor relation is corpus-TOKEN-sized
+    // and crosses the winner-aggregate exchange once (map-side partial min
+    // collapses nothing here — anchors are near-unique), so records are
+    // token-proportional BY CONSTRUCTION (measured 21,018 / 201,490 —
+    // ~one record per token, the suffix-array input size); the ceiling
+    // trips if the island tail or reassembly starts re-shuffling
+    // corpus-sized rows a second time
+    ("h109_substring_dedup", "/root/testdata/sf0.001", 32000L),
+    ("h109_substring_dedup", "/root/testdata/sf0.1", 310000L))
 
   for ((name, dir, ceiling) <- pins) {
     val sfLabel = dir.split('/').last
