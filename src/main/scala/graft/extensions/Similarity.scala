@@ -333,10 +333,43 @@ object Similarity {
   def appendToIvfIndex(newVectors: DataFrame, idCol: String, vecCol: String,
       centroidsTable: String, assignmentTable: String,
       buckets: Int = 8): Unit =
-    assignToFrozenCentroids(newVectors, idCol, vecCol, centroidsTable)
+    appendAssigned(
+      assignToFrozenCentroids(newVectors, idCol, vecCol, centroidsTable),
+      assignmentTable, buckets)
+
+  /** The ONE bucketed-append recipe for `(neighbor_id, cid, cv)` rows into
+    * an assignment table — shared by [[appendToIvfIndex]] and the delta
+    * compaction ([[graft.streaming.StreamAnnIngest.compactDelta]]) so the
+    * layout the serving path assumes cannot diverge between the two
+    * writers. Spark rejects a `buckets` mismatch against the table's spec.
+    */
+  private[graft] def appendAssigned(assigned: DataFrame,
+      assignmentTable: String, buckets: Int): Unit =
+    assigned.select("neighbor_id", "cid", "cv")
       .write.mode("append")
       .bucketBy(buckets, "cid").sortBy("cid")
       .format("parquet").saveAsTable(assignmentTable)
+
+  /** The streamed delta relation under `deltaPath` — `(neighbor_id, cid,
+    * cv)` rows across all landed epochs, via an EXPLICIT schema so the
+    * read works on every state the stream can leave behind: a missing dir
+    * (never started / retired by compaction) and a dir holding only
+    * zero-row epochs (an empty first micro-batch writes no parquet
+    * footers, which would crash schema INFERENCE) both read as empty.
+    */
+  private[graft] def readDelta(spark: org.apache.spark.sql.SparkSession,
+      deltaPath: String): DataFrame = {
+    val loc = new org.apache.hadoop.fs.Path(deltaPath)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc))
+      spark.read.schema("neighbor_id BIGINT, cid BIGINT, cv ARRAY<FLOAT>")
+        .parquet(deltaPath).select("neighbor_id", "cid", "cv")
+    else
+      spark.emptyDataFrame
+        .withColumn("neighbor_id", lit(null).cast("bigint"))
+        .withColumn("cid", lit(null).cast("bigint"))
+        .withColumn("cv", lit(null).cast("array<float>"))
+  }
 
   /** The frozen-centroid assignment half of [[appendToIvfIndex]], exposed
     * for sinks that land the assigned rows elsewhere (the streaming delta
@@ -362,20 +395,17 @@ object Similarity {
   def ivfTopKFromIndexWithDelta(spark: org.apache.spark.sql.SparkSession,
       centroidsTable: String, assignmentTable: String, deltaPath: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      nProbe: Int = 2): DataFrame = {
-    // a serving path must work BEFORE the first epoch lands (or after a
-    // compaction retired the delta dir) — a missing delta reads as empty,
-    // not as an AnalysisException at plan time
-    val loc = new org.apache.hadoop.fs.Path(deltaPath)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val delta =
-      if (fs.exists(loc))
-        Some(spark.read.parquet(deltaPath).select("neighbor_id", "cid", "cv"))
-      else None
+      nProbe: Int = 2): DataFrame =
+    // the serving path works on EVERY delta state — missing dir (before the
+    // first epoch / after compaction retired it), zero-row epochs, or live
+    // data — because readDelta never schema-infers. Base and delta must be
+    // DISJOINT id sets (the ingest contract: new vectors stream, compaction
+    // retires the dir it folded) — an overlapping row would occupy two
+    // top-k slots.
     probeIvfMulti(spark.table(centroidsTable),
-      graft.sources.Bucketing.readBucketed(spark, assignmentTable) +: delta.toSeq,
+      Seq(graft.sources.Bucketing.readBucketed(spark, assignmentTable),
+        readDelta(spark, deltaPath)),
       queries, idCol, vecCol, k, nProbe)
-  }
 
   /** [[ivfTopK]] from a persisted [[buildIvfIndex]] layout: identical
     * output for the same parameters (same probe tail — shared code), but

@@ -371,8 +371,9 @@ object TextAnalysis {
     * `ceilWidth = (hi − lo) div nBuckets + 1` — divide-first pure integer
     * math against a broadcast one-row bounds aggregate, so the bucket is a
     * scan-side column (never a global ntile window, which would funnel the
-    * corpus through one partition). Ids must be NON-NEGATIVE (asserted
-    * in-plan; see the body comment) — fold hashed ids into [0, 2⁶³) first.
+    * corpus through one partition). The id SPAN hi − lo must fit in 64
+    * bits (asserted in-plan; see the body comment) — small negative ranges
+    * are fine, but fold hashed ids into [0, 2⁶³) first.
     *
     * Shapes: exactly TWO shingle-keyed exchanges over the whole curve —
     * (1) occurrences + distinct-per-bucket fused into ONE
@@ -412,20 +413,27 @@ object TextAnalysis {
       shingleCol: String, nBuckets: Int = 10): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val sh = shingles.select(col(idCol).as("id"), col(shingleCol).as("sh"))
-    // ids must be NON-NEGATIVE: a mixed-sign span wider than Long.MaxValue
-    // (e.g. raw xxhash64 ids) wraps hi - lo itself, and NO signed-64 integer
-    // form survives that — so the bounds row asserts lo >= 0 in-plan
-    // (fused into lo via an always-0 addend, so column pruning cannot drop
-    // the check) and fails loudly instead of silently emitting garbage
-    // buckets. Hashed ids fold to a non-negative space first (id & MaxValue
-    // or abs-with-MinValue-care); the DuckDB oracle needs no twin guard —
+    // the id SPAN must fit in 64 bits: a mixed-sign span wider than
+    // Long.MaxValue (e.g. raw xxhash64 ids) overflows hi - lo itself, and
+    // NO signed-64 integer form survives that — detected in-plan via
+    // try_subtract (NULL exactly on overflow, under ANSI and non-ANSI
+    // alike; a plain subtraction would itself throw a GENERIC ANSI
+    // overflow here, or silently wrap with ANSI off). The bounds row
+    // asserts it (fused into lo via an always-0 addend, so column pruning
+    // cannot drop the check) with an actionable message; small negative-id
+    // ranges pass untouched (divide-first keeps id - lo and the width
+    // inside the span). An EMPTY shingle relation has NULL bounds — the
+    // isNull arm keeps the assert quiet so the curve stays an empty
+    // DataFrame, not a crash. Hashed ids fold to a non-negative space
+    // first (id & Long.MaxValue); the DuckDB oracle needs no twin guard —
     // its BIGINT arithmetic raises Out of Range on overflow rather than
     // wrapping.
     val bounds = sh.agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
       .select((col("lo") + coalesce(
-        assert_true(col("lo") >= 0, lit(
-          "noveltyCurve ids must be non-negative (mixed-sign 64-bit " +
-            "spans overflow the bucket math)")).cast("long"),
+        assert_true(
+          col("lo").isNull || try_subtract(col("hi"), col("lo")).isNotNull,
+          lit("noveltyCurve id span overflows 64-bit bucket math (fold " +
+            "hashed ids to a non-negative space first)")).cast("long"),
         lit(0L))).as("lo"), col("hi"))
     // equal-width buckets via DIVIDE-FIRST integer math: width =
     // ceil(span / nBuckets) as (hi - lo) div nBuckets + 1. The naive
@@ -433,8 +441,8 @@ object TextAnalysis {
     // multiply already for wide NON-NEGATIVE id spaces (e.g. ids spanning
     // [0, Long.MaxValue)) and least() would then silently emit
     // negative/garbage buckets; dividing first keeps every intermediate
-    // inside the id range for the whole non-negative domain the guard
-    // above admits (the least() cap remains as the boundary guard — e.g.
+    // inside the span for every range the guard above admits (the
+    // least() cap remains as the boundary guard — e.g.
     // span 11, n 10 → width 2 → raw bucket ≤ 5). Note the ceil-width
     // scheme's output shape: ids concentrate in the FIRST ceil(span/width)
     // buckets, so up to nBuckets − 1 TRAILING buckets can be absent from

@@ -17,11 +17,12 @@ import org.apache.spark.sql.functions._
   * the same persisted tables, exactly like a production corpus version.
   * In Bench this makes the first attempt pay the build and every later
   * attempt measure the steady state (best-of-N keeps the steady reading);
-  * Verify builds once and probes once. Same single-writer-per-dir
-  * assumption as DupGraph.materializeBucketed: two JVMs indexing the SAME
-  * dir concurrently would race on the warehouse paths (the driver runs
-  * bench and verify on different SFs, and dev workflows are one sbt
-  * process).
+  * Verify builds once and probes once. Table names carry an md5 tag of
+  * the dir (collision-free, unlike String.hashCode). Same
+  * single-writer-per-dir assumption as DupGraph.materializeBucketed: two
+  * JVMs indexing the SAME dir concurrently would race on the warehouse
+  * paths (the driver runs bench and verify on different SFs, and dev
+  * workflows are one sbt process).
   */
 object AnnIndex {
   private final case class Built(session: SparkSession, tables: Seq[String])
@@ -35,10 +36,18 @@ object AnnIndex {
     */
   def h108Tables(s: SparkSession, dir: String): Seq[String] =
     memo.compute(dir, (_, prev) =>
-      if (prev != null && (prev.session eq s)) prev
+      if (prev != null && (prev.session eq s) &&
+          prev.tables.forall(s.catalog.tableExists))
+        prev
       else {
         val embs = graft.Tables.embeddings(s, dir)
-        val hex = Integer.toHexString(dir.hashCode)
+        // md5 of the dir, not its hashCode: String.hashCode collides across
+        // dirs (the h14 fixture-path lesson), and a collision here would
+        // silently probe another dir's index — 12 hex chars of md5 keep the
+        // identifier short with a collision chance that is not a concern
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.take(12)
         val (sc, sa) = graft.extensions.Similarity.buildIvfIndex(
           embs.filter(col("label") % 2 === 0), "vec_id", "embedding",
           s"graft_ivf${hex}_src")

@@ -25,8 +25,9 @@ import graft.extensions.Similarity
   *     pays only the delta's size).
   *   - [[compactDelta]] folds accumulated epochs into the bucketed base —
   *     the rows are ALREADY assigned, so compaction is a pure bucketed
-  *     append (no re-scoring). Retire the delta directory afterwards, out
-  *     of band like every compaction; run it on the cadence the
+  *     append (no re-scoring) — and retires the delta directory as part of
+  *     the operation (see its scaladoc for the crash-window honesty); run
+  *     it on the cadence the
   *     [[graft.extensions.Similarity.ivfStaleness]] profile adjudicates
   *     (the same profile decides when a full rebuild refreshes the frozen
   *     centroids themselves).
@@ -47,13 +48,30 @@ object StreamAnnIngest {
       epochId, deltaPath)
 
   /** Fold the delta epochs into the bucketed base assignment table (the
-    * periodic compaction job). `buckets` must match the table's spec —
-    * Spark rejects a mismatch loudly.
+    * periodic compaction job) and RETIRE the delta directory on success —
+    * deletion is part of the operation because the serving path
+    * ([[graft.extensions.Similarity.ivfTopKFromIndexWithDelta]]) unions
+    * base and delta with no dedup: a compacted-but-unretired delta would
+    * double-count every folded vector (the same row occupying two top-k
+    * slots). The append itself rides
+    * [[graft.extensions.Similarity.appendAssigned]] — the ONE write recipe
+    * shared with appendToIvfIndex, so the two writers cannot diverge on
+    * layout; `buckets` must match the table's spec (Spark rejects a
+    * mismatch loudly). A crash BETWEEN the append committing and the
+    * delete leaves the double-count window open until compaction re-runs
+    * or the dir is removed by hand — the honest limit of a
+    * non-transactional table format (the repo-wide ACID-format
+    * adjudication); at that point re-running compaction would fold the
+    * delta twice, so recover by deleting the dir, not re-compacting.
+    * Serving keeps working through every state (missing dir reads as
+    * empty).
     */
   def compactDelta(spark: SparkSession, deltaPath: String,
-      assignmentTable: String, buckets: Int = 8): Unit =
-    spark.read.parquet(deltaPath).select("neighbor_id", "cid", "cv")
-      .write.mode("append")
-      .bucketBy(buckets, "cid").sortBy("cid")
-      .format("parquet").saveAsTable(assignmentTable)
+      assignmentTable: String, buckets: Int = 8): Unit = {
+    Similarity.appendAssigned(Similarity.readDelta(spark, deltaPath),
+      assignmentTable, buckets)
+    val loc = new org.apache.hadoop.fs.Path(deltaPath)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true): Unit
+  }
 }

@@ -318,17 +318,31 @@ class Round5Spec extends SparkSpec {
     assert(rows.map(_._3).sum === totalDistinct)
   }
 
-  test("noveltyCurve: negative ids are rejected in-plan, not silently mis-bucketed") {
-    // a mixed-sign span wider than Long.MaxValue wraps hi-lo and would emit
-    // garbage buckets — the bounds row asserts lo >= 0 at execution time
-    val bad = Seq((-5L, "a b c d"), (3L, "a b c d")).toDF("doc_id", "text")
+  test("noveltyCurve: overflowing id spans are rejected in-plan; small negative spans work") {
+    // a small mixed-sign span is perfectly representable — the divide-first
+    // math buckets it correctly (doc -5 in bucket 0, doc 3 in bucket 1:
+    // span 8, width 5)
+    val ok = Seq((-5L, "a b c d"), (3L, "x y z w")).toDF("doc_id", "text")
+    val curve = TextAnalysis.noveltyCurve(ok, "doc_id", "text", nBuckets = 2)
+      .orderBy("bucket")
+      .select("bucket", "n_distinct", "n_first_seen")
+      .as[(Long, Long, Long)].collect()
+    assert(curve.toSeq === Seq((0L, 2L, 2L), (1L, 2L, 2L)))
+    // a mixed-sign span wider than Long.MaxValue wraps hi - lo and NO
+    // signed-64 form can bucket it — asserted at execution time
+    val bad = Seq((Long.MinValue, "a b c d"), (10L, "a b c d"))
+      .toDF("doc_id", "text")
     val e = intercept[Throwable] {
       TextAnalysis.noveltyCurve(bad, "doc_id", "text", nBuckets = 2).collect()
     }
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).exists(_.contains("non-negative")),
+    assert(messages(e).exists(_.contains("span overflows")),
       messages(e).mkString(" | "))
+    // an EMPTY shingle relation (every doc under 3 tokens) stays an empty
+    // curve, not an assert crash on the NULL bounds row
+    val empty = Seq((1L, "a b")).toDF("doc_id", "text")
+    assert(TextAnalysis.noveltyCurve(empty, "doc_id", "text", 2).count() === 0)
   }
 
   test("percentileGate: keeps exactly the top half of each domain, ranks dense from 1") {

@@ -623,11 +623,18 @@ class StreamingSpec extends SparkSpec {
       // serving before the FIRST epoch lands: the missing delta dir reads
       // as empty — probes equal the base-only index path
       val qs0 = embs.filter(col("vec_id") < 8)
-      assert(
-        Similarity.ivfTopKFromIndexWithDelta(spark, ct, at, deltaPath, qs0,
-          "vec_id", "embedding", 5).collect().map(_.toString).sorted.toSeq ===
-        Similarity.ivfTopKFromIndex(spark, ct, at, qs0,
-          "vec_id", "embedding", 5).collect().map(_.toString).sorted.toSeq)
+      def baseOnly() = Similarity.ivfTopKFromIndex(spark, ct, at, qs0,
+        "vec_id", "embedding", 5).collect().map(_.toString).sorted.toSeq
+      def withDelta() = Similarity.ivfTopKFromIndexWithDelta(spark, ct, at,
+        deltaPath, qs0, "vec_id", "embedding", 5)
+        .collect().map(_.toString).sorted.toSeq
+      assert(withDelta() === baseOnly())
+      // an EMPTY first micro-batch (normal on recovery / no-data triggers)
+      // writes a footerless dir — the explicit-schema read must still
+      // serve, where schema inference would throw
+      StreamAnnIngest.ingestEpoch(batchDf(Nil), 0L, "vec_id", "embedding",
+        ct, deltaPath)
+      assert(withDelta() === baseOnly())
       val mem = MemoryStream[(Long, Array[Float])]
       val q = mem.toDF().toDF("vec_id", "embedding").writeStream
         .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
@@ -659,11 +666,18 @@ class StreamingSpec extends SparkSpec {
       assert(spark.read.parquet(deltaPath).count() === 200)
       assert(res(Similarity.ivfTopKFromIndexWithDelta(spark, ct, at,
         deltaPath, qs, "vec_id", "embedding", 5)) === batchRes)
-      // compaction: fold the delta into the bucketed base — probes over the
-      // base ALONE now match, and the table content equals the batch twin's
+      // compaction: fold the delta into the bucketed base AND retire the
+      // dir (part of the operation — an unretired delta would double-count
+      // every folded vector in the union serving path) — probes over the
+      // base alone now match, the delta-aware path serves through the
+      // missing dir, and the table content equals the batch twin's
       StreamAnnIngest.compactDelta(spark, deltaPath, at)
+      assert(!new java.io.File(deltaPath).exists(),
+        "compactDelta must retire the delta directory it folded")
       assert(res(Similarity.ivfTopKFromIndex(spark, ct, at, qs,
         "vec_id", "embedding", 5)) === batchRes)
+      assert(res(Similarity.ivfTopKFromIndexWithDelta(spark, ct, at,
+        deltaPath, qs, "vec_id", "embedding", 5)) === batchRes)
       val cont = spark.table(at).select("neighbor_id", "cid")
         .as[(Long, Long)].collect().toSet
       val contB = spark.table(atB).select("neighbor_id", "cid")
@@ -672,6 +686,13 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table(at).count() === spark.table(atB).count())
     } finally {
       for (t <- Seq(ct, at, ctB, atB)) spark.sql(s"DROP TABLE IF EXISTS $t")
+      // compactDelta retires the dir on the happy path; clean up anyway so
+      // an assertion failure above cannot poison a same-JVM re-run
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(deltaPath))
     }
   }
 }
