@@ -44,33 +44,34 @@ object Bench {
     * literal (one command, can't drift from the median rule).
     */
   private[graft] val pinMedianSec: Map[String, Double] = Map(
-    "a1" -> 0.624, "a2" -> 0.51, "a3" -> 0.305, "a4" -> 0.69, "a5" -> 0.142, "a6" -> 0.175,
-    "a7" -> 0.226, "a8" -> 0.417, "b1" -> 0.245, "c1" -> 1.089, "c2" -> 0.351, "c3" -> 0.447,
-    "c4" -> 0.507, "d1" -> 0.419, "d2" -> 0.66, "d3" -> 0.4, "d4" -> 0.315, "d5" -> 0.294,
-    "d6" -> 1.171, "d7" -> 0.345, "d8" -> 0.266, "e1" -> 0.993, "e10" -> 0.627, "e11" -> 0.344,
-    "e12" -> 0.476, "e13" -> 0.341, "e14" -> 0.263, "e15" -> 0.738, "e2" -> 0.697, "e3" -> 0.398,
-    "e4" -> 0.502, "e5" -> 0.369, "e6" -> 1.468, "e7" -> 0.218, "e8" -> 0.837, "e9" -> 0.46,
-    "f1" -> 0.533, "f10" -> 0.494, "f11" -> 0.208, "f2" -> 0.566, "f3" -> 0.471, "f4" -> 0.184,
-    "f5" -> 0.264, "f6" -> 0.368, "f7" -> 0.314, "f8" -> 0.265, "f9" -> 0.542, "g1" -> 0.196,
-    "g2" -> 0.468, "g3" -> 0.942, "g4" -> 0.709, "g5" -> 0.229, "g6" -> 0.338, "h1" -> 0.283,
-    "h10" -> 0.428, "h100" -> 0.589, "h101" -> 0.455, "h102" -> 2.368, "h103" -> 0.439, "h104" -> 1.64,
-    "h105" -> 0.599, "h106" -> 0.592, "h107" -> 1.092, "h108" -> 0.941, "h109" -> 3.418, "h11" -> 0.713,
-    "h12" -> 0.547, "h13" -> 0.458, "h14" -> 0.388, "h15" -> 1.366, "h16" -> 0.359, "h17" -> 1.246,
-    "h18" -> 0.472, "h19" -> 0.741, "h2" -> 0.431, "h20" -> 0.797, "h21" -> 0.17, "h22" -> 0.495,
-    "h23" -> 0.804, "h24" -> 0.523, "h25" -> 0.775, "h26" -> 0.826, "h27" -> 0.94, "h28" -> 0.673,
-    "h29" -> 0.889, "h3" -> 0.253, "h30" -> 0.689, "h31" -> 0.333, "h32" -> 0.348, "h33" -> 0.331,
-    "h34" -> 0.248, "h35" -> 0.204, "h36" -> 0.346, "h37" -> 0.25, "h38" -> 1.695, "h39" -> 0.722,
-    "h4" -> 0.597, "h40" -> 0.809, "h41" -> 0.172, "h42" -> 0.657, "h43" -> 0.466, "h44" -> 1.138,
-    "h45" -> 0.586, "h46" -> 0.506, "h47" -> 1.561, "h48" -> 1.043, "h49" -> 0.694, "h5" -> 2.483,
-    "h50" -> 0.897, "h51" -> 0.71, "h52" -> 0.295, "h53" -> 0.458, "h54" -> 0.965, "h55" -> 1.105,
-    "h56" -> 1.317, "h57" -> 0.421, "h58" -> 0.803, "h59" -> 0.611, "h6" -> 0.944, "h60" -> 1.006,
-    "h61" -> 2.827, "h62" -> 0.653, "h63" -> 0.508, "h64" -> 0.441, "h65" -> 0.824, "h66" -> 0.86,
-    "h67" -> 1.818, "h68" -> 0.673, "h69" -> 0.406, "h7" -> 0.593, "h70" -> 0.166, "h71" -> 0.22,
-    "h72" -> 0.562, "h73" -> 0.483, "h74" -> 1.839, "h75" -> 1.083, "h76" -> 0.234, "h77" -> 0.238,
-    "h78" -> 1.051, "h79" -> 0.36, "h8" -> 0.386, "h80" -> 1.79, "h81" -> 0.874, "h82" -> 0.513,
-    "h83" -> 0.353, "h84" -> 0.353, "h85" -> 0.564, "h86" -> 0.819, "h87" -> 0.839, "h88" -> 0.435,
-    "h89" -> 1.062, "h9" -> 0.535, "h90" -> 0.965, "h91" -> 0.722, "h92" -> 0.481, "h93" -> 0.485,
-    "h94" -> 0.491, "h95" -> 0.634, "h96" -> 0.304, "h97" -> 0.441, "h98" -> 0.496, "h99" -> 0.423)
+    "a1" -> 0.634, "a2" -> 0.486, "a3" -> 0.254, "a4" -> 0.683, "a5" -> 0.128, "a6" -> 0.155,
+    "a7" -> 0.196, "a8" -> 0.421, "b1" -> 0.222, "c1" -> 0.845, "c2" -> 0.35, "c3" -> 0.419,
+    "c4" -> 0.478, "d1" -> 0.476, "d2" -> 0.673, "d3" -> 0.335, "d4" -> 0.337, "d5" -> 0.223,
+    "d6" -> 1.09, "d7" -> 0.351, "d8" -> 0.271, "e1" -> 0.958, "e10" -> 0.631, "e11" -> 0.355,
+    "e12" -> 0.474, "e13" -> 0.35, "e14" -> 0.261, "e15" -> 0.672, "e2" -> 0.672, "e3" -> 0.353,
+    "e4" -> 0.524, "e5" -> 0.347, "e6" -> 1.315, "e7" -> 0.258, "e8" -> 0.685, "e9" -> 0.509,
+    "f1" -> 0.347, "f10" -> 0.401, "f11" -> 0.209, "f2" -> 0.445, "f3" -> 0.477, "f4" -> 0.172,
+    "f5" -> 0.249, "f6" -> 0.27, "f7" -> 0.293, "f8" -> 0.266, "f9" -> 0.513, "g1" -> 0.18,
+    "g2" -> 0.428, "g3" -> 0.939, "g4" -> 0.673, "g5" -> 0.193, "g6" -> 0.335, "h1" -> 0.216,
+    "h10" -> 0.306, "h100" -> 0.555, "h101" -> 0.386, "h102" -> 1.931, "h103" -> 0.492, "h104" -> 1.494,
+    "h105" -> 0.541, "h106" -> 0.56, "h107" -> 1.062, "h108" -> 0.892, "h109" -> 3.45, "h11" -> 0.665,
+    "h110" -> 0.359, "h12" -> 0.472, "h13" -> 0.428, "h14" -> 0.35, "h15" -> 1.117, "h16" -> 0.287,
+    "h17" -> 1.184, "h18" -> 0.434, "h19" -> 0.729, "h2" -> 0.266, "h20" -> 0.964, "h21" -> 0.182,
+    "h22" -> 0.61, "h23" -> 0.658, "h24" -> 0.523, "h25" -> 0.682, "h26" -> 0.872, "h27" -> 0.97,
+    "h28" -> 0.674, "h29" -> 0.719, "h3" -> 0.211, "h30" -> 0.682, "h31" -> 0.367, "h32" -> 0.291,
+    "h33" -> 0.273, "h34" -> 0.202, "h35" -> 0.218, "h36" -> 0.289, "h37" -> 0.253, "h38" -> 1.7,
+    "h39" -> 0.744, "h4" -> 0.554, "h40" -> 0.633, "h41" -> 0.152, "h42" -> 0.65, "h43" -> 0.479,
+    "h44" -> 0.99, "h45" -> 0.654, "h46" -> 0.449, "h47" -> 1.803, "h48" -> 1.035, "h49" -> 0.678,
+    "h5" -> 2.397, "h50" -> 0.759, "h51" -> 0.632, "h52" -> 0.277, "h53" -> 0.45, "h54" -> 0.791,
+    "h55" -> 1.197, "h56" -> 1.205, "h57" -> 0.35, "h58" -> 0.744, "h59" -> 0.556, "h6" -> 0.916,
+    "h60" -> 1.031, "h61" -> 3.283, "h62" -> 0.667, "h63" -> 0.484, "h64" -> 0.389, "h65" -> 0.903,
+    "h66" -> 0.699, "h67" -> 1.476, "h68" -> 0.743, "h69" -> 0.364, "h7" -> 0.563, "h70" -> 0.196,
+    "h71" -> 0.189, "h72" -> 0.576, "h73" -> 0.46, "h74" -> 1.658, "h75" -> 0.976, "h76" -> 0.196,
+    "h77" -> 0.246, "h78" -> 1.211, "h79" -> 0.311, "h8" -> 0.382, "h80" -> 1.547, "h81" -> 0.677,
+    "h82" -> 0.555, "h83" -> 0.283, "h84" -> 0.402, "h85" -> 0.446, "h86" -> 0.852, "h87" -> 0.721,
+    "h88" -> 0.393, "h89" -> 0.926, "h9" -> 0.442, "h90" -> 0.938, "h91" -> 0.746, "h92" -> 0.447,
+    "h93" -> 0.42, "h94" -> 0.429, "h95" -> 0.666, "h96" -> 0.28, "h97" -> 0.524, "h98" -> 0.459,
+    "h99" -> 0.422)
 
   /** Queries declared in the registry but not yet pinned above — the
     * documented mid-round grace window between a query's addition and the
@@ -81,7 +82,7 @@ object Bench {
     * silently join the fallback path: it must either be pinned or be listed
     * here explicitly. Empty whenever the pin is fresh.
     */
-  private[graft] val pinGrace: Set[String] = Set("h110")
+  private[graft] val pinGrace: Set[String] = Set()
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
