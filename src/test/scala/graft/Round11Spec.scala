@@ -113,7 +113,16 @@ class Round11Spec extends SparkSpec {
     // trips if the island tail or reassembly starts re-shuffling
     // corpus-sized rows a second time
     ("h109_substring_dedup", "/root/testdata/sf0.001", 32000L),
-    ("h109_substring_dedup", "/root/testdata/sf0.1", 310000L))
+    ("h109_substring_dedup", "/root/testdata/sf0.1", 310000L),
+    // h110 (round 16): the staleness profile over the persisted index —
+    // ONE kmeansStep (k·dim partial-agg rows) + one assignment-shaped pass
+    // whose per-vector argmax combines map-side, so records stay
+    // vector-proportional (measured 286 at sf0.001 / 1,007 at sf0.1 for
+    // 250 -> 1,000 tgt-side vectors); the ceiling trips if the per-vector
+    // aggregate loses its partial or the profile starts re-shuffling cv
+    // payloads
+    ("h110_ivf_staleness", "/root/testdata/sf0.001", 450L),
+    ("h110_ivf_staleness", "/root/testdata/sf0.1", 1600L))
 
   for ((name, dir, ceiling) <- pins) {
     val sfLabel = dir.split('/').last
