@@ -71,7 +71,13 @@ object Bench {
     "h82" -> 0.555, "h83" -> 0.283, "h84" -> 0.402, "h85" -> 0.446, "h86" -> 0.852, "h87" -> 0.721,
     "h88" -> 0.393, "h89" -> 0.926, "h9" -> 0.442, "h90" -> 0.938, "h91" -> 0.746, "h92" -> 0.447,
     "h93" -> 0.42, "h94" -> 0.429, "h95" -> 0.666, "h96" -> 0.28, "h97" -> 0.524, "h98" -> 0.459,
-    "h99" -> 0.422)
+    "h99" -> 0.422,
+    // h111 joined after the r16 FINAL triple: QTime 5-sample median anchor
+    // (SPARK_GRAFT_MATERIALIZE=1, sf0.1 — samples 7.51-warmup-incl-prebuild/
+    // 0.143/0.138/0.117/0.106), folded into the next re-pin triple. A
+    // verified-pairs consumer like h16: scan-side labels over the shared
+    // pair table, so the steady state is pure stage latency.
+    "h111" -> 0.138)
 
   /** Queries declared in the registry but not yet pinned above — the
     * documented mid-round grace window between a query's addition and the
@@ -142,7 +148,7 @@ object Bench {
     // that built per query. Verify and the test suites do NOT opt in —
     // correctness always exercises the full per-query build.
     val consumerNames = Set("h65", "h66", "h67", "h78", "h16", "h23", "h61",
-      "h5", "h6", "h41", "h62", "h28")
+      "h5", "h6", "h41", "h62", "h28", "h111")
     var prebuild = List.empty[(String, Double)]
     if (only.forall(f => f.exists(n => consumerNames.contains(n.takeWhile(_ != '_'))))) {
       graft.queries.DupGraph.enableMaterialization()

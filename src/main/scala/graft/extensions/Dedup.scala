@@ -565,6 +565,36 @@ object Dedup {
       .select("id_a", "id_b")
   }
 
+  /** Split-leakage audit — the eval-contamination check a training
+    * pipeline runs after splitting: every near-dup pair that CROSSES a
+    * hash-split boundary (a test document with a near-duplicate in train
+    * inflates eval scores exactly like benchmark contamination; Lee et
+    * al. 2022 measure the effect directly). Consumes any (id_a, id_b)
+    * near-dup pair relation — [[verifiedNearDupPairs]],
+    * [[simhashNearDupPairs]], or a persisted pair table — and labels each
+    * side with [[Splits.splitLabel]]'s deterministic hash split.
+    *
+    * Scale shape: the split label is a PURE FUNCTION of the id (the
+    * [[Splits]] md5-bucket contract), so the audit is a scan-side
+    * projection + filter over the pair relation — no join back to the
+    * corpus, no shuffle beyond what the pair construction already paid.
+    * Cross-split rows only; resolve findings by moving BOTH sides to the
+    * earlier split or dropping the later doc (policy belongs to the
+    * caller — the audit just surfaces the pairs deterministically).
+    *
+    * Output: (id_a, split_a, id_b, split_b).
+    */
+  def splitLeakage(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", trainBuckets: Int = 205,
+      validBuckets: Int = 25): DataFrame =
+    pairs.select(col(aCol).as("id_a"), col(bCol).as("id_b"))
+      .withColumn("split_a",
+        Splits.splitLabel(col("id_a"), trainBuckets, validBuckets))
+      .withColumn("split_b",
+        Splits.splitLabel(col("id_b"), trainBuckets, validBuckets))
+      .filter(col("split_a") =!= col("split_b"))
+      .select("id_a", "split_a", "id_b", "split_b")
+
   /** Connected components over an undirected edge list — alternating
     * large-star / small-star rounds (Kiveris et al., "Connected Components
     * in MapReduce and Beyond", 2014): each round is two shuffle-bounded
