@@ -360,6 +360,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("h110 staleness profile: bucketed kmeans scan, map-side argmax, two exchanges") {
+    val p = planStr(qdf("h110_ivf_staleness"))
+    // the per-vector argmax combines map-side before its exchange — the
+    // property that keeps the profile assignment-shaped, not cross-sized
+    assert(p.contains("partial_max_by"), p)
+    // refreshed centroids broadcast (the deliberate 16-row crossjoin);
+    // nothing corpus-sized funnels through one partition
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SinglePartition"), p)
+    // exactly TWO hash exchanges: one row per vector to finish the argmax,
+    // nCentroids rows to finish the per-cluster stats — the kmeansStep
+    // (cid, pos) aggregate rides the assignment table's bucket metadata
+    // with NO exchange of its own
+    assert("hashpartitioning\\(".r.findAllIn(p).size === 2, p)
+  }
+
   test("h109 substring dedup: one doc-keyed exchange for the island tail; winner agg partial") {
     val p = planStr(qdf("h109_substring_dedup"))
     // winner = groupBy(anchor fp).min(struct) with map-side combine
