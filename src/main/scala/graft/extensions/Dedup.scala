@@ -595,6 +595,153 @@ object Dedup {
       .filter(col("split_a") =!= col("split_b"))
       .select("id_a", "split_a", "id_b", "split_b")
 
+  /** Exact-duplicate pair relation — the EXACT channel of the leakage
+    * audit, companion to [[verifiedNearDupPairs]]' near-dup channel: one
+    * `(id_a, id_b)` edge per duplicate document, connecting it to its
+    * fingerprint group's representative (`id_a` = the group's min id, so
+    * `id_a < id_b` by construction). Star edges, not all-pairs: a
+    * duplicate group of size g emits g−1 rows — LINEAR in the corpus,
+    * where the naive within-group self-join is Σ g² (one viral boilerplate
+    * page duplicated a million times would emit 10¹² pairs). The star
+    * carries the same connectivity (the group IS the connected component),
+    * which is all the audit and the repair need.
+    *
+    * Scale shape: one fingerprint exchange for the min-id aggregate
+    * (map-side partial), one join back on the fingerprint — the
+    * [[exactReps]] plan emitting the member ids instead of the kept text.
+    */
+  def exactDupPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = docs.select(col(idCol).as("id_b"),
+      md5(TextOps.normalized(col(textCol))).as("__fp"))
+    val reps = fp.groupBy("__fp").agg(min(col("id_b")).as("id_a"))
+    fp.join(reps, "__fp")
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+  }
+
+  /** Split-leakage REPAIR — the resolution step after [[splitLeakage]]
+    * surfaces cross-split duplicate pairs (exact — [[exactDupPairs]] — or
+    * near-dup — [[verifiedNearDupPairs]]): emit the assignment changes
+    * that make the split leak-free under a declared policy. Output: one
+    * row per affected document — `(doc_id, split_old, split_new, action)`
+    * — to merge over the hash split downstream.
+    *
+    *   - `move_to_train`: move every member of a LEAKY CONNECTED COMPONENT
+    *     (a dup component spanning >1 split) that is not already in train
+    *     into train (`action='move'`, `split_new='train'`). Component
+    *     closure, not per-pair patching, is what makes the repair
+    *     IDEMPOTENT: moving only the endpoints of cross pairs can turn a
+    *     previously same-split pair (valid↔valid, one member moved) into a
+    *     NEW cross pair, so the fix must take the whole component — after
+    *     one pass every leaky component sits entirely in train and a
+    *     second pass emits nothing (PropertySpec pins this).
+    *   - `drop_later`: drop the LATER (greater-id) side of every
+    *     cross-split pair (`action='drop'`, `split_new` null) — the
+    *     Lee et al. 2022 resolution (keep the earliest copy, drop the
+    *     rest from eval). Pairwise already idempotent: every cross pair
+    *     loses its max endpoint, labels never change, and the edge set
+    *     only shrinks, so no new cross pair can appear.
+    *
+    * Scale shape: `move_to_train` pays the [[connectedComponents]]
+    * O(log n) star rounds over the PAIR relation (dup-mass-sized, never
+    * corpus-sized) plus one component-keyed aggregate; the split label is
+    * a pure function of the id ([[Splits.splitLabel]]), so labeling is
+    * scan-side on both policies, and `drop_later` is a pure projection +
+    * filter + distinct over the pairs.
+    */
+  def splitRepair(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", policy: String = "move_to_train",
+      trainBuckets: Int = 205, validBuckets: Int = 25): DataFrame = {
+    def label(c: Column) = Splits.splitLabel(c, trainBuckets, validBuckets)
+    policy match {
+      case "move_to_train" =>
+        val comp = connectedComponents(pairs, aCol, bCol)
+          .withColumn("split", label(col("id")))
+        val leaky = comp.groupBy("comp")
+          .agg(min(col("split")).as("__lo"), max(col("split")).as("__hi"))
+          .filter(col("__lo") =!= col("__hi"))
+          .select("comp")
+        comp.join(leaky, "comp")
+          .filter(col("split") =!= "train")
+          .select(col("id").as("doc_id"), col("split").as("split_old"),
+            lit("train").as("split_new"), lit("move").as("action"))
+      case "drop_later" =>
+        pairs
+          .select(greatest(col(aCol), col(bCol)).as("doc_id"),
+            label(col(aCol)).as("split_a"), label(col(bCol)).as("split_b"))
+          .filter(col("split_a") =!= col("split_b"))
+          .select(col("doc_id"), label(col("doc_id")).as("split_old"))
+          .distinct()
+          .select(col("doc_id"), col("split_old"),
+            lit(null).cast("string").as("split_new"), lit("drop").as("action"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown splitRepair policy '$other' (move_to_train | drop_later)")
+    }
+  }
+
+  /** Line-level boilerplate removal (the CCNet §4.1 pre-filter, Wenzek et
+    * al. 2020): drop every line whose normalized content appears in at
+    * least `minDf` DISTINCT documents — headers, footers, nav chrome, and
+    * cookie banners repeat across a crawl far more often than real prose,
+    * and removing them BEFORE doc-level dedup keeps chrome from welding
+    * unrelated documents into near-dup pairs. Unlike [[exactReps]] (keep
+    * one copy per duplicate DOC) or span dedup (keep the first copy of a
+    * repeated span), the boilerplate rule drops ALL occurrences: a footer
+    * in 10,000 documents is noise in every one of them.
+    *
+    * A "line" is a `splitRegex` segment of the text (default `"\n"`);
+    * segments that are empty after trimming are ignored entirely (not
+    * counted, not reassembled). The document frequency is per NORMALIZED
+    * line ([[TextOps.normalized]] — case/whitespace-folded), counted once
+    * per document however often the doc repeats it. Surviving lines
+    * rejoin in original order with `joinStr` — pass the same delimiter
+    * the split used so the operator is IDEMPOTENT: kept lines re-split
+    * identically, their document frequencies can only have shrunk, so a
+    * second pass drops nothing (PropertySpec pins this).
+    *
+    * Scale shape (the h44 span-dedup discipline): explode is scan-side;
+    * the df count is a distinct + partial aggregate keyed by line
+    * fingerprint (never ships line TEXT to the aggregate — md5 only); the
+    * boilerplate set joins back on the fingerprint (AQE broadcasts it
+    * when small — at crawl scale it is the high-df head, tiny next to the
+    * line relation); reassembly is ONE doc-keyed exchange.
+    *
+    * Output: `idCol, n_lines:long, n_kept:long, text_clean` — text_clean
+    * null when every line was boilerplate; docs with no nonempty lines
+    * are absent (the [[Chunking.chunks]] convention).
+    */
+  def boilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+      splitRegex: String = "\n", joinStr: String = "\n",
+      minDf: Int = 2): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), splitRegex)))
+      .withColumnRenamed("pos", "__i").withColumnRenamed("col", "__line")
+      .filter(length(trim(col("__line"))) > 0)
+      .withColumn("__fp", md5(TextOps.normalized(col("__line"))))
+    val bp = lines.select(col(idCol), col("__fp")).distinct()
+      .groupBy("__fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__fp"), lit(true).as("__bp"))
+    lines
+      .join(bp, Seq("__fp"), "left")
+      .withColumn("__keep", col("__bp").isNull)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("__keep").cast("long")).as("n_kept"),
+        // collect_list skips nulls → only kept lines enter; array_sort on
+        // (__i, line) structs restores document order
+        transform(
+          array_sort(collect_list(
+            when(col("__keep"), struct(col("__i"), col("__line"))))),
+          s => s.getField("__line")).as("__kept"))
+      .select(col(idCol), col("n_lines"), col("n_kept"),
+        when(col("n_kept") > 0, array_join(col("__kept"), joinStr))
+          .as("text_clean"))
+  }
+
   /** Connected components over an undirected edge list — alternating
     * large-star / small-star rounds (Kiveris et al., "Connected Components
     * in MapReduce and Beyond", 2014): each round is two shuffle-bounded

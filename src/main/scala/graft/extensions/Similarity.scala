@@ -285,6 +285,14 @@ object Similarity {
     * Bucket-count guidance at scale: one bucket ≈ one task (128–512 MB),
     * same as every bucketed layout here.
     */
+  /** The epoch value [[buildIvfIndex]] and [[appendToIvfIndex]] stamp on
+    * assignment rows that did NOT arrive through the streaming delta fold:
+    * below every real streaming epoch id (Structured Streaming epochs are
+    * ≥ 0), so the [[foldedEpochWatermark]] of a never-streamed table is
+    * this sentinel and the first compaction folds everything.
+    */
+  private[graft] val NoEpoch = -1L
+
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       tablePrefix: String, nCentroids: Int = 16, kmeansIters: Int = 2,
       buckets: Int = 8): (String, String) = {
@@ -300,20 +308,18 @@ object Similarity {
     val cent = refineCentroids(corpus, c, idCol, vecCol, nCentroids, kmeansIters)
     val centTable = s"${tablePrefix}_ivf_centroids"
     val asgTable = s"${tablePrefix}_ivf_assignment"
-    def clear(table: String): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS $table")
-      // the in-memory catalog forgets tables across JVMs but the warehouse
-      // dir persists — a stale dir would fail the saveAsTable
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
-    clear(centTable)
+    clearTable(spark, centTable)
     cent.write.mode("overwrite").format("parquet").saveAsTable(centTable)
-    clear(asgTable)
+    clearTable(spark, asgTable)
+    // the `epoch` column is the compaction high-watermark channel
+    // ([[graft.streaming.StreamAnnIngest.compactDelta]]): rows folded from
+    // the streaming delta keep their epoch id, everything else carries the
+    // NoEpoch sentinel, and max(epoch) over the table IS the durable
+    // "folded up to here" state — it commits atomically WITH the folded
+    // rows (one write), which is what makes compaction retry-safe
     graft.sources.Bucketing.writeBucketed(
-      assignToCentroids(c, spark.table(centTable), payload = Seq("cv")),
+      assignToCentroids(c, spark.table(centTable), payload = Seq("cv"))
+        .withColumn("epoch", lit(NoEpoch)),
       asgTable, bucketCols = Seq("cid"), buckets = buckets,
       sortCols = Seq("cid"))
     (centTable, asgTable)
@@ -334,42 +340,92 @@ object Similarity {
       centroidsTable: String, assignmentTable: String,
       buckets: Int = 8): Unit =
     appendAssigned(
-      assignToFrozenCentroids(newVectors, idCol, vecCol, centroidsTable),
+      assignToFrozenCentroids(newVectors, idCol, vecCol, centroidsTable)
+        .withColumn("epoch", lit(NoEpoch)),
       assignmentTable, buckets)
 
-  /** The ONE bucketed-append recipe for `(neighbor_id, cid, cv)` rows into
-    * an assignment table — shared by [[appendToIvfIndex]] and the delta
-    * compaction ([[graft.streaming.StreamAnnIngest.compactDelta]]) so the
-    * layout the serving path assumes cannot diverge between the two
-    * writers. Spark rejects a `buckets` mismatch against the table's spec.
+  /** The ONE bucketed-append recipe for `(neighbor_id, cid, cv, epoch)`
+    * rows into an assignment table — shared by [[appendToIvfIndex]] and
+    * the delta compaction
+    * ([[graft.streaming.StreamAnnIngest.compactDelta]]) so the layout the
+    * serving path assumes cannot diverge between the two writers. Spark
+    * rejects a `buckets` mismatch against the table's spec. Direct batch
+    * appends stamp [[NoEpoch]]; compaction preserves each row's streaming
+    * epoch id, which is what advances [[foldedEpochWatermark]].
     */
   private[graft] def appendAssigned(assigned: DataFrame,
       assignmentTable: String, buckets: Int): Unit =
-    assigned.select("neighbor_id", "cid", "cv")
+    assigned.select("neighbor_id", "cid", "cv", "epoch")
       .write.mode("append")
       .bucketBy(buckets, "cid").sortBy("cid")
       .format("parquet").saveAsTable(assignmentTable)
 
+  /** The highest streaming epoch already folded into `assignmentTable` —
+    * `max(epoch)` over the table ([[NoEpoch]] when nothing streamed has
+    * ever been folded, including the empty table). Because compaction
+    * appends the folded rows WITH their epoch ids in one write, this
+    * watermark and the folded data commit together: a compaction that
+    * crashed after its append but before retiring the delta dirs is fully
+    * recovered by simply re-running compaction (the re-run sees the
+    * watermark, skips re-folding, and finishes the retire). Cost: a
+    * column-pruned max over the table's parquet footer statistics — the
+    * periodic-compaction price, not a serving-path one.
+    */
+  def foldedEpochWatermark(spark: org.apache.spark.sql.SparkSession,
+      assignmentTable: String): Long = {
+    val r = spark.table(assignmentTable).agg(max(col("epoch"))).head()
+    if (r.isNullAt(0)) NoEpoch else r.getLong(0)
+  }
+
+  /** The delta's row schema, derived from the assignment TABLE's schema
+    * (the two are the same row shape by construction — both sides of
+    * [[appendAssigned]]) rather than hardcoded: a corpus with non-bigint
+    * ids or a different vector element type writes a delta this read then
+    * handles with the exact types the base table carries. `epoch` is the
+    * delta's PARTITION column (the [[graft.streaming.IdempotentSink]]
+    * layout), declared explicitly so a footerless dir — an empty first
+    * micro-batch — still reads (schema inference would crash on it).
+    */
+  private def deltaSchema(spark: org.apache.spark.sql.SparkSession,
+      assignmentTable: String): org.apache.spark.sql.types.StructType = {
+    val base = spark.table(assignmentTable).schema
+    org.apache.spark.sql.types.StructType(
+      Seq("neighbor_id", "cid", "cv").map(base.apply) :+ base.apply("epoch"))
+  }
+
   /** The streamed delta relation under `deltaPath` — `(neighbor_id, cid,
-    * cv)` rows across all landed epochs, via an EXPLICIT schema so the
-    * read works on every state the stream can leave behind: a missing dir
-    * (never started / retired by compaction) and a dir holding only
-    * zero-row epochs (an empty first micro-batch writes no parquet
-    * footers, which would crash schema INFERENCE) both read as empty.
+    * cv, epoch)` rows across all landed epochs, with the row schema
+    * derived from `assignmentTable` (see [[deltaSchema]]) so the read
+    * works on every state the stream can leave behind: a missing dir
+    * (never started / fully retired by compaction), a dir holding only
+    * zero-row epochs, and any id/vector types the base table itself uses.
     */
   private[graft] def readDelta(spark: org.apache.spark.sql.SparkSession,
-      deltaPath: String): DataFrame = {
+      deltaPath: String, assignmentTable: String): DataFrame = {
     val loc = new org.apache.hadoop.fs.Path(deltaPath)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schema = deltaSchema(spark, assignmentTable)
     if (fs.exists(loc))
-      spark.read.schema("neighbor_id BIGINT, cid BIGINT, cv ARRAY<FLOAT>")
-        .parquet(deltaPath).select("neighbor_id", "cid", "cv")
+      spark.read.schema(schema).parquet(deltaPath)
+        .select("neighbor_id", "cid", "cv", "epoch")
     else
-      spark.emptyDataFrame
-        .withColumn("neighbor_id", lit(null).cast("bigint"))
-        .withColumn("cid", lit(null).cast("bigint"))
-        .withColumn("cv", lit(null).cast("array<float>"))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema)
   }
+
+  /** [[readDelta]] restricted to an explicit list of `epoch=<id>` partition
+    * directories — the compaction-side read: the fold operates on a
+    * SNAPSHOT of the epochs it enumerated, so an epoch landed by a live
+    * ingest between the enumeration and the fold is untouched (neither
+    * read nor retired) instead of silently destroyed.
+    */
+  private[graft] def readDeltaEpochs(spark: org.apache.spark.sql.SparkSession,
+      deltaPath: String, assignmentTable: String,
+      epochDirs: Seq[String]): DataFrame =
+    spark.read.option("basePath", deltaPath)
+      .schema(deltaSchema(spark, assignmentTable))
+      .parquet(epochDirs: _*)
+      .select("neighbor_id", "cid", "cv", "epoch")
 
   /** The frozen-centroid assignment half of [[appendToIvfIndex]], exposed
     * for sinks that land the assigned rows elsewhere (the streaming delta
@@ -404,7 +460,7 @@ object Similarity {
     // top-k slots.
     probeIvfMulti(spark.table(centroidsTable),
       Seq(graft.sources.Bucketing.readBucketed(spark, assignmentTable),
-        readDelta(spark, deltaPath)),
+        readDelta(spark, deltaPath, assignmentTable)),
       queries, idCol, vecCol, k, nProbe)
 
   /** [[ivfTopK]] from a persisted [[buildIvfIndex]] layout: identical
@@ -485,6 +541,73 @@ object Similarity {
         expr("__sum_best_q div n").as("mean_best_q"),
         expr("(__sum_best_q - __sum_own_q) div n").as("mean_gain_q"),
         col("centroid_cos_q"))
+  }
+
+  /** Warm-start IVF rebuild: refresh a persisted [[buildIvfIndex]] layout
+    * IN PLACE from its own current assignment, instead of the cold
+    * rank-seeded rebuild. [[ivfStaleness]]'s refresh step (one exact
+    * fixed-point [[kmeansStep]] over the current assignment) IS a rebuild's
+    * next k-means iteration, so persisting that step as the new centroid
+    * table plus ONE re-assignment pass advances the index exactly one
+    * iteration from where it stands — bit-for-bit equal to a cold
+    * [[buildIvfIndex]] with one more `kmeansIters` when nothing was
+    * appended (SimilaritySpec pins this), and the warm-start answer to
+    * frozen-centroid drift when batches WERE appended: the appended mass
+    * participates in the step, unlike a cold rebuild's id-rank seeding
+    * which restarts the refinement from scratch.
+    *
+    * Cost: one [[kmeansStep]] (corpus scan → (cid, dim)-keyed partial
+    * aggregate) + one broadcast-argmax assignment pass + the bucketed
+    * rewrite — the same corpus-proportional shape as a cold rebuild's
+    * FINAL iteration alone, dropping the seed pass and all earlier
+    * iterations (ScaleBench's `ivfdrift<N>x` measures the gap). Per-row
+    * `epoch` values are preserved, so the compaction watermark
+    * ([[foldedEpochWatermark]]) survives the refresh.
+    *
+    * Not transactional (the repo-wide non-ACID adjudication): the refresh
+    * rewrites the centroid table, then stages the new assignment and swaps
+    * it in via DROP + RENAME — run it in the maintenance window that also
+    * runs compaction. A crash between the centroid overwrite and the swap
+    * leaves refreshed centroids over the old assignment: still a
+    * self-consistent serving state (cids are stable keys; recall shifts,
+    * nothing corrupts), and re-running the refresh completes it. A crash
+    * inside the DROP→RENAME swap window leaves the staged table under
+    * `<assignmentTable>__refresh` to recover by hand.
+    */
+  def refreshIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      centroidsTable: String, assignmentTable: String,
+      buckets: Int = 8): Unit = {
+    val asg = graft.sources.Bucketing.readBucketed(spark, assignmentTable)
+      .select(col("cid"), col("neighbor_id"), col("cv"), col("epoch"))
+    // one exact k-means step over the current assignment — reads ONLY the
+    // assignment table, so overwriting the centroid table is safe
+    kmeansStep(asg).write.mode("overwrite").format("parquet")
+      .saveAsTable(centroidsTable)
+    // re-assign every vector against the refreshed centroids into a staged
+    // bucketed table (Spark cannot overwrite the table a plan reads), then
+    // swap: DROP + RENAME keeps the bucket spec and moves the data dir
+    val stage = s"${assignmentTable}__refresh"
+    clearTable(spark, stage)
+    graft.sources.Bucketing.writeBucketed(
+      assignToCentroids(asg.select(col("neighbor_id"), col("cv"), col("epoch")),
+        spark.table(centroidsTable), payload = Seq("cv", "epoch")),
+      stage, bucketCols = Seq("cid"), buckets = buckets,
+      sortCols = Seq("cid"))
+    spark.sql(s"DROP TABLE $assignmentTable")
+    spark.sql(s"ALTER TABLE $stage RENAME TO $assignmentTable")
+  }
+
+  /** Drop `table` and clear its (possibly stale, cross-JVM) warehouse dir —
+    * the in-memory catalog forgets tables across JVMs but the warehouse
+    * directory persists, and a stale dir fails the next saveAsTable.
+    */
+  private def clearTable(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true): Unit
   }
 
   /** Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding

@@ -25,9 +25,10 @@ import graft.extensions.Similarity
   *     pays only the delta's size).
   *   - [[compactDelta]] folds accumulated epochs into the bucketed base —
   *     the rows are ALREADY assigned, so compaction is a pure bucketed
-  *     append (no re-scoring) — and retires the delta directory as part of
-  *     the operation (see its scaladoc for the crash-window honesty); run
-  *     it on the cadence the
+  *     append (no re-scoring) — retiring exactly the epoch dirs it folded,
+  *     with the fold recorded as an epoch high-watermark IN the base table
+  *     so re-running compaction is the crash recovery (see its scaladoc);
+  *     run it on the cadence the
   *     [[graft.extensions.Similarity.ivfStaleness]] profile adjudicates
   *     (the same profile decides when a full rebuild refreshes the frozen
   *     centroids themselves).
@@ -48,30 +49,81 @@ object StreamAnnIngest {
       epochId, deltaPath)
 
   /** Fold the delta epochs into the bucketed base assignment table (the
-    * periodic compaction job) and RETIRE the delta directory on success —
-    * deletion is part of the operation because the serving path
+    * periodic compaction job) and RETIRE the folded `epoch=<id>` partition
+    * dirs — retirement is part of the operation because the serving path
     * ([[graft.extensions.Similarity.ivfTopKFromIndexWithDelta]]) unions
-    * base and delta with no dedup: a compacted-but-unretired delta would
+    * base and delta with no dedup: a compacted-but-unretired epoch would
     * double-count every folded vector (the same row occupying two top-k
-    * slots). The append itself rides
+    * slots). The append rides
     * [[graft.extensions.Similarity.appendAssigned]] — the ONE write recipe
     * shared with appendToIvfIndex, so the two writers cannot diverge on
     * layout; `buckets` must match the table's spec (Spark rejects a
-    * mismatch loudly). A crash BETWEEN the append committing and the
-    * delete leaves the double-count window open until compaction re-runs
-    * or the dir is removed by hand — the honest limit of a
-    * non-transactional table format (the repo-wide ACID-format
-    * adjudication); at that point re-running compaction would fold the
-    * delta twice, so recover by deleting the dir, not re-compacting.
-    * Serving keeps working through every state (missing dir reads as
-    * empty).
+    * mismatch loudly).
+    *
+    * RE-RUNNING COMPACTION IS THE CRASH RECOVERY. The folded rows land in
+    * the base table WITH their epoch ids, so the table's `max(epoch)`
+    * ([[graft.extensions.Similarity.foldedEpochWatermark]]) is a durable
+    * high-watermark that commits atomically with the data it describes.
+    * Each run:
+    *   1. reads the watermark `hw` from the base table;
+    *   2. retires (deletes without re-folding) any `epoch <= hw` dirs — a
+    *      previous run's append committed but its delete was lost to a
+    *      crash, the window the old "recover by deleting the dir by hand"
+    *      contract left open;
+    *   3. snapshots the `epoch > hw` dirs, folds exactly those in ONE
+    *      append (per-row epochs preserved), and deletes exactly those
+    *      dirs. An epoch landed by a LIVE ingest after the snapshot is
+    *      neither read nor deleted — the concurrent-compaction race that a
+    *      whole-directory read-then-recursive-delete would silently lose.
+    * A crash before the append folds nothing (watermark unmoved, all dirs
+    * intact → the next run folds them); a crash after the append is case 2
+    * on the next run. The append's own job commit is the one
+    * non-transactional residue (the repo-wide ACID-format adjudication) —
+    * a crash INSIDE it can leave a torn write that needs the usual
+    * table-level repair, but no compaction ordering can remove that
+    * without an ACID table format.
+    *
+    * Epoch-id contract: ids must be monotonically increasing over the
+    * table's lifetime — true for a Structured Streaming query resuming
+    * from ITS OWN checkpoint (epochs never regress). Restarting from a
+    * FRESH checkpoint restarts epoch ids at 0, which the watermark would
+    * read as already-folded and silently retire: a new query lineage needs
+    * a new delta path AND a new assignment table (or an epoch offset), the
+    * same contract as reusing a Kafka consumer group.
+    *
+    * Serving keeps working through every state (missing dir and retired
+    * epochs read as empty).
     */
   def compactDelta(spark: SparkSession, deltaPath: String,
       assignmentTable: String, buckets: Int = 8): Unit = {
-    Similarity.appendAssigned(Similarity.readDelta(spark, deltaPath),
-      assignmentTable, buckets)
     val loc = new org.apache.hadoop.fs.Path(deltaPath)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true): Unit
+    if (!fs.exists(loc)) return
+    val hw = Similarity.foldedEpochWatermark(spark, assignmentTable)
+    val epochDirs = fs.listStatus(loc).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
+      .flatMap(st => scala.util.Try(
+        st.getPath.getName.stripPrefix("epoch=").toLong).toOption
+        .map(_ -> st.getPath))
+    val (folded, pending) = epochDirs.partition(_._1 <= hw)
+    // already under the watermark: a previous run's append committed but
+    // the delete crashed — finish the retire, never re-fold
+    folded.foreach { case (_, p) => fs.delete(p, true) }
+    if (pending.nonEmpty) {
+      Similarity.appendAssigned(
+        Similarity.readDeltaEpochs(spark, deltaPath, assignmentTable,
+          pending.map(_._2.toString)),
+        assignmentTable, buckets)
+      pending.foreach { case (_, p) => fs.delete(p, true) }
+    }
+    // best-effort tidy-up of a fully-drained delta: drop write markers
+    // (_SUCCESS), then a NON-recursive root delete — if a live ingest
+    // landed a new epoch meanwhile, the delete fails harmlessly and the
+    // dir stays for the next cycle
+    fs.listStatus(loc).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("_"))
+      .foreach(st => fs.delete(st.getPath, false))
+    if (fs.listStatus(loc).isEmpty)
+      try fs.delete(loc, false): Unit catch { case _: java.io.IOException => }
   }
 }

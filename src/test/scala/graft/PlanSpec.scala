@@ -376,6 +376,48 @@ class PlanSpec extends SparkSpec {
     assert("hashpartitioning\\(".r.findAllIn(p).size === 2, p)
   }
 
+  test("h110 assignment cross: the CENTROID side is the broadcast build side, never the corpus") {
+    // the two-exchange pin above tolerates BroadcastNestedLoopJoin by
+    // construction (the deliberate nCentroids-row broadcast cross IS a
+    // BNLJ) — this pins WHICH side is broadcast, so a refactor cannot
+    // silently flip the sides and broadcast the corpus: the build side
+    // must be the kmeansStep REDUCTION (an aggregate → ≤ nCentroids rows),
+    // and the streamed side must be the raw assignment scan with no
+    // aggregate between scan and join
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    val df = qdf("h110_ivf_staleness")
+    df.collect()
+    val top = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    // AQE wraps materialized subtrees in QueryStageExec leaves; descend
+    // through them (and reused exchanges) so collect sees the whole tree
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p match {
+        case q: QueryStageExec     => walk(q.plan)
+        case r: ReusedExchangeExec => walk(r.child)
+        case _                     => p.children.flatMap(walk)
+      })
+    def hasAgg(p: SparkPlan): Boolean =
+      walk(p).exists(_.isInstanceOf[BaseAggregateExec])
+    val bnljs = walk(top).collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnljs.nonEmpty, s"expected the broadcast assignment cross:\n$top")
+    for (j <- bnljs) {
+      val (build, streamed) =
+        if (j.buildSide == BuildRight) (j.right, j.left) else (j.left, j.right)
+      assert(hasAgg(build),
+        s"broadcast build side is not the centroid reduction:\n$j")
+      assert(!hasAgg(streamed),
+        s"streamed side carries an aggregate — the sides flipped:\n$j")
+    }
+  }
+
   test("h109 substring dedup: one doc-keyed exchange for the island tail; winner agg partial") {
     val p = planStr(qdf("h109_substring_dedup"))
     // winner = groupBy(anchor fp).min(struct) with map-side combine

@@ -397,4 +397,78 @@ class SimilaritySpec extends SparkSpec {
     assert(isoMargin > 1.2 && hubMargin < 1.1,
       s"expected a clear separation, got iso=$isoMargin hub=$hubMargin")
   }
+
+  test("refreshIvfIndex == one more cold k-means iteration, bit-for-bit; epochs preserved") {
+    import spark.implicits._
+    val pid = ProcessHandle.current().pid()
+    // warm-start contract: build(iters=1) + refresh ≡ build(iters=2) —
+    // the refresh step IS the rebuild's next iteration (same exact
+    // fixed-point kmeansStep, same broadcast-argmax re-assignment)
+    val (ct1, at1) = Similarity.buildIvfIndex(embs, "vec_id", "embedding",
+      s"graft_ivfref1_pid$pid", kmeansIters = 1)
+    val (ct2, at2) = Similarity.buildIvfIndex(embs, "vec_id", "embedding",
+      s"graft_ivfref2_pid$pid", kmeansIters = 2)
+    try {
+      Similarity.refreshIvfIndex(spark, ct1, at1)
+      def cents(t: String) = spark.table(t).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+      assert(cents(ct1) === cents(ct2),
+        "refreshed centroids differ from the cold build's next iteration")
+      def asg(t: String) = spark.table(t).select("neighbor_id", "cid")
+        .as[(Long, Long)].collect().toMap
+      assert(asg(at1) === asg(at2),
+        "refreshed assignment differs from the cold build's next iteration")
+      // per-row epochs survive the refresh (the compaction watermark must
+      // not be reset by index maintenance), and the swapped-in table still
+      // serves bucketed probes
+      assert(spark.table(at1).select("epoch").distinct().collect()
+        .map(_.getLong(0)).toSeq === Seq(-1L))
+      val qs = embs.filter(col("vec_id") < 8)
+      val a = Similarity.ivfTopKFromIndex(spark, ct1, at1, qs,
+        "vec_id", "embedding", 5)
+      val b = Similarity.ivfTopKFromIndex(spark, ct2, at2, qs,
+        "vec_id", "embedding", 5)
+      assert(a.exceptAll(b).count() === 0)
+      assert(b.exceptAll(a).count() === 0)
+    } finally {
+      for (t <- Seq(ct1, at1, ct2, at2)) spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
+  test("delta schema derives from the assignment table: int-id corpus round-trips through ingest and serve") {
+    import spark.implicits._
+    // regression for the hardcoded 'neighbor_id BIGINT' delta read: a
+    // corpus with INT ids writes int-typed assignment and delta rows; the
+    // derived-schema read must serve and fold them with the table's types
+    val vecs = (0 until 64).map(i =>
+      (i, Array.tabulate(4)(d => math.sin(i * 0.37 + d).toFloat)))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val pid = ProcessHandle.current().pid()
+    val (ct, at) = Similarity.buildIvfIndex(corpus.filter(col("vec_id") < 48),
+      "vec_id", "embedding", s"graft_ivfint_pid$pid", nCentroids = 4,
+      kmeansIters = 1, buckets = 2)
+    val deltaPath = s"target/scratch/ann_intid_delta_$pid"
+    try {
+      assert(spark.table(at).schema("neighbor_id").dataType ===
+        org.apache.spark.sql.types.IntegerType)
+      graft.streaming.StreamAnnIngest.ingestEpoch(
+        corpus.filter(col("vec_id") >= 48), 0L, "vec_id", "embedding",
+        ct, deltaPath)
+      val served = Similarity.ivfTopKFromIndexWithDelta(spark, ct, at,
+        deltaPath, corpus.filter(col("vec_id") < 4), "vec_id", "embedding",
+        k = 3, nProbe = 2)
+      assert(served.count() === 12)
+      graft.streaming.StreamAnnIngest.compactDelta(spark, deltaPath, at,
+        buckets = 2)
+      assert(spark.table(at).count() === 64)
+      assert(spark.table(at).select("neighbor_id").distinct().count() === 64)
+    } finally {
+      for (t <- Seq(ct, at)) spark.sql(s"DROP TABLE IF EXISTS $t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(deltaPath))
+    }
+  }
 }

@@ -695,4 +695,97 @@ class StreamingSpec extends SparkSpec {
       rm(new java.io.File(deltaPath))
     }
   }
+
+  test("compaction crash-replay: append committed + delete crashed, re-running compactDelta is the recovery") {
+    import graft.extensions.Similarity
+    import graft.streaming.StreamAnnIngest
+    val embs = Tables.embeddings(spark, sf)
+    val base = embs.filter(col("vec_id") < 300)
+    val pid = ProcessHandle.current().pid()
+    val (ct, at) = Similarity.buildIvfIndex(base, "vec_id", "embedding",
+      s"graft_anncrash_pid$pid")
+    val deltaPath = s"target/scratch/ann_crash_delta_$pid"
+    try {
+      val b0 = embs.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+        .select("vec_id", "embedding")
+      val b1 = embs.filter(col("vec_id") >= 400 && col("vec_id") < 500)
+        .select("vec_id", "embedding")
+      StreamAnnIngest.ingestEpoch(b0, 0L, "vec_id", "embedding", ct, deltaPath)
+      StreamAnnIngest.ingestEpoch(b1, 1L, "vec_id", "embedding", ct, deltaPath)
+      // simulate the crash window the watermark exists for: the fold's
+      // append COMMITS (rows land in the base table with their epoch ids)
+      // but the process dies before any epoch dir is deleted — exactly what
+      // compactDelta does internally, minus the retire
+      val dirs = Seq(s"$deltaPath/epoch=0", s"$deltaPath/epoch=1")
+      Similarity.appendAssigned(
+        Similarity.readDeltaEpochs(spark, deltaPath, at, dirs), at, 8)
+      assert(Similarity.foldedEpochWatermark(spark, at) === 1L)
+      assert(spark.table(at).count() === 500)
+      // the naive retry of the old design would fold the delta AGAIN
+      // (double-counting all 200 vectors); the watermark makes the re-run
+      // retire the dirs without re-folding
+      StreamAnnIngest.compactDelta(spark, deltaPath, at)
+      assert(spark.table(at).count() === 500,
+        "re-running compaction after an append-committed crash double-counted the delta")
+      assert(!new java.io.File(deltaPath).exists(),
+        "recovery run must finish retiring the folded epoch dirs")
+      // every vector serves exactly once: distinct ids == row count
+      assert(spark.table(at).select("neighbor_id").distinct().count() === 500)
+      // a post-compaction re-delivery of an already-folded epoch (stream
+      // restart from an older checkpoint offset) is retired WITHOUT
+      // re-folding on the next cycle — the watermark covers it
+      StreamAnnIngest.ingestEpoch(b1, 1L, "vec_id", "embedding", ct, deltaPath)
+      StreamAnnIngest.compactDelta(spark, deltaPath, at)
+      assert(spark.table(at).count() === 500,
+        "re-delivered already-folded epoch was folded twice")
+      assert(!new java.io.File(deltaPath).exists())
+    } finally {
+      for (t <- Seq(ct, at)) spark.sql(s"DROP TABLE IF EXISTS $t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(deltaPath))
+    }
+  }
+
+  test("compaction folds ONLY the epochs present at its snapshot; later epochs keep serving and fold next cycle") {
+    import graft.extensions.Similarity
+    import graft.streaming.StreamAnnIngest
+    val embs = Tables.embeddings(spark, sf)
+    val base = embs.filter(col("vec_id") < 300)
+    val pid = ProcessHandle.current().pid()
+    val (ct, at) = Similarity.buildIvfIndex(base, "vec_id", "embedding",
+      s"graft_annsnap_pid$pid")
+    val deltaPath = s"target/scratch/ann_snap_delta_$pid"
+    try {
+      val b0 = embs.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+        .select("vec_id", "embedding")
+      val b1 = embs.filter(col("vec_id") >= 400 && col("vec_id") < 500)
+        .select("vec_id", "embedding")
+      StreamAnnIngest.ingestEpoch(b0, 0L, "vec_id", "embedding", ct, deltaPath)
+      StreamAnnIngest.compactDelta(spark, deltaPath, at)
+      assert(Similarity.foldedEpochWatermark(spark, at) === 0L)
+      assert(spark.table(at).count() === 400)
+      // an epoch landing AFTER a compaction cycle (stand-in for the live
+      // ingest racing the fold: the fold operates on its enumerated
+      // snapshot, so a later epoch is neither read nor deleted)
+      StreamAnnIngest.ingestEpoch(b1, 1L, "vec_id", "embedding", ct, deltaPath)
+      val qs = embs.filter(col("vec_id") < 8)
+      val served = Similarity.ivfTopKFromIndexWithDelta(spark, ct, at,
+        deltaPath, qs, "vec_id", "embedding", 5)
+      assert(served.count() === 40) // 8 queries x k=5 over base+delta
+      StreamAnnIngest.compactDelta(spark, deltaPath, at)
+      assert(Similarity.foldedEpochWatermark(spark, at) === 1L)
+      assert(spark.table(at).count() === 500)
+      assert(spark.table(at).select("neighbor_id").distinct().count() === 500)
+    } finally {
+      for (t <- Seq(ct, at)) spark.sql(s"DROP TABLE IF EXISTS $t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(deltaPath))
+    }
+  }
 }
