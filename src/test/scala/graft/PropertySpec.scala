@@ -461,4 +461,123 @@ class PropertySpec extends SparkSpec {
       Splits.budgetFill(df, "id", $"w", $"q", 333L, bandWidth = 100, tieWidth = 7L)
     }
   }
+
+  test("splitRepair: move_to_train closes every leaky component; repairing a repaired split is a no-op") {
+    import graft.extensions.Dedup
+    val edgeGen = for {
+      n <- Gen.choose(2, 40)
+      edges <- Gen.listOfN(n,
+        Gen.zip(Gen.choose(0L, 60L), Gen.choose(0L, 60L)))
+    } yield edges.filter { case (a, b) => a != b }
+    check(Prop.forAll(edgeGen) { edges =>
+      (edges.nonEmpty) ==> {
+        val pairs = edges.toDF("id_a", "id_b")
+        val moved = Dedup.splitRepair(pairs, policy = "move_to_train")
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        // driver-side ground truth: union-find components + md5 splits
+        def split(id: Long): String = {
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(id.toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(2)
+          if (hex < "cd") "train" else if (hex < "e6") "valid" else "test"
+        }
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+        val comps = parent.keys.toSeq.groupBy(find)
+        val leaky = comps.filter(_._2.map(split).distinct.size > 1)
+        val wantMoved = leaky.values.flatten.filter(split(_) != "train").toSet
+        val effSplit = (id: Long) =>
+          if (moved.contains(id)) "train" else split(id)
+        // (a) repair == leaky-component members not already in train,
+        //     carrying their true old split
+        (moved.keySet == wantMoved) :| s"moved ${moved.keySet} want $wantMoved" &&
+        moved.forall { case (id, old) => old == split(id) } :| "old splits" &&
+        // (b) no pair crosses the repaired labels (leak-free)
+        edges.forall { case (a, b) => effSplit(a) == effSplit(b) ||
+          comps.keys.isEmpty } :| "still leaky after repair" &&
+        // (c) idempotence: with every moved doc in train, no component
+        //     spans >1 effective split, so a second repair finds nothing
+        comps.values.forall(_.map(effSplit).distinct.size == 1) :| "second pass non-empty"
+      }
+    })
+  }
+
+  test("splitRepair: drop_later removes one side of every cross pair; surviving pairs are leak-free") {
+    import graft.extensions.Dedup
+    val pairs = Seq((3L, 10L), (10L, 22L), (5L, 6L), (7L, 40L))
+      .toDF("id_a", "id_b")
+    val dropped = Dedup.splitRepair(pairs, policy = "drop_later")
+      .collect().map(_.getLong(0)).toSet
+    def split(id: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(2)
+      if (hex < "cd") "train" else if (hex < "e6") "valid" else "test"
+    }
+    val edges = Seq((3L, 10L), (10L, 22L), (5L, 6L), (7L, 40L))
+    val wantDropped = edges.filter { case (a, b) => split(a) != split(b) }
+      .map { case (a, b) => math.max(a, b) }.toSet
+    assert(dropped === wantDropped)
+    // idempotence: pairs among survivors never cross (every cross pair
+    // lost its max endpoint; labels are pure functions of the id)
+    val survivors = edges.filter { case (a, b) =>
+      !dropped(a) && !dropped(b) }
+    assert(survivors.forall { case (a, b) => split(a) == split(b) })
+    // unknown policy fails loudly
+    assertThrows[IllegalArgumentException] {
+      Dedup.splitRepair(pairs, policy = "nonsense")
+    }
+  }
+
+  test("boilerplateLines: drop-all-occurrences at minDf, order kept, idempotent") {
+    import graft.extensions.Dedup
+    // shared pool of boilerplate lines (df >= 2) + per-doc unique lines
+    val docGen = for {
+      nDocs <- Gen.choose(2, 8)
+      docs <- Gen.listOfN(nDocs, for {
+        nShared <- Gen.choose(0, 3)
+        shared <- Gen.listOfN(nShared, Gen.oneOf("header nav", "footer fine print", "cookie banner"))
+        nOwn <- Gen.choose(0, 4)
+        own <- Gen.listOfN(nOwn, Gen.choose(0, 100000))
+      } yield (shared, own.map(k => s"unique line $k")))
+    } yield docs.zipWithIndex.map { case ((sh, own), i) =>
+      (i.toLong, (sh ++ own).mkString("\n"))
+    }
+    check(Prop.forAll(docGen) { docs =>
+      val withLines = docs.filter(_._2.nonEmpty)
+      (withLines.nonEmpty) ==> {
+        val df = withLines.toDF("doc_id", "text")
+        val out = Dedup.boilerplateLines(df, "doc_id", "text", minDf = 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) null else r.getString(3))).toSeq.sortBy(_._1)
+        // driver replay: normalized df across docs, drop ALL occurrences
+        val lineSets = withLines.map { case (id, t) =>
+          id -> t.split("\n").toSeq.filter(_.trim.nonEmpty) }
+        val dfMap = lineSets.flatMap { case (_, ls) =>
+          ls.map(_.toLowerCase.replaceAll("\\s+", " ").trim).distinct }
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val want = lineSets.map { case (id, ls) =>
+          val kept = ls.filter(l =>
+            dfMap(l.toLowerCase.replaceAll("\\s+", " ").trim) < 2)
+          (id, ls.size.toLong, kept.size.toLong,
+            if (kept.isEmpty) null else kept.mkString("\n"))
+        }.sortBy(_._1)
+        (out == want) :| s"got $out want $want" && {
+          // idempotence: a second pass over the cleaned text drops nothing
+          val cleaned = out.filter(_._4 != null).map(r => (r._1, r._4))
+          cleaned.isEmpty || {
+            val again = Dedup.boilerplateLines(
+                cleaned.toDF("doc_id", "text"), "doc_id", "text", minDf = 2)
+              .collect().map(r => (r.getLong(0),
+                if (r.isNullAt(3)) null else r.getString(3))).toSeq.sortBy(_._1)
+            again == cleaned.sortBy(_._1)
+          }
+        } :| "second pass changed the text"
+      }
+    })
+  }
 }
