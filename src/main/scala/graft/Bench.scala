@@ -88,7 +88,7 @@ object Bench {
     * silently join the fallback path: it must either be pinned or be listed
     * here explicitly. Empty whenever the pin is fresh.
     */
-  private[graft] val pinGrace: Set[String] = Set()
+  private[graft] val pinGrace: Set[String] = Set("h112", "h113")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -148,7 +148,7 @@ object Bench {
     // that built per query. Verify and the test suites do NOT opt in —
     // correctness always exercises the full per-query build.
     val consumerNames = Set("h65", "h66", "h67", "h78", "h16", "h23", "h61",
-      "h5", "h6", "h41", "h62", "h28", "h111")
+      "h5", "h6", "h41", "h62", "h28", "h111", "h112", "h109")
     var prebuild = List.empty[(String, Double)]
     if (only.forall(f => f.exists(n => consumerNames.contains(n.takeWhile(_ != '_'))))) {
       graft.queries.DupGraph.enableMaterialization()

@@ -185,13 +185,39 @@ object Chunking {
     * absent (the [[chunks]]/[[spanDedup]] convention).
     */
   def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 16): DataFrame =
+    substringDedupFromTokens(tokenRows(docs, idCol, textCol), idCol, minTokens)
+
+  /** The tokenized-corpus relation `(idCol, toks:array<string>,
+    * n_tokens:long)` that [[substringDedup]] anchors over — zero-token
+    * (empty/whitespace-only/null) docs absent, per the [[chunks]]
+    * convention. Exposed so a pipeline can MATERIALIZE the tokenization
+    * once (a bucketed table at 100 TB — the
+    * [[graft.queries.DupGraph]] shared-construction posture) and run
+    * [[substringDedupFromTokens]] plus any other token-consuming pass from
+    * it, instead of re-tokenizing the corpus per operator. Scan-side only:
+    * tokenize + size, no shuffle (Round12Spec pins zero exchanges).
+    */
+  def tokenRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .filter(col("n_tokens") > 0)
+
+  /** [[substringDedup]] over an already-tokenized corpus relation (the
+    * [[tokenRows]] contract: `idCol, toks, n_tokens`, zero-token docs
+    * absent) — identical output by construction (the convenience form
+    * delegates here; ChunkingSpec pins the equality), letting the anchor
+    * scan read a materialized token table instead of paying the corpus
+    * tokenization per run.
+    */
+  def substringDedupFromTokens(tokens: DataFrame, idCol: String,
       minTokens: Int = 16): DataFrame = {
     require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
     val k = minTokens
-    val base = docs
-      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
-      .withColumn("__n", size(col("__toks")).cast("long"))
-      .filter(col("__n") > 0)
+    val base = tokens
+      .select(col(idCol), col("toks").as("__toks"),
+        col("n_tokens").cast("long").as("__n"))
     val anchors = base
       .filter(col("__n") >= k)
       .select(col(idCol), col("__toks"),

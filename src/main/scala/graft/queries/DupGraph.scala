@@ -57,7 +57,8 @@ object DupGraph {
     * prebuild timings in BENCH_r* artifacts comparable across rounds.
     */
   val constructionLabels: Seq[String] =
-    Seq("pairs", "verified_pairs", "h61_corpus_index", "shingle_rows")
+    Seq("pairs", "verified_pairs", "h61_corpus_index", "shingle_rows",
+      "token_rows")
 
   /** label → fresh construction plans, in [[constructionLabels]] order —
     * THE enumeration Bench's prebuild and Round12Spec's volume pins both
@@ -76,6 +77,7 @@ object DupGraph {
         Seq(idx.fingerprints, idx.bandRows, idx.shingles, idx.sizes)
       }
       case l @ "shingle_rows"   => l -> (() => Seq(shingleRows(s, dir)))
+      case l @ "token_rows"     => l -> (() => Seq(tokenRows(s, dir)))
     }
 
   @volatile private var materialize = false
@@ -99,7 +101,25 @@ object DupGraph {
     */
   def reset(): Unit = {
     memo.clear(); memoVerified.clear(); memoIndex.clear()
-    memoShingles.clear(); materialize = false
+    memoShingles.clear(); memoTokens.clear(); materialize = false
+  }
+
+  private val memoTokens = new ConcurrentHashMap[String, DataFrame]()
+
+  /** The tokenized-corpus relation (doc_id, toks, n_tokens) over `dir`'s
+    * documents ([[graft.extensions.Chunking.tokenRows]]) — the shared
+    * tokenize prefix of h109's anchor scan (which re-tokenized the corpus
+    * the shingle relation had already paid to tokenize). Built per call by
+    * default; built-once-and-shared after [[enableMaterialization]] — at
+    * 100 TB a bucketed token table, the same posture as [[shingleRows]].
+    */
+  private def buildTokenRows(s: SparkSession, dir: String): DataFrame =
+    graft.extensions.Chunking.tokenRows(
+      graft.Tables.documents(s, dir), "doc_id", "text")
+
+  def tokenRows(s: SparkSession, dir: String): DataFrame = {
+    if (!materialize) buildTokenRows(s, dir)
+    else cachedFor(memoTokens, dir, s)(() => buildTokenRows(s, dir))
   }
 
   private val memoShingles = new ConcurrentHashMap[String, DataFrame]()
@@ -245,7 +265,11 @@ object DupGraph {
     val (szT, szTime) = writeTbl("h61_sizes", Seq("doc"), () => idx.sizes)
     memoIndex.put(dir,
       graft.extensions.Dedup.CorpusIndex(fpT, brT, shT, szT))
-    base ++ Seq(fpTime, brTime, shTime, szTime)
+    // token_rows bucketed by doc_id — h109's downstream doc-keyed island
+    // tail and reassembly join land on the table's own partitioning
+    val tokTime = put(memoTokens, "token_rows", Seq("doc_id"),
+      () => buildTokenRows(s, dir))
+    base ++ Seq(fpTime, brTime, shTime, szTime, tokTime)
   }
 
   def h61CorpusIndex(s: SparkSession, dir: String): graft.extensions.Dedup.CorpusIndex = {

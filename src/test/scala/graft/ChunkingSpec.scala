@@ -202,4 +202,33 @@ class ChunkingSpec extends SparkSpec {
       .collect().toSet
     assert(a === b)
   }
+
+  test("substringDedupFromTokens: per-call, checkpointed AND bucketed token relations all equal the text form") {
+    // the shared-construction routing (DupGraph.tokenRows): the anchor scan
+    // must produce identical output whether it tokenizes per call, reads
+    // the checkpoint-materialized relation, or reads the bucketed table —
+    // the Round8/Round9 materialized≡per-call guarantee for token_rows
+    import graft.queries.DupGraph
+    val fromText = Chunking.substringDedup(docs, "doc_id", "text", 16)
+      .collect().map(_.toString).sorted.toSeq
+    DupGraph.reset()
+    val perCall = Chunking.substringDedupFromTokens(
+        DupGraph.tokenRows(spark, sf), "doc_id", 16)
+      .collect().map(_.toString).sorted.toSeq
+    assert(perCall === fromText)
+    try {
+      DupGraph.enableMaterialization()
+      val checkpointed = Chunking.substringDedupFromTokens(
+          DupGraph.tokenRows(spark, sf), "doc_id", 16)
+        .collect().map(_.toString).sorted.toSeq
+      assert(checkpointed === fromText)
+    } finally DupGraph.reset()
+    try {
+      DupGraph.materializeBucketed(spark, sf, buckets = 4)
+      val bucketed = Chunking.substringDedupFromTokens(
+          DupGraph.tokenRows(spark, sf), "doc_id", 16)
+        .collect().map(_.toString).sorted.toSeq
+      assert(bucketed === fromText)
+    } finally DupGraph.reset()
+  }
 }

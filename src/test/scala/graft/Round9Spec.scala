@@ -318,7 +318,7 @@ class Round9Spec extends SparkSpec {
       val timings = DupGraph.materializeBucketed(spark, sf, buckets = 4)
       assert(timings.map(_._1) ===
         Seq("shingle_rows", "pairs", "verified_pairs", "h61_fingerprints",
-          "h61_band_rows", "h61_shingles", "h61_sizes"))
+          "h61_band_rows", "h61_shingles", "h61_sizes", "token_rows"))
       val bucketed = names.map(n =>
         n -> SparkEntry.queries(n)(spark, sf).collect().map(_.toString).toSeq).toMap
       assert(bucketed === perCall)
