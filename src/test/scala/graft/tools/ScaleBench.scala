@@ -279,16 +279,26 @@ object ScaleBench {
     }
     val ((ct, at), buildSec) = time(
       Similarity.buildIvfIndex(embs, "vec_id", "embedding", "graft_ivfdrift"))
+    // third arm (round 17): a twin of the frozen-appended index that gets a
+    // WARM-START refresh (Similarity.refreshIvfIndex — one k-means step +
+    // one re-assignment from the index's own current state) after every
+    // append, against the cold rank-seeded rebuild's cost/recall
+    val ((ctF, atF), _) = time(
+      Similarity.buildIvfIndex(embs, "vec_id", "embedding", "graft_ivfdrift_rf"))
     println(s"[scale] ivfdrift base index built in ${f3(buildSec)}s")
     var corpus = embs
     val rows = (1 until copies).map { k =>
       val b = batch(k)
       val (_, appendSec) = time(
         Similarity.appendToIvfIndex(b, "vec_id", "embedding", ct, at))
+      Similarity.appendToIvfIndex(b, "vec_id", "embedding", ctF, atF)
+      val (_, refreshSec) = time(
+        Similarity.refreshIvfIndex(spark, ctF, atF))
       corpus = corpus.unionByName(b)
       val ((ctR, atR), rebuildSec) = time(Similarity.buildIvfIndex(
         corpus, "vec_id", "embedding", "graft_ivfdrift_rb"))
       val recAppended = recall(corpus, ct, at)
+      val recRefreshed = recall(corpus, ctF, atF)
       val recRebuilt = recall(corpus, ctR, atR)
       val prof = Similarity.ivfStaleness(spark, ct, at).collect()
       val n = prof.map(_.getLong(1)).sum
@@ -296,10 +306,12 @@ object ScaleBench {
       val minCq = prof.map(_.getLong(6)).min
       val maxN = prof.map(_.getLong(1)).max
       println(s"[scale] ivfdrift batch $k: recall appended=${f3(recAppended)} " +
-        s"rebuilt=${f3(recRebuilt)} append=${f3(appendSec)}s rebuild=${f3(rebuildSec)}s " +
+        s"refreshed=${f3(recRefreshed)} rebuilt=${f3(recRebuilt)} " +
+        s"append=${f3(appendSec)}s refresh=${f3(refreshSec)}s rebuild=${f3(rebuildSec)}s " +
         s"would_move=$mv/$n min_centroid_cos_q=$minCq max_cluster=$maxN")
-      s"""{"batch":$k,"recall_appended":${f3(recAppended)},"recall_rebuilt":${f3(recRebuilt)},""" +
-        s""""append_sec":${f3(appendSec)},"rebuild_sec":${f3(rebuildSec)},""" +
+      s"""{"batch":$k,"recall_appended":${f3(recAppended)},"recall_refreshed":${f3(recRefreshed)},""" +
+        s""""recall_rebuilt":${f3(recRebuilt)},"append_sec":${f3(appendSec)},""" +
+        s""""refresh_sec":${f3(refreshSec)},"rebuild_sec":${f3(rebuildSec)},""" +
         s""""would_move":$mv,"n":$n,"min_centroid_cos_q":$minCq,"max_cluster":$maxN}"""
     }
     println(s"""{"metric":"ivfdrift$copies","build_sec":${f3(buildSec)},""" +
@@ -428,7 +440,21 @@ object ScaleBench {
       val t1 = math.min(once(sfDir), once(sfDir))
       val tN = math.min(once(dir), once(dir))
       println(s"[scale] $n sf0.1=${f3(t1)}s ${copies}x=${f3(tN)}s ratio=${f3(tN / t1)}")
-      s""""${n.takeWhile(_ != '_')}":{"base":${f3(t1)},"x$copies":${f3(tN)},"ratio":${f3(tN / t1)}}"""
+      // h109's scale claim is about its ANCHOR RELATION (corpus-token-sized
+      // fingerprint exchange, the suffix-array input equivalent) — measure
+      // the executed shuffle records at both scales alongside wall-clock so
+      // the BASELINE row carries volume evidence, not just time
+      val vol =
+        if (n.startsWith("h109")) {
+          val v1 = graft.plans.ShuffleMetrics.measure(
+            graft.SparkEntry.queries(n)(spark, sfDir))
+          val vN = graft.plans.ShuffleMetrics.measure(
+            graft.SparkEntry.queries(n)(spark, dir))
+          println(s"[scale] $n shuffled records sf0.1=${v1.records} " +
+            s"${copies}x=${vN.records} ratio=${f3(vN.records.toDouble / v1.records)}")
+          s""","records_base":${v1.records},"records_x$copies":${vN.records}"""
+        } else ""
+      s""""${n.takeWhile(_ != '_')}":{"base":${f3(t1)},"x$copies":${f3(tN)},"ratio":${f3(tN / t1)}$vol}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scaletail$copies","queries":$js}""")
   }
