@@ -316,6 +316,105 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
 
+  /** BPE merge LEARNING (Sennrich et al. 2016) — the multi-round loop that
+    * [[bpePairStats]]'s single diagnostic round feeds: starting from
+    * per-character symbols over the corpus VOCABULARY (distinct token →
+    * corpus frequency — the standard trainer decomposition: the corpus
+    * pays ONE token-count aggregate, every learning round then runs over
+    * the vocabulary relation, which is orders of magnitude smaller),
+    * repeat `nMerges` times: count adjacent symbol pairs weighted by word
+    * frequency (overlapping occurrences all count — "aaa" contributes two
+    * (a,a)), pick the most frequent pair (ties → lexicographically
+    * smallest (left, right)), and merge its occurrences GREEDY-LEFTMOST
+    * non-overlapping in every vocabulary word (classic BPE: in a run
+    * "aaaa" the merge takes positions 1 and 3 → "aa aa").
+    *
+    * Output: the learned merge table — `(merge_rank:int, l_sym, r_sym,
+    * merged, pair_count:long)`, one row per round, `merge_rank` the
+    * learning order (= tokenizer merge priority). Stops early if no pair
+    * remains (every word fused to one symbol). Deterministic end to end —
+    * integer counts, lexicographic ties, greedy-leftmost application — so
+    * a DuckDB oracle replays every round bit-for-bit (the h114 unrolled
+    * CTE chain: pair counts, top-1, overlap islands with the every-other
+    * rule, positional reconstruction).
+    *
+    * Shapes: per round, ONE vocabulary-sized pair aggregate (map-side
+    * partials; the explode is scan-side over the symbol arrays) feeding a
+    * 1-row driver collect (the argmax — same driver involvement as
+    * [[graft.extensions.Dedup.connectedComponents]]' convergence probe),
+    * then a scan-side higher-order fold applies the merge (interpreted,
+    * but vocabulary-sized — never corpus-sized). Each round
+    * localCheckpoints the vocabulary to truncate the nested-HOF lineage.
+    * At 100 TB the vocabulary relation is the classic BPE trainer state
+    * (millions of rows for billions of tokens); the corpus is touched
+    * exactly once.
+    */
+  def bpeLearn(docs: DataFrame, textCol: String, nMerges: Int = 8): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // vocabulary: distinct token -> corpus frequency, symbols = characters
+    var vocab = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .select(
+        transform(sequence(lit(1), length(col("tok"))),
+          i => col("tok").substr(i, lit(1))).as("syms"),
+        col("freq"))
+      .localCheckpoint(eager = false)
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to nMerges if !exhausted) {
+      val top = vocab
+        .select(col("freq"), explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
+        .groupBy(col("p.0").as("l_sym"), col("p.1").as("r_sym"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l_sym"), col("r_sym"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (x, y, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val xy = x + y
+        merges += ((r, x, y, xy, cnt))
+        // greedy-leftmost merge: fold with a one-symbol carry — merging
+        // consumes the carry, so an overlapping next occurrence ("aaa")
+        // starts fresh (the every-other rule)
+        val init = struct(
+          array().cast("array<string>").as("out"),
+          lit(null).cast("string").as("carry"))
+        val folded = aggregate(col("syms"), init,
+          (acc, s) =>
+            when(acc.getField("carry") === lit(x) && s === lit(y),
+              struct(
+                concat(acc.getField("out"), array(lit(xy))).as("out"),
+                lit(null).cast("string").as("carry")))
+            .otherwise(struct(
+              when(acc.getField("carry").isNull, acc.getField("out"))
+                .otherwise(concat(acc.getField("out"),
+                  array(acc.getField("carry")))).as("out"),
+              s.as("carry"))),
+          acc =>
+            when(acc.getField("carry").isNull, acc.getField("out"))
+              .otherwise(concat(acc.getField("out"), array(acc.getField("carry")))))
+        vocab = vocab.select(folded.as("syms"), col("freq"))
+          .localCheckpoint(eager = false)
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("merge_rank", IntegerType, nullable = false),
+      StructField("l_sym", StringType, nullable = false),
+      StructField("r_sym", StringType, nullable = false),
+      StructField("merged", StringType, nullable = false),
+      StructField("pair_count", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        merges.result().map(m => Row(m._1, m._2, m._3, m._4, m._5)), 1),
+      schema)
+  }
+
   /** Per-document n-gram novelty: the fraction of a document's DISTINCT
     * 3-gram shingles that occur in no other document (corpus df = 1) — the
     * standard corpus-overlap/memorization-risk profile (a near-zero score

@@ -156,5 +156,73 @@ object GroupH14 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(h112, h113)
+  /** One unrolled BPE learning round for the h114 oracle: pair counts over
+    * the round's vocabulary symbols, the frequency-argmax pair (ties →
+    * lexicographically smallest), greedy-leftmost application via overlap
+    * ISLANDS (consecutive match positions take every other slot — matches
+    * of a pair with distinct symbols can never be adjacent, so the island
+    * rule only bites on same-symbol runs like "aaaa" → "aa aa"), and the
+    * positional reconstruction of the next round's symbols. MATERIALIZED
+    * is load-bearing: each round references its predecessor three times,
+    * and inlined CTEs would expand 3^nMerges-fold.
+    */
+  private def bpeRound(r: Int): String =
+    s"""pos$r AS MATERIALIZED (
+      |  SELECT tok, freq, CAST(u.i AS BIGINT) AS p, syms[u.i] AS sym,
+      |    CASE WHEN u.i < len(syms) THEN syms[u.i + 1] END AS nxt
+      |  FROM v$r, unnest(generate_series(1, len(syms))) AS u(i)),
+      |pc$r AS (SELECT sym AS x, nxt AS y, sum(freq) AS cnt
+      |  FROM pos$r WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+      |top$r AS MATERIALIZED (SELECT x, y, x || y AS xy, CAST(cnt AS BIGINT) AS cnt
+      |  FROM pc$r ORDER BY cnt DESC, x, y LIMIT 1),
+      |m$r AS (SELECT pos$r.tok AS tok, p FROM pos$r, top$r WHERE sym = x AND nxt = y),
+      |isl$r AS (SELECT tok, p, p - row_number() OVER (PARTITION BY tok ORDER BY p) AS grp
+      |  FROM m$r),
+      |take$r AS MATERIALIZED (SELECT tok, p FROM (
+      |    SELECT tok, p, p - min(p) OVER (PARTITION BY tok, grp) AS off FROM isl$r)
+      |  WHERE off % 2 = 0),
+      |v${r + 1} AS MATERIALIZED (
+      |  SELECT q.tok, q.freq,
+      |    list(CASE WHEN t.p IS NOT NULL THEN tp.xy ELSE q.sym END ORDER BY q.p) AS syms
+      |  FROM pos$r q
+      |  CROSS JOIN top$r tp
+      |  LEFT JOIN take$r t ON t.tok = q.tok AND t.p = q.p
+      |  LEFT JOIN take$r c ON c.tok = q.tok AND c.p = q.p - 1
+      |  WHERE c.p IS NULL
+      |  GROUP BY q.tok, q.freq)""".stripMargin
+
+  private val bpeMerges = 8
+
+  private def bpeOracle: String = {
+    val base =
+      s"""v1 AS MATERIALIZED (
+        |  SELECT tok, freq, list_transform(generate_series(1, length(tok)), i -> tok[i]) AS syms
+        |  FROM (SELECT tok, count(*) AS freq
+        |        FROM (SELECT unnest($dTok) AS tok FROM documents)
+        |        GROUP BY tok))""".stripMargin
+    val rounds = (1 to bpeMerges).map(bpeRound).mkString(",\n")
+    val finals = (1 to bpeMerges).map(r =>
+      s"SELECT $r AS merge_rank, x AS l_sym, y AS r_sym, xy AS merged, cnt AS pair_count FROM top$r")
+      .mkString("\nUNION ALL ")
+    s"WITH $base,\n$rounds\n$finals\nORDER BY merge_rank"
+  }
+
+  /** BPE merge learning ([[graft.extensions.TextAnalysis.bpeLearn]],
+    * 8 rounds): the multi-round tokenizer-training loop h46's single
+    * pair-count diagnostic feeds — per round, the frequency-argmax
+    * adjacent symbol pair over the corpus VOCABULARY (one corpus token
+    * aggregate up front; every round is vocabulary-sized) merged
+    * greedy-leftmost into the symbols, emitting the learned merge table
+    * in priority order. The oracle unrolls all 8 rounds relationally
+    * (pair counts → top-1 → overlap islands → positional rebuild) and
+    * agrees with the Spark fold bit-for-bit, later rounds learning
+    * composite merges (e.g. p+ar→par at sf0.001).
+    */
+  val h114 = Q("h114_bpe_merge_learning", bpeOracle) { (s, d) =>
+    graft.extensions.TextAnalysis.bpeLearn(
+        Tables.documents(s, d), "text", nMerges = bpeMerges)
+      .orderBy("merge_rank")
+  }
+
+  val all: Seq[Q] = Seq(h112, h113, h114)
 }

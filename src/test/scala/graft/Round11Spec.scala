@@ -122,7 +122,30 @@ class Round11Spec extends SparkSpec {
     // aggregate loses its partial or the profile starts re-shuffling cv
     // payloads
     ("h110_ivf_staleness", "/root/testdata/sf0.001", 450L),
-    ("h110_ivf_staleness", "/root/testdata/sf0.1", 1600L))
+    ("h110_ivf_staleness", "/root/testdata/sf0.1", 1600L),
+    // h112 (round 17): the repair's MEASURED tail is the component labeling
+    // + leaky filter over the CC output (the star rounds and the pair
+    // construction execute eagerly inside connectedComponents — separate
+    // jobs, like h23's); records are leaky-membership-sized (measured 80 at
+    // sf0.001 / 908 at sf0.1), and the ceiling trips if the repair starts
+    // re-shuffling the corpus or the pair relation a second time
+    ("h112_split_repair", "/root/testdata/sf0.001", 150L),
+    ("h112_split_repair", "/root/testdata/sf0.1", 1400L),
+    // h113 (round 17): the line relation crosses the df aggregate once
+    // (distinct fingerprints, map-side partials) and the doc-keyed
+    // reassembly once — line-proportional by construction (measured 5,991
+    // at sf0.001 / 58,258 at sf0.1 for ~2.9k/29k wrapped lines); trips if
+    // line TEXT starts crossing the df aggregate or reassembly re-shuffles
+    ("h113_boilerplate_lines", "/root/testdata/sf0.001", 9000L),
+    ("h113_boilerplate_lines", "/root/testdata/sf0.1", 88000L),
+    // h114 (round 17): the learning rounds execute eagerly (per-round
+    // vocabulary aggregate + 1-row driver argmax, the CC-probe pattern), so
+    // the measured plan is just the 8-row merge table's display exchange —
+    // the ceiling pins that the loop STAYS eager-vocabulary-sized: if a
+    // refactor folded the rounds into the measured plan, the corpus-token
+    // aggregate would land here and blow straight past it
+    ("h114_bpe_merge_learning", "/root/testdata/sf0.001", 16L),
+    ("h114_bpe_merge_learning", "/root/testdata/sf0.1", 16L))
 
   for ((name, dir, ceiling) <- pins) {
     val sfLabel = dir.split('/').last

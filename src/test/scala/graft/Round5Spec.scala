@@ -462,4 +462,30 @@ class Round5Spec extends SparkSpec {
     val pr1 = pr.select("node", "pr_micro")
     assert(pr1.except(pr2).count() === 0 && pr2.except(pr1).count() === 0)
   }
+
+  test("bpeLearn: hand-checked rounds — greedy-leftmost overlap rule, composite merges, early stop") {
+    import graft.extensions.TextAnalysis
+    // corpus: "aaaa" x3, "aab" x2, "bb" x1 →
+    // round 1 pair counts: (a,a): 3*3 + 2*1 = 11, (a,b): 2, (b,b): 1
+    //   merge (a,a); greedy on "aaaa" takes positions 1 and 3 → [aa, aa]
+    //   (the every-other island rule), "aab" → [aa, b]
+    // round 2: (aa,aa): 3, (aa,b): 2, (b,b): 1 → merge (aa,aa)=aaaa
+    // round 3: (aa,b): 2, (b,b): 1 → merge (aa,b)=aab
+    // round 4: (b,b): 1 → merge (b,b)=bb
+    // round 5: no pairs left → early stop (4 rows, not 6)
+    val docs = Seq("aaaa aaaa aaaa aab aab bb").toDF("text")
+    val out = TextAnalysis.bpeLearn(docs, "text", nMerges = 6)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(out === Seq(
+      (1, "a", "a", "aa", 11L),
+      (2, "aa", "aa", "aaaa", 3L),
+      (3, "aa", "b", "aab", 2L),
+      (4, "b", "b", "bb", 1L)))
+    // stable under repartitioning (integer counts, lexicographic ties)
+    val out2 = TextAnalysis.bpeLearn(docs.repartition(5), "text", nMerges = 6)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(out2 === out)
+  }
 }
