@@ -44,40 +44,34 @@ object Bench {
     * literal (one command, can't drift from the median rule).
     */
   private[graft] val pinMedianSec: Map[String, Double] = Map(
-    "a1" -> 0.634, "a2" -> 0.486, "a3" -> 0.254, "a4" -> 0.683, "a5" -> 0.128, "a6" -> 0.155,
-    "a7" -> 0.196, "a8" -> 0.421, "b1" -> 0.222, "c1" -> 0.845, "c2" -> 0.35, "c3" -> 0.419,
-    "c4" -> 0.478, "d1" -> 0.476, "d2" -> 0.673, "d3" -> 0.335, "d4" -> 0.337, "d5" -> 0.223,
-    "d6" -> 1.09, "d7" -> 0.351, "d8" -> 0.271, "e1" -> 0.958, "e10" -> 0.631, "e11" -> 0.355,
-    "e12" -> 0.474, "e13" -> 0.35, "e14" -> 0.261, "e15" -> 0.672, "e2" -> 0.672, "e3" -> 0.353,
-    "e4" -> 0.524, "e5" -> 0.347, "e6" -> 1.315, "e7" -> 0.258, "e8" -> 0.685, "e9" -> 0.509,
-    "f1" -> 0.347, "f10" -> 0.401, "f11" -> 0.209, "f2" -> 0.445, "f3" -> 0.477, "f4" -> 0.172,
-    "f5" -> 0.249, "f6" -> 0.27, "f7" -> 0.293, "f8" -> 0.266, "f9" -> 0.513, "g1" -> 0.18,
-    "g2" -> 0.428, "g3" -> 0.939, "g4" -> 0.673, "g5" -> 0.193, "g6" -> 0.335, "h1" -> 0.216,
-    "h10" -> 0.306, "h100" -> 0.555, "h101" -> 0.386, "h102" -> 1.931, "h103" -> 0.492, "h104" -> 1.494,
-    "h105" -> 0.541, "h106" -> 0.56, "h107" -> 1.062, "h108" -> 0.892, "h109" -> 3.45, "h11" -> 0.665,
-    "h110" -> 0.359, "h12" -> 0.472, "h13" -> 0.428, "h14" -> 0.35, "h15" -> 1.117, "h16" -> 0.287,
-    "h17" -> 1.184, "h18" -> 0.434, "h19" -> 0.729, "h2" -> 0.266, "h20" -> 0.964, "h21" -> 0.182,
-    "h22" -> 0.61, "h23" -> 0.658, "h24" -> 0.523, "h25" -> 0.682, "h26" -> 0.872, "h27" -> 0.97,
-    "h28" -> 0.674, "h29" -> 0.719, "h3" -> 0.211, "h30" -> 0.682, "h31" -> 0.367, "h32" -> 0.291,
-    "h33" -> 0.273, "h34" -> 0.202, "h35" -> 0.218, "h36" -> 0.289, "h37" -> 0.253, "h38" -> 1.7,
-    "h39" -> 0.744, "h4" -> 0.554, "h40" -> 0.633, "h41" -> 0.152, "h42" -> 0.65, "h43" -> 0.479,
-    "h44" -> 0.99, "h45" -> 0.654, "h46" -> 0.449, "h47" -> 1.803, "h48" -> 1.035, "h49" -> 0.678,
-    "h5" -> 2.397, "h50" -> 0.759, "h51" -> 0.632, "h52" -> 0.277, "h53" -> 0.45, "h54" -> 0.791,
-    "h55" -> 1.197, "h56" -> 1.205, "h57" -> 0.35, "h58" -> 0.744, "h59" -> 0.556, "h6" -> 0.916,
-    "h60" -> 1.031, "h61" -> 3.283, "h62" -> 0.667, "h63" -> 0.484, "h64" -> 0.389, "h65" -> 0.903,
-    "h66" -> 0.699, "h67" -> 1.476, "h68" -> 0.743, "h69" -> 0.364, "h7" -> 0.563, "h70" -> 0.196,
-    "h71" -> 0.189, "h72" -> 0.576, "h73" -> 0.46, "h74" -> 1.658, "h75" -> 0.976, "h76" -> 0.196,
-    "h77" -> 0.246, "h78" -> 1.211, "h79" -> 0.311, "h8" -> 0.382, "h80" -> 1.547, "h81" -> 0.677,
-    "h82" -> 0.555, "h83" -> 0.283, "h84" -> 0.402, "h85" -> 0.446, "h86" -> 0.852, "h87" -> 0.721,
-    "h88" -> 0.393, "h89" -> 0.926, "h9" -> 0.442, "h90" -> 0.938, "h91" -> 0.746, "h92" -> 0.447,
-    "h93" -> 0.42, "h94" -> 0.429, "h95" -> 0.666, "h96" -> 0.28, "h97" -> 0.524, "h98" -> 0.459,
-    "h99" -> 0.422,
-    // h111 joined after the r16 FINAL triple: QTime 5-sample median anchor
-    // (SPARK_GRAFT_MATERIALIZE=1, sf0.1 — samples 7.51-warmup-incl-prebuild/
-    // 0.143/0.138/0.117/0.106), folded into the next re-pin triple. A
-    // verified-pairs consumer like h16: scan-side labels over the shared
-    // pair table, so the steady state is pure stage latency.
-    "h111" -> 0.138)
+    "a1" -> 0.594, "a2" -> 0.534, "a3" -> 0.269, "a4" -> 0.545, "a5" -> 0.143, "a6" -> 0.145,
+    "a7" -> 0.193, "a8" -> 0.444, "b1" -> 0.222, "c1" -> 1.096, "c2" -> 0.356, "c3" -> 0.472,
+    "c4" -> 0.491, "d1" -> 0.35, "d2" -> 0.542, "d3" -> 0.343, "d4" -> 0.257, "d5" -> 0.25,
+    "d6" -> 1.207, "d7" -> 0.311, "d8" -> 0.22, "e1" -> 0.828, "e10" -> 0.593, "e11" -> 0.285,
+    "e12" -> 0.39, "e13" -> 0.289, "e14" -> 0.229, "e15" -> 0.776, "e2" -> 0.526, "e3" -> 0.335,
+    "e4" -> 0.506, "e5" -> 0.301, "e6" -> 1.348, "e7" -> 0.221, "e8" -> 0.736, "e9" -> 0.418,
+    "f1" -> 0.327, "f10" -> 0.432, "f11" -> 0.195, "f2" -> 0.479, "f3" -> 0.5, "f4" -> 0.175,
+    "f5" -> 0.311, "f6" -> 0.34, "f7" -> 0.275, "f8" -> 0.257, "f9" -> 0.537, "g1" -> 0.19,
+    "g2" -> 0.415, "g3" -> 0.966, "g4" -> 0.619, "g5" -> 0.198, "g6" -> 0.32, "h1" -> 0.248,
+    "h10" -> 0.371, "h100" -> 0.468, "h101" -> 0.388, "h102" -> 2.097, "h103" -> 0.414, "h104" -> 1.698,
+    "h105" -> 0.569, "h106" -> 0.535, "h107" -> 1.071, "h108" -> 0.942, "h109" -> 2.369, "h11" -> 0.698,
+    "h110" -> 0.302, "h111" -> 0.068, "h112" -> 1.197, "h113" -> 1.247, "h114" -> 0.938, "h12" -> 0.497,
+    "h13" -> 0.503, "h14" -> 0.33, "h15" -> 1.122, "h16" -> 0.29, "h17" -> 1.332, "h18" -> 0.428,
+    "h19" -> 0.654, "h2" -> 0.219, "h20" -> 0.821, "h21" -> 0.147, "h22" -> 0.445, "h23" -> 0.706,
+    "h24" -> 0.493, "h25" -> 0.695, "h26" -> 0.801, "h27" -> 0.862, "h28" -> 0.643, "h29" -> 0.82,
+    "h3" -> 0.261, "h30" -> 0.602, "h31" -> 0.32, "h32" -> 0.359, "h33" -> 0.272, "h34" -> 0.216,
+    "h35" -> 0.194, "h36" -> 0.311, "h37" -> 0.218, "h38" -> 1.37, "h39" -> 0.715, "h4" -> 0.578,
+    "h40" -> 0.729, "h41" -> 0.171, "h42" -> 0.649, "h43" -> 0.435, "h44" -> 1.083, "h45" -> 0.541,
+    "h46" -> 0.483, "h47" -> 1.917, "h48" -> 0.969, "h49" -> 0.617, "h5" -> 2.057, "h50" -> 0.841,
+    "h51" -> 0.671, "h52" -> 0.309, "h53" -> 0.467, "h54" -> 0.882, "h55" -> 1.004, "h56" -> 1.108,
+    "h57" -> 0.399, "h58" -> 0.728, "h59" -> 0.508, "h6" -> 0.986, "h60" -> 1.018, "h61" -> 2.878,
+    "h62" -> 0.729, "h63" -> 0.473, "h64" -> 0.43, "h65" -> 0.733, "h66" -> 0.785, "h67" -> 1.561,
+    "h68" -> 0.741, "h69" -> 0.316, "h7" -> 0.592, "h70" -> 0.162, "h71" -> 0.184, "h72" -> 0.569,
+    "h73" -> 0.458, "h74" -> 1.742, "h75" -> 1.069, "h76" -> 0.199, "h77" -> 0.226, "h78" -> 1.132,
+    "h79" -> 0.354, "h8" -> 0.414, "h80" -> 1.834, "h81" -> 0.678, "h82" -> 0.428, "h83" -> 0.292,
+    "h84" -> 0.307, "h85" -> 0.474, "h86" -> 0.731, "h87" -> 0.6, "h88" -> 0.35, "h89" -> 0.99,
+    "h9" -> 0.47, "h90" -> 1.061, "h91" -> 0.618, "h92" -> 0.385, "h93" -> 0.549, "h94" -> 0.446,
+    "h95" -> 0.543, "h96" -> 0.275, "h97" -> 0.398, "h98" -> 0.477, "h99" -> 0.436)
 
   /** Queries declared in the registry but not yet pinned above — the
     * documented mid-round grace window between a query's addition and the
@@ -88,7 +82,7 @@ object Bench {
     * silently join the fallback path: it must either be pinned or be listed
     * here explicitly. Empty whenever the pin is fresh.
     */
-  private[graft] val pinGrace: Set[String] = Set("h112", "h113", "h114")
+  private[graft] val pinGrace: Set[String] = Set()
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
