@@ -573,6 +573,16 @@ object Similarity {
     * nothing corrupts), and re-running the refresh completes it. A crash
     * inside the DROP→RENAME swap window leaves the staged table under
     * `<assignmentTable>__refresh` to recover by hand.
+    *
+    * Maintenance ordering with a streaming delta
+    * ([[graft.streaming.StreamAnnIngest]]): COMPACT FIRST, THEN REFRESH —
+    * delta rows are assigned against the centroids that were live at their
+    * ingest, so refreshing under an uncompacted delta leaves the delta's
+    * cid geometry stale relative to the refreshed probe selection (recall
+    * drifts; nothing corrupts, and the watermark — carried on the rows —
+    * survives the refresh either way, so later epochs keep folding
+    * correctly; StreamingSpec pins the compact→refresh→ingest→compact
+    * cycle).
     */
   def refreshIvfIndex(spark: org.apache.spark.sql.SparkSession,
       centroidsTable: String, assignmentTable: String,

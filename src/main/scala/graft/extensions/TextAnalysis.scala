@@ -349,7 +349,16 @@ object TextAnalysis {
     * (millions of rows for billions of tokens); the corpus is touched
     * exactly once.
     */
-  def bpeLearn(docs: DataFrame, textCol: String, nMerges: Int = 8): DataFrame = {
+  def bpeLearn(docs: DataFrame, textCol: String, nMerges: Int = 8): DataFrame =
+    bpeLearnState(docs, textCol, nMerges)._1
+
+  /** [[bpeLearn]] exposing BOTH halves of the trainer state: the learned
+    * merge table AND the final vocabulary segmentation `(tok, syms, freq)`
+    * the rounds produced — [[bpeEncode]] consumes the latter, so encoding
+    * does not replay the learning rounds a second time.
+    */
+  private[graft] def bpeLearnState(docs: DataFrame, textCol: String,
+      nMerges: Int): (DataFrame, DataFrame) = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val spark = docs.sparkSession
     import org.apache.spark.sql.Row
@@ -358,7 +367,7 @@ object TextAnalysis {
     var vocab = docs
       .select(explode(TextOps.tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("freq"))
-      .select(
+      .select(col("tok"),
         transform(sequence(lit(1), length(col("tok"))),
           i => col("tok").substr(i, lit(1))).as("syms"),
         col("freq"))
@@ -399,7 +408,7 @@ object TextAnalysis {
           acc =>
             when(acc.getField("carry").isNull, acc.getField("out"))
               .otherwise(concat(acc.getField("out"), array(acc.getField("carry")))))
-        vocab = vocab.select(folded.as("syms"), col("freq"))
+        vocab = vocab.select(col("tok"), folded.as("syms"), col("freq"))
           .localCheckpoint(eager = false)
       }
     }
@@ -409,10 +418,43 @@ object TextAnalysis {
       StructField("r_sym", StringType, nullable = false),
       StructField("merged", StringType, nullable = false),
       StructField("pair_count", LongType, nullable = false)))
-    spark.createDataFrame(
+    (spark.createDataFrame(
       spark.sparkContext.parallelize(
         merges.result().map(m => Row(m._1, m._2, m._3, m._4, m._5)), 1),
-      schema)
+      schema), vocab)
+  }
+
+  /** BPE ENCODING profile under an `nMerges`-round [[bpeLearn]] vocabulary:
+    * per document, the token count, the BPE piece count after applying the
+    * learned merges, and the FERTILITY (pieces per token, 4-dp floored) —
+    * the standard tokenizer-fit metric a corpus team reads per source/
+    * domain (fertility near 1 = the tokenizer compresses this text well;
+    * high fertility = out-of-domain text fragmenting into characters, the
+    * signal that drives vocabulary-size and data-mix decisions).
+    *
+    * Cost: the learning rounds (vocabulary-sized, see [[bpeLearn]]) are
+    * shared — encoding reuses the trainer's final vocabulary segmentation
+    * directly rather than re-applying merges — plus ONE corpus token
+    * explode joined to the piece-count side of that vocabulary (broadcast
+    * when small) and a per-doc aggregate. Deterministic: integer counts,
+    * one double division floor-rounded for display.
+    *
+    * Output: `idCol, n_tokens:long, n_pieces:long, fertility` — docs with
+    * no tokens are absent (the tokenization convention).
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      nMerges: Int = 8): DataFrame = {
+    val (_, vocab) = bpeLearnState(docs, textCol, nMerges)
+    val pieces = vocab.select(col("tok"), size(col("syms")).cast("long").as("__np"))
+    docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .join(pieces, "tok")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__np")).as("n_pieces"))
+      .select(col(idCol), col("n_tokens"), col("n_pieces"),
+        Det.floorRound(
+          col("n_pieces").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("fertility"))
   }
 
   /** Per-document n-gram novelty: the fraction of a document's DISTINCT

@@ -193,7 +193,11 @@ object GroupH14 {
 
   private val bpeMerges = 8
 
-  private def bpeOracle: String = {
+  /** The shared h114/h115 oracle prefix: the character-seeded vocabulary
+    * and all `bpeMerges` unrolled learning rounds — h114 selects the merge
+    * table off the `top<r>` CTEs, h115 the final segmentation `v<n+1>`.
+    */
+  private def bpeRoundsPrefix: String = {
     val base =
       s"""v1 AS MATERIALIZED (
         |  SELECT tok, freq, list_transform(generate_series(1, length(tok)), i -> tok[i]) AS syms
@@ -201,11 +205,25 @@ object GroupH14 {
         |        FROM (SELECT unnest($dTok) AS tok FROM documents)
         |        GROUP BY tok))""".stripMargin
     val rounds = (1 to bpeMerges).map(bpeRound).mkString(",\n")
+    s"WITH $base,\n$rounds"
+  }
+
+  private def bpeOracle: String = {
     val finals = (1 to bpeMerges).map(r =>
       s"SELECT $r AS merge_rank, x AS l_sym, y AS r_sym, xy AS merged, cnt AS pair_count FROM top$r")
       .mkString("\nUNION ALL ")
-    s"WITH $base,\n$rounds\n$finals\nORDER BY merge_rank"
+    s"$bpeRoundsPrefix\n$finals\nORDER BY merge_rank"
   }
+
+  private def bpeEncodeOracle: String =
+    s"""$bpeRoundsPrefix,
+      |tokdoc AS (SELECT doc_id, unnest($dTok) AS tok FROM documents),
+      |pieces AS (SELECT tok, CAST(len(syms) AS BIGINT) AS np FROM v${bpeMerges + 1})
+      |SELECT doc_id, count(*) AS n_tokens, CAST(sum(np) AS BIGINT) AS n_pieces,
+      |  floor(CAST(sum(np) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000 AS fertility
+      |FROM tokdoc JOIN pieces USING (tok)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 
   /** BPE merge learning ([[graft.extensions.TextAnalysis.bpeLearn]],
     * 8 rounds): the multi-round tokenizer-training loop h46's single
@@ -224,5 +242,21 @@ object GroupH14 {
       .orderBy("merge_rank")
   }
 
-  val all: Seq[Q] = Seq(h112, h113, h114)
+  /** BPE encoding profile ([[graft.extensions.TextAnalysis.bpeEncode]]
+    * under the h114 8-round vocabulary): per document, token count, piece
+    * count, and tokenizer FERTILITY (pieces per token) — the standard
+    * tokenizer-fit metric per source/domain (high fertility = text the
+    * learned merges don't compress, the signal behind vocabulary-size and
+    * data-mix decisions). Shares the trainer's final vocabulary
+    * segmentation, so the oracle is the same unrolled round chain reading
+    * `v9` instead of the merge table, plus one token join + per-doc
+    * aggregate.
+    */
+  val h115 = Q("h115_bpe_fertility", bpeEncodeOracle) { (s, d) =>
+    graft.extensions.TextAnalysis.bpeEncode(
+        Tables.documents(s, d), "doc_id", "text", nMerges = bpeMerges)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(h112, h113, h114, h115)
 }

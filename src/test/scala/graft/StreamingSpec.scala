@@ -749,6 +749,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("maintenance cycle: compact -> refresh -> ingest -> compact keeps the watermark and exactly-once content") {
+    import graft.extensions.Similarity
+    import graft.streaming.StreamAnnIngest
+    val embs = Tables.embeddings(spark, sf)
+    val base = embs.filter(col("vec_id") < 300)
+    val pid = ProcessHandle.current().pid()
+    val (ct, at) = Similarity.buildIvfIndex(base, "vec_id", "embedding",
+      s"graft_anncycle_pid$pid")
+    val deltaPath = s"target/scratch/ann_cycle_delta_$pid"
+    try {
+      val b0 = embs.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+        .select("vec_id", "embedding")
+      val b1 = embs.filter(col("vec_id") >= 400 && col("vec_id") < 500)
+        .select("vec_id", "embedding")
+      StreamAnnIngest.ingestEpoch(b0, 0L, "vec_id", "embedding", ct, deltaPath)
+      StreamAnnIngest.compactDelta(spark, deltaPath, at)
+      assert(Similarity.foldedEpochWatermark(spark, at) === 0L)
+      // the maintenance-window refresh (compact first, then refresh): the
+      // epoch column — the compaction watermark — must ride through the
+      // rewrite, or the next compaction would re-fold epoch 0
+      Similarity.refreshIvfIndex(spark, ct, at)
+      assert(Similarity.foldedEpochWatermark(spark, at) === 0L,
+        "refresh lost the epoch watermark")
+      assert(spark.table(at).count() === 400)
+      // the stream keeps going against the refreshed centroids
+      StreamAnnIngest.ingestEpoch(b1, 1L, "vec_id", "embedding", ct, deltaPath)
+      StreamAnnIngest.compactDelta(spark, deltaPath, at)
+      assert(Similarity.foldedEpochWatermark(spark, at) === 1L)
+      assert(spark.table(at).count() === 500)
+      assert(spark.table(at).select("neighbor_id").distinct().count() === 500)
+      // probes serve through the refreshed + compacted layout
+      val qs = embs.filter(col("vec_id") < 8)
+      assert(Similarity.ivfTopKFromIndex(spark, ct, at, qs,
+        "vec_id", "embedding", 5).count() === 40)
+    } finally {
+      for (t <- Seq(ct, at)) spark.sql(s"DROP TABLE IF EXISTS $t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(deltaPath))
+    }
+  }
+
   test("compaction folds ONLY the epochs present at its snapshot; later epochs keep serving and fold next cycle") {
     import graft.extensions.Similarity
     import graft.streaming.StreamAnnIngest

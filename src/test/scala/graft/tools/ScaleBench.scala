@@ -318,6 +318,91 @@ object ScaleBench {
       s""""batches":[${rows.mkString(",")}]}""")
   }
 
+  /** Refresh-at-the-trip mode (`… ScaleBench <sfDir> ivftrip<N>x`) — the
+    * question the per-batch refresh arm of `ivfdrift<N>x` cannot answer
+    * fairly: at the moment the staleness profile TRIPS (here: after N−1
+    * appended drift batches, the ~crossover the drift mode measured), is a
+    * warm refresh a substitute for the cold rebuild? Per-batch refreshing
+    * compounds drift-chasing (each step re-aims at a moving blend); the
+    * real maintenance policy refreshes ONCE at the trip point. Three
+    * identical frozen-append twins take the same N−1 batches; at the trip:
+    * twin A stays frozen (control), twin B refreshes once, twin C
+    * refreshes twice (does a second step close the gap?), and a cold
+    * rebuild runs beside them — recall@10 of all four against brute-force
+    * ground truth on the 16-query panel, with the refresh/rebuild costs
+    * and the staleness profile before and after twin B's refresh.
+    */
+  private def runIvfTripNx(spark: SparkSession, sfDir: String,
+      copies: Int): Unit = {
+    import graft.extensions.Similarity
+    require(copies >= 2, s"ivftrip needs N >= 2, got $copies")
+    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def time[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    embs.selectExpr("count(*)").collect()
+    val dim = embs.select(size(col("embedding"))).head().getInt(0)
+    def batch(k: Int): DataFrame = {
+      val r = (k * 7) % dim
+      val rotated = if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, dim - r),
+          slice(col("embedding"), 1, r))
+      embs.select((col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+        rotated.as("embedding"), col("label"))
+    }
+    val qs = embs.filter(col("vec_id") < 16)
+    def recall(corpus: DataFrame, ct: String, at: String): Double = {
+      val exact = Similarity.bruteForceTopK(corpus, qs, "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val approx = Similarity.ivfTopKFromIndex(spark, ct, at, qs,
+          "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(approx).size.toDouble / exact.size
+    }
+    val twins = Seq("fr", "r1", "r2").map(s =>
+      Similarity.buildIvfIndex(embs, "vec_id", "embedding", s"graft_ivftrip_$s"))
+    var corpus = embs
+    for (k <- 1 until copies) {
+      val b = batch(k)
+      twins.foreach { case (ct, at) =>
+        Similarity.appendToIvfIndex(b, "vec_id", "embedding", ct, at) }
+      corpus = corpus.unionByName(b)
+    }
+    val Seq((ctF, atF), (ct1, at1), (ct2, at2)) = twins
+    def profHead(ct: String, at: String): (Long, Long, Long) = {
+      val prof = Similarity.ivfStaleness(spark, ct, at).collect()
+      (prof.map(_.getLong(2)).sum, prof.map(_.getLong(1)).sum,
+        prof.map(_.getLong(6)).min)
+    }
+    val (mv0, n0, cq0) = profHead(ctF, atF)
+    println(s"[scale] ivftrip at trip: would_move=$mv0/$n0 min_centroid_cos_q=$cq0")
+    val (_, refresh1Sec) = time(Similarity.refreshIvfIndex(spark, ct1, at1))
+    val (_, refresh2aSec) = time(Similarity.refreshIvfIndex(spark, ct2, at2))
+    val (_, refresh2bSec) = time(Similarity.refreshIvfIndex(spark, ct2, at2))
+    val ((ctR, atR), rebuildSec) = time(Similarity.buildIvfIndex(
+      corpus, "vec_id", "embedding", "graft_ivftrip_rb"))
+    val recFrozen = recall(corpus, ctF, atF)
+    val recR1 = recall(corpus, ct1, at1)
+    val recR2 = recall(corpus, ct2, at2)
+    val recRebuilt = recall(corpus, ctR, atR)
+    val (mv1, n1, cq1) = profHead(ct1, at1)
+    println(s"[scale] ivftrip$copies: frozen=${f3(recFrozen)} refresh1=${f3(recR1)} " +
+      s"(${f3(refresh1Sec)}s) refresh2=${f3(recR2)} (${f3(refresh2aSec + refresh2bSec)}s) " +
+      s"rebuilt=${f3(recRebuilt)} (${f3(rebuildSec)}s); profile after refresh1: " +
+      s"would_move=$mv1/$n1 min_cos_q=$cq1")
+    println(s"""{"metric":"ivftrip$copies","recall_frozen":${f3(recFrozen)},""" +
+      s""""recall_refresh1":${f3(recR1)},"refresh1_sec":${f3(refresh1Sec)},""" +
+      s""""recall_refresh2":${f3(recR2)},"refresh2_sec":${f3(refresh2aSec + refresh2bSec)},""" +
+      s""""recall_rebuilt":${f3(recRebuilt)},"rebuild_sec":${f3(rebuildSec)},""" +
+      s""""would_move_at_trip":$mv0,"n":$n0,"min_centroid_cos_q_at_trip":$cq0,""" +
+      s""""would_move_after_refresh":$mv1,"min_centroid_cos_q_after_refresh":$cq1}""")
+  }
+
   /** Degenerate-tie stress for the two-level prefix scan
     * (`… ScaleBench <sfDir> skewband<N>x`): [[graft.extensions.Splits
     * .budgetFill]]'s band partitioning concentrates when scores TIE — the
@@ -429,7 +514,13 @@ object ScaleBench {
       // the steepest scaling story in the tail set; everything downstream
       // is duplicate-mass-sized (the disjoint-vocabulary blow-up keeps
       // per-copy duplicate structure at base density)
-      "h109_substring_dedup")
+      "h109_substring_dedup",
+      // round 17: the split repair (CC over dup-mass-sized pairs — per-copy
+      // dup structure at base density keeps the graph linear in copies),
+      // the line-df boilerplate pass (line-proportional), and the BPE
+      // learning loop (vocabulary-sized rounds — the disjoint vocabularies
+      // grow the vocab linearly, the honest trainer-state growth)
+      "h112_split_repair", "h113_boilerplate_lines", "h114_bpe_merge_learning")
     val js = names.map { n =>
       def once(d: String): Double = {
         val t0 = System.nanoTime()
@@ -1007,6 +1098,7 @@ object ScaleBench {
     val TailNx = """tail(\d+)x""".r
     val MarginNx = """margin(\d+)x""".r
     val IvfDriftNx = """ivfdrift(\d+)x""".r
+    val IvfTripNx = """ivftrip(\d+)x""".r
     val SkewBandNx = """skewband(\d+)x""".r
     val HubNk = """hub(\d+)k""".r
     val ChainNk = """chain(\d+)k""".r
@@ -1037,6 +1129,8 @@ object ScaleBench {
         runMarginNx(spark, sfDir, copies(n)); spark.stop(); return
       case Some(IvfDriftNx(n)) =>
         runIvfDriftNx(spark, sfDir, copies(n)); spark.stop(); return
+      case Some(IvfTripNx(n)) =>
+        runIvfTripNx(spark, sfDir, copies(n)); spark.stop(); return
       case Some(SkewBandNx(n)) =>
         runSkewBandNx(spark, sfDir, copies(n)); spark.stop(); return
       case Some(NxMatBkt(n)) =>
