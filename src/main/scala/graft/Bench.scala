@@ -44,34 +44,34 @@ object Bench {
     * literal (one command, can't drift from the median rule).
     */
   private[graft] val pinMedianSec: Map[String, Double] = Map(
-    "a1" -> 0.594, "a2" -> 0.534, "a3" -> 0.269, "a4" -> 0.545, "a5" -> 0.143, "a6" -> 0.145,
-    "a7" -> 0.193, "a8" -> 0.444, "b1" -> 0.222, "c1" -> 1.096, "c2" -> 0.356, "c3" -> 0.472,
-    "c4" -> 0.491, "d1" -> 0.35, "d2" -> 0.542, "d3" -> 0.343, "d4" -> 0.257, "d5" -> 0.25,
-    "d6" -> 1.207, "d7" -> 0.311, "d8" -> 0.22, "e1" -> 0.828, "e10" -> 0.593, "e11" -> 0.285,
-    "e12" -> 0.39, "e13" -> 0.289, "e14" -> 0.229, "e15" -> 0.776, "e2" -> 0.526, "e3" -> 0.335,
-    "e4" -> 0.506, "e5" -> 0.301, "e6" -> 1.348, "e7" -> 0.221, "e8" -> 0.736, "e9" -> 0.418,
-    "f1" -> 0.327, "f10" -> 0.432, "f11" -> 0.195, "f2" -> 0.479, "f3" -> 0.5, "f4" -> 0.175,
-    "f5" -> 0.311, "f6" -> 0.34, "f7" -> 0.275, "f8" -> 0.257, "f9" -> 0.537, "g1" -> 0.19,
-    "g2" -> 0.415, "g3" -> 0.966, "g4" -> 0.619, "g5" -> 0.198, "g6" -> 0.32, "h1" -> 0.248,
-    "h10" -> 0.371, "h100" -> 0.468, "h101" -> 0.388, "h102" -> 2.097, "h103" -> 0.414, "h104" -> 1.698,
-    "h105" -> 0.569, "h106" -> 0.535, "h107" -> 1.071, "h108" -> 0.942, "h109" -> 2.369, "h11" -> 0.698,
-    "h110" -> 0.302, "h111" -> 0.068, "h112" -> 1.197, "h113" -> 1.247, "h114" -> 0.938, "h12" -> 0.497,
-    "h13" -> 0.503, "h14" -> 0.33, "h15" -> 1.122, "h16" -> 0.29, "h17" -> 1.332, "h18" -> 0.428,
-    "h19" -> 0.654, "h2" -> 0.219, "h20" -> 0.821, "h21" -> 0.147, "h22" -> 0.445, "h23" -> 0.706,
-    "h24" -> 0.493, "h25" -> 0.695, "h26" -> 0.801, "h27" -> 0.862, "h28" -> 0.643, "h29" -> 0.82,
-    "h3" -> 0.261, "h30" -> 0.602, "h31" -> 0.32, "h32" -> 0.359, "h33" -> 0.272, "h34" -> 0.216,
-    "h35" -> 0.194, "h36" -> 0.311, "h37" -> 0.218, "h38" -> 1.37, "h39" -> 0.715, "h4" -> 0.578,
-    "h40" -> 0.729, "h41" -> 0.171, "h42" -> 0.649, "h43" -> 0.435, "h44" -> 1.083, "h45" -> 0.541,
-    "h46" -> 0.483, "h47" -> 1.917, "h48" -> 0.969, "h49" -> 0.617, "h5" -> 2.057, "h50" -> 0.841,
-    "h51" -> 0.671, "h52" -> 0.309, "h53" -> 0.467, "h54" -> 0.882, "h55" -> 1.004, "h56" -> 1.108,
-    "h57" -> 0.399, "h58" -> 0.728, "h59" -> 0.508, "h6" -> 0.986, "h60" -> 1.018, "h61" -> 2.878,
-    "h62" -> 0.729, "h63" -> 0.473, "h64" -> 0.43, "h65" -> 0.733, "h66" -> 0.785, "h67" -> 1.561,
-    "h68" -> 0.741, "h69" -> 0.316, "h7" -> 0.592, "h70" -> 0.162, "h71" -> 0.184, "h72" -> 0.569,
-    "h73" -> 0.458, "h74" -> 1.742, "h75" -> 1.069, "h76" -> 0.199, "h77" -> 0.226, "h78" -> 1.132,
-    "h79" -> 0.354, "h8" -> 0.414, "h80" -> 1.834, "h81" -> 0.678, "h82" -> 0.428, "h83" -> 0.292,
-    "h84" -> 0.307, "h85" -> 0.474, "h86" -> 0.731, "h87" -> 0.6, "h88" -> 0.35, "h89" -> 0.99,
-    "h9" -> 0.47, "h90" -> 1.061, "h91" -> 0.618, "h92" -> 0.385, "h93" -> 0.549, "h94" -> 0.446,
-    "h95" -> 0.543, "h96" -> 0.275, "h97" -> 0.398, "h98" -> 0.477, "h99" -> 0.436)
+    "a1" -> 0.72, "a2" -> 0.643, "a3" -> 0.337, "a4" -> 0.755, "a5" -> 0.153, "a6" -> 0.143,
+    "a7" -> 0.295, "a8" -> 0.42, "b1" -> 0.283, "c1" -> 1.131, "c2" -> 0.392, "c3" -> 0.487,
+    "c4" -> 0.57, "d1" -> 0.391, "d2" -> 0.624, "d3" -> 0.41, "d4" -> 0.334, "d5" -> 0.291,
+    "d6" -> 1.362, "d7" -> 0.359, "d8" -> 0.276, "e1" -> 0.926, "e10" -> 0.663, "e11" -> 0.352,
+    "e12" -> 0.439, "e13" -> 0.332, "e14" -> 0.267, "e15" -> 0.818, "e2" -> 0.614, "e3" -> 0.38,
+    "e4" -> 0.745, "e5" -> 0.379, "e6" -> 1.441, "e7" -> 0.246, "e8" -> 0.76, "e9" -> 0.511,
+    "f1" -> 0.364, "f10" -> 0.551, "f11" -> 0.233, "f2" -> 0.519, "f3" -> 0.597, "f4" -> 0.213,
+    "f5" -> 0.295, "f6" -> 0.358, "f7" -> 0.297, "f8" -> 0.343, "f9" -> 0.694, "g1" -> 0.193,
+    "g2" -> 0.435, "g3" -> 1.243, "g4" -> 0.644, "g5" -> 0.28, "g6" -> 0.366, "h1" -> 0.232,
+    "h10" -> 0.391, "h100" -> 0.505, "h101" -> 0.447, "h102" -> 2.167, "h103" -> 0.458, "h104" -> 1.821,
+    "h105" -> 0.671, "h106" -> 0.633, "h107" -> 1.413, "h108" -> 0.864, "h109" -> 2.574, "h11" -> 0.72,
+    "h110" -> 0.427, "h111" -> 0.078, "h112" -> 1.609, "h113" -> 1.365, "h114" -> 1.14, "h115" -> 1.38,
+    "h12" -> 0.533, "h13" -> 0.578, "h14" -> 0.431, "h15" -> 1.147, "h16" -> 0.353, "h17" -> 1.373,
+    "h18" -> 0.519, "h19" -> 0.764, "h2" -> 0.269, "h20" -> 0.87, "h21" -> 0.155, "h22" -> 0.471,
+    "h23" -> 0.85, "h24" -> 0.626, "h25" -> 0.86, "h26" -> 1.076, "h27" -> 0.963, "h28" -> 0.71,
+    "h29" -> 0.805, "h3" -> 0.311, "h30" -> 0.665, "h31" -> 0.326, "h32" -> 0.391, "h33" -> 0.332,
+    "h34" -> 0.262, "h35" -> 0.197, "h36" -> 0.327, "h37" -> 0.233, "h38" -> 1.581, "h39" -> 0.796,
+    "h4" -> 0.762, "h40" -> 0.774, "h41" -> 0.235, "h42" -> 0.704, "h43" -> 0.477, "h44" -> 1.264,
+    "h45" -> 0.633, "h46" -> 0.511, "h47" -> 1.895, "h48" -> 0.945, "h49" -> 0.709, "h5" -> 2.186,
+    "h50" -> 0.881, "h51" -> 0.824, "h52" -> 0.349, "h53" -> 0.461, "h54" -> 1.004, "h55" -> 1.061,
+    "h56" -> 1.366, "h57" -> 0.401, "h58" -> 0.805, "h59" -> 0.602, "h6" -> 1.035, "h60" -> 1.075,
+    "h61" -> 3.032, "h62" -> 0.789, "h63" -> 0.552, "h64" -> 0.504, "h65" -> 0.922, "h66" -> 1.143,
+    "h67" -> 1.842, "h68" -> 0.847, "h69" -> 0.391, "h7" -> 0.713, "h70" -> 0.202, "h71" -> 0.214,
+    "h72" -> 0.637, "h73" -> 0.545, "h74" -> 1.88, "h75" -> 1.033, "h76" -> 0.227, "h77" -> 0.264,
+    "h78" -> 1.296, "h79" -> 0.416, "h8" -> 0.477, "h80" -> 1.847, "h81" -> 0.849, "h82" -> 0.541,
+    "h83" -> 0.31, "h84" -> 0.499, "h85" -> 0.568, "h86" -> 0.722, "h87" -> 0.747, "h88" -> 0.422,
+    "h89" -> 1.2, "h9" -> 0.497, "h90" -> 1.166, "h91" -> 0.74, "h92" -> 0.418, "h93" -> 0.623,
+    "h94" -> 0.572, "h95" -> 0.694, "h96" -> 0.327, "h97" -> 0.441, "h98" -> 0.537, "h99" -> 0.528)
 
   /** Queries declared in the registry but not yet pinned above — the
     * documented mid-round grace window between a query's addition and the
@@ -82,7 +82,7 @@ object Bench {
     * silently join the fallback path: it must either be pinned or be listed
     * here explicitly. Empty whenever the pin is fresh.
     */
-  private[graft] val pinGrace: Set[String] = Set("h115")
+  private[graft] val pinGrace: Set[String] = Set()
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
