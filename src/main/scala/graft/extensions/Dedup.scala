@@ -532,11 +532,19 @@ object Dedup {
     * per normalized-content fingerprint, carrying its text.
     */
   def exactReps(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
-      .select(col(idCol), md5(TextOps.normalized(col(textCol))).as("__fp"))
+    fingerprints(docs, idCol, textCol)
       .groupBy("__fp").agg(min(col(idCol)).as(idCol))
       .join(docs, idCol)
       .select(col(idCol), col(textCol))
+
+  /** THE exact-duplicate fingerprint relation `(idCol, __fp)` — one
+    * definition (md5 over the normalized text) shared by [[exactReps]] and
+    * [[exactDupPairs]], so the dedup path and the leakage-repair path can
+    * never disagree about which documents are exact duplicates.
+    */
+  private def fingerprints(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol), md5(TextOps.normalized(col(textCol))).as("__fp"))
 
   /** Steps 2–3 of [[dedupCorpus]]: MinHash+LSH candidate pairs among `reps`,
     * verified with exact shingle-set Jaccard (only candidate pairs pay the
@@ -611,8 +619,8 @@ object Dedup {
     * [[exactReps]] plan emitting the member ids instead of the kept text.
     */
   def exactDupPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val fp = docs.select(col(idCol).as("id_b"),
-      md5(TextOps.normalized(col(textCol))).as("__fp"))
+    val fp = fingerprints(docs, idCol, textCol)
+      .select(col(idCol).as("id_b"), col("__fp"))
     val reps = fp.groupBy("__fp").agg(min(col("id_b")).as("id_a"))
     fp.join(reps, "__fp")
       .filter(col("id_a") =!= col("id_b"))
@@ -630,11 +638,18 @@ object Dedup {
     *     (a dup component spanning >1 split) that is not already in train
     *     into train (`action='move'`, `split_new='train'`). Component
     *     closure, not per-pair patching, is what makes the repair
-    *     IDEMPOTENT: moving only the endpoints of cross pairs can turn a
-    *     previously same-split pair (valid↔valid, one member moved) into a
-    *     NEW cross pair, so the fix must take the whole component — after
-    *     one pass every leaky component sits entirely in train and a
-    *     second pass emits nothing (PropertySpec pins this).
+    *     IDEMPOTENT — precisely: under the RESOLVED assignment (hash
+    *     labels overridden by these moves), every component is
+    *     single-split, so re-AUDITING the repaired corpus finds no leak
+    *     and a repair of the repaired state would emit nothing
+    *     (PropertySpec pins this on the effective labels). Per-pair
+    *     patching lacks the property: moving only cross-pair endpoints
+    *     can turn a previously same-split pair (valid↔valid, one member
+    *     moved) into a NEW cross pair. Note the function itself derives
+    *     labels from ids ([[Splits.splitLabel]]) and cannot see moves a
+    *     caller already applied — literally re-running it over the same
+    *     pair relation re-derives the same moves (a deterministic replay,
+    *     not a new finding); feed it only unrepaired splits.
     *   - `drop_later`: drop the LATER (greater-id) side of every
     *     cross-split pair (`action='drop'`, `split_new` null) — the
     *     Lee et al. 2022 resolution (keep the earliest copy, drop the
@@ -713,13 +728,20 @@ object Dedup {
     */
   def boilerplateLines(docs: DataFrame, idCol: String, textCol: String,
       splitRegex: String = "\n", joinStr: String = "\n",
-      minDf: Int = 2): DataFrame = {
+      minDf: Int = 2, persistLines: Boolean = false): DataFrame = {
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
-    val lines = docs
+    // the line relation feeds BOTH the df aggregate and the join's probe
+    // side (different keys, so no ReusedExchange) — the corpus split+md5
+    // pass otherwise runs twice; persistLines is the repeated-run escape
+    // hatch (the verifiedNearDupPairs persistShingles pattern; at 100 TB
+    // materialize the line relation as a table instead, the token_rows
+    // posture)
+    val lines0 = docs
       .select(col(idCol), posexplode(split(col(textCol), splitRegex)))
       .withColumnRenamed("pos", "__i").withColumnRenamed("col", "__line")
       .filter(length(trim(col("__line"))) > 0)
       .withColumn("__fp", md5(TextOps.normalized(col("__line"))))
+    val lines = if (persistLines) lines0.persist() else lines0
     val bp = lines.select(col(idCol), col("__fp")).distinct()
       .groupBy("__fp").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDf)

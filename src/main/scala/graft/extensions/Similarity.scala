@@ -585,8 +585,18 @@ object Similarity {
     * cycle).
     */
   def refreshIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      centroidsTable: String, assignmentTable: String,
-      buckets: Int = 8): Unit = {
+      centroidsTable: String, assignmentTable: String): Unit = {
+    // the staged table must reproduce the table's OWN bucket layout — a
+    // fixed parameter here would silently change the spec on a table built
+    // with a different count, and the next appendAssigned/compactDelta
+    // would then fail its spec check (the swap bypasses appendAssigned's
+    // loud-mismatch safety because it creates a new table)
+    val buckets = spark.sql(s"DESCRIBE TABLE EXTENDED $assignmentTable")
+      .collect()
+      .collectFirst { case r if r.getString(0) == "Num Buckets" =>
+        r.getString(1).trim.toInt }
+      .getOrElse(throw new IllegalStateException(
+        s"$assignmentTable is not bucketed — not a buildIvfIndex layout"))
     val asg = graft.sources.Bucketing.readBucketed(spark, assignmentTable)
       .select(col("cid"), col("neighbor_id"), col("cv"), col("epoch"))
     // one exact k-means step over the current assignment — reads ONLY the

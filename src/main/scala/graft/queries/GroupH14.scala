@@ -182,10 +182,14 @@ object GroupH14 {
       |    SELECT tok, p, p - min(p) OVER (PARTITION BY tok, grp) AS off FROM isl$r)
       |  WHERE off % 2 = 0),
       |v${r + 1} AS MATERIALIZED (
+      |  -- LEFT JOIN ON TRUE, not CROSS JOIN: when the corpus exhausts early
+      |  -- (no pair left, top$r empty) a cross join would EMPTY this and
+      |  -- every later vocabulary — the Spark trainer keeps the last
+      |  -- segmentation on early stop, and the fertility oracle must too
       |  SELECT q.tok, q.freq,
       |    list(CASE WHEN t.p IS NOT NULL THEN tp.xy ELSE q.sym END ORDER BY q.p) AS syms
       |  FROM pos$r q
-      |  CROSS JOIN top$r tp
+      |  LEFT JOIN top$r tp ON TRUE
       |  LEFT JOIN take$r t ON t.tok = q.tok AND t.p = q.p
       |  LEFT JOIN take$r c ON c.tok = q.tok AND c.p = q.p - 1
       |  WHERE c.p IS NULL

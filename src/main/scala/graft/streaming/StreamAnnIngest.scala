@@ -107,8 +107,30 @@ object StreamAnnIngest {
         .map(_ -> st.getPath))
     val (folded, pending) = epochDirs.partition(_._1 <= hw)
     // already under the watermark: a previous run's append committed but
-    // the delete crashed — finish the retire, never re-fold
-    folded.foreach { case (_, p) => fs.delete(p, true) }
+    // the delete crashed, or the stream re-delivered an already-folded
+    // epoch — BOTH leave dirs whose ids are already IN the base table, so
+    // retire without re-folding. A dir under the watermark holding ids the
+    // table has never seen is neither: it is the epoch-id-reuse contract
+    // violation (a stream restarted from a FRESH checkpoint restarts at
+    // epoch 0 against a table whose watermark is higher) — deleting it
+    // would be silent data loss, so fail loudly instead. The guard costs
+    // one epoch-sized anti-join per retired dir — zero on the happy path
+    // (no folded dirs).
+    if (folded.nonEmpty) {
+      val orphans = Similarity.readDeltaEpochs(spark, deltaPath,
+          assignmentTable, folded.map(_._2.toString))
+        .select("neighbor_id")
+        .join(spark.table(assignmentTable).select("neighbor_id"),
+          Seq("neighbor_id"), "left_anti")
+        .count()
+      if (orphans > 0)
+        throw new IllegalStateException(
+          s"delta dirs under the folded-epoch watermark ($hw) hold $orphans " +
+            s"vector(s) absent from $assignmentTable — epoch ids were reused " +
+            "(stream restarted from a fresh checkpoint?); a new query lineage " +
+            "needs a new delta path and assignment table, refusing to retire")
+      folded.foreach { case (_, p) => fs.delete(p, true) }
+    }
     if (pending.nonEmpty) {
       Similarity.appendAssigned(
         Similarity.readDeltaEpochs(spark, deltaPath, assignmentTable,

@@ -462,6 +462,17 @@ class SimilaritySpec extends SparkSpec {
         buckets = 2)
       assert(spark.table(at).count() === 64)
       assert(spark.table(at).select("neighbor_id").distinct().count() === 64)
+      // refresh on a NON-default bucket layout must reproduce the table's
+      // own spec (read from the catalog, not a parameter) — a fixed count
+      // would silently rewrite the layout and break the next bucketed
+      // append's spec check
+      Similarity.refreshIvfIndex(spark, ct, at)
+      Similarity.appendToIvfIndex(
+        (100 until 104).map(i =>
+          (i, Array.tabulate(4)(d => math.sin(i * 0.37 + d).toFloat)))
+          .toDF("vec_id", "embedding"),
+        "vec_id", "embedding", ct, at, buckets = 2)
+      assert(spark.table(at).count() === 68)
     } finally {
       for (t <- Seq(ct, at)) spark.sql(s"DROP TABLE IF EXISTS $t")
       def rm(f: java.io.File): Unit = {

@@ -739,6 +739,19 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table(at).count() === 500,
         "re-delivered already-folded epoch was folded twice")
       assert(!new java.io.File(deltaPath).exists())
+      // epoch-id REUSE (fresh checkpoint restarting at 0 with NEW vectors,
+      // landing under the watermark): retiring it would be silent data
+      // loss, so compaction must refuse loudly and leave the dir intact
+      val fresh = embs.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 9000L).as("vec_id"), col("embedding"))
+      StreamAnnIngest.ingestEpoch(fresh, 0L, "vec_id", "embedding", ct, deltaPath)
+      val e = intercept[IllegalStateException] {
+        StreamAnnIngest.compactDelta(spark, deltaPath, at)
+      }
+      assert(e.getMessage.contains("epoch ids were reused"), e.getMessage)
+      assert(new java.io.File(s"$deltaPath/epoch=0").exists(),
+        "the refused epoch dir must survive for manual recovery")
+      assert(spark.table(at).count() === 500)
     } finally {
       for (t <- Seq(ct, at)) spark.sql(s"DROP TABLE IF EXISTS $t")
       def rm(f: java.io.File): Unit = {
