@@ -520,7 +520,10 @@ object ScaleBench {
       // the line-df boilerplate pass (line-proportional), and the BPE
       // learning loop (vocabulary-sized rounds — the disjoint vocabularies
       // grow the vocab linearly, the honest trainer-state growth)
-      "h112_split_repair", "h113_boilerplate_lines", "h114_bpe_merge_learning")
+      "h112_split_repair", "h113_boilerplate_lines", "h114_bpe_merge_learning",
+      // h115 = h114's rounds + one corpus token join: the fertility profile
+      // should track h114's latency-bound curve plus a linear join term
+      "h115_bpe_fertility")
     val js = names.map { n =>
       def once(d: String): Double = {
         val t0 = System.nanoTime()
