@@ -602,13 +602,18 @@ object ScaleBench {
             val idx = DupGraph.h61CorpusIndex(spark, dir)
             Seq(idx.fingerprints, idx.bandRows, idx.shingles, idx.sizes)
           },
-          mat("shingle_rows")(Seq(DupGraph.shingleRows(spark, dir))))
+          mat("shingle_rows")(Seq(DupGraph.shingleRows(spark, dir))),
+          mat("token_rows")(Seq(DupGraph.tokenRows(spark, dir))))
       }
     val names = Seq("h16_dedup_corpus_keep", "h23_dedup_clusters",
       "h65_dup_graph_pagerank", "h66_label_propagation",
       "h67_dup_graph_triangles", "h78_weighted_pagerank",
       "h61_incremental_dedup", "h5_minhash_lsh_pairs", "h6_ngram_jaccard",
-      "h41_simhash_near_dup")
+      "h41_simhash_near_dup",
+      // round 17: h109 consumes the shared token relation — its
+      // steady-state over the materialized (or bucketed) token table is
+      // the 100 TB posture task 6's sharing claim names
+      "h109_substring_dedup")
     val rows = names.map { n =>
       def once(): Double = {
         val t0 = System.nanoTime()
