@@ -368,8 +368,11 @@ object Similarity {
     * crashed after its append but before retiring the delta dirs is fully
     * recovered by simply re-running compaction (the re-run sees the
     * watermark, skips re-folding, and finishes the retire). Cost: a
-    * column-pruned max over the table's parquet footer statistics — the
-    * periodic-compaction price, not a serving-path one.
+    * column-pruned single-column scan of the table (Spark only answers a
+    * bare `max` from parquet footer statistics when
+    * `spark.sql.parquet.aggregatePushdown` is enabled, which it is not by
+    * default) — a periodic-compaction price, not a serving-path one, but
+    * size compaction cadence knowing it scales with the table.
     */
   def foldedEpochWatermark(spark: org.apache.spark.sql.SparkSession,
       assignmentTable: String): Long = {
@@ -572,7 +575,15 @@ object Similarity {
     * self-consistent serving state (cids are stable keys; recall shifts,
     * nothing corrupts), and re-running the refresh completes it. A crash
     * inside the DROP→RENAME swap window leaves the staged table under
-    * `<assignmentTable>__refresh` to recover by hand.
+    * `<assignmentTable>__refresh` with the base table gone — re-running
+    * the refresh detects that state on entry and FINISHES the swap before
+    * doing new work, so re-running is the recovery here too (the same
+    * posture as [[graft.streaming.StreamAnnIngest.compactDelta]]); probes
+    * hard-fail only inside the crash window itself, not until an operator
+    * intervenes. Requires unique `neighbor_id`s (asserted loudly):
+    * re-assignment groups by id, so duplicate rows — a double-folded
+    * crash state or a batch appended twice — would be collapsed silently,
+    * shrinking the table and possibly regressing the epoch watermark.
     *
     * Maintenance ordering with a streaming delta
     * ([[graft.streaming.StreamAnnIngest]]): COMPACT FIRST, THEN REFRESH —
@@ -586,6 +597,30 @@ object Similarity {
     */
   def refreshIvfIndex(spark: org.apache.spark.sql.SparkSession,
       centroidsTable: String, assignmentTable: String): Unit = {
+    val stage = s"${assignmentTable}__refresh"
+    // crash recovery FIRST: a previous refresh that died inside its
+    // DROP→RENAME swap left the staged table with the base table gone —
+    // finish that swap before doing new work, so re-running the refresh is
+    // the recovery and the no-base-table window closes itself. (A stage
+    // leftover NEXT TO a live base table is pre-swap garbage; clearTable
+    // below discards it.)
+    if (!spark.catalog.tableExists(assignmentTable) &&
+        spark.catalog.tableExists(stage))
+      spark.sql(s"ALTER TABLE $stage RENAME TO $assignmentTable")
+    // re-assignment groups by neighbor_id, which would SILENTLY collapse
+    // duplicate ids (double-folded crash state, twice-appended batch) to a
+    // non-deterministic survivor — shrinking the table and, if the dropped
+    // row carried max(epoch), regressing the compaction watermark. Fail
+    // loudly instead, like compactDelta's orphan guard.
+    val Array(total, distinct) = spark.table(assignmentTable)
+      .agg(count(lit(1)), count_distinct(col("neighbor_id")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    if (total != distinct)
+      throw new IllegalStateException(
+        s"$assignmentTable holds $total rows over $distinct distinct " +
+          "neighbor_ids — duplicate ids would be collapsed " +
+          "non-deterministically by the re-assignment; repair the table " +
+          "(dedup by (neighbor_id, max epoch)) before refreshing")
     // the staged table must reproduce the table's OWN bucket layout — a
     // fixed parameter here would silently change the spec on a table built
     // with a different count, and the next appendAssigned/compactDelta
@@ -606,7 +641,6 @@ object Similarity {
     // re-assign every vector against the refreshed centroids into a staged
     // bucketed table (Spark cannot overwrite the table a plan reads), then
     // swap: DROP + RENAME keeps the bucket spec and moves the data dir
-    val stage = s"${assignmentTable}__refresh"
     clearTable(spark, stage)
     graft.sources.Bucketing.writeBucketed(
       assignToCentroids(asg.select(col("neighbor_id"), col("cv"), col("epoch")),

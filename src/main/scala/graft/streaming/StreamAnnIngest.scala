@@ -83,6 +83,17 @@ object StreamAnnIngest {
     * table-level repair, but no compaction ordering can remove that
     * without an ACID table format.
     *
+    * SINGLE-RUNNER CONTRACT: schedule at most one compaction at a time
+    * per (deltaPath, table) — two overlapping runs can snapshot the same
+    * pending dirs and both append them (double-folding every vector).
+    * Overlap is narrowed, not eliminated: each run re-reads the watermark
+    * immediately before its append and drops epochs a concurrent append
+    * already folded, so only appends racing inside each other's commit
+    * window can still collide. There is no filesystem lock because a
+    * crash-stale lock would break the re-running-is-the-recovery posture;
+    * serialize at the scheduler (the same place the maintenance window
+    * already lives).
+    *
     * Epoch-id contract: ids must be monotonically increasing over the
     * table's lifetime — true for a Structured Streaming query resuming
     * from ITS OWN checkpoint (epochs never regress). Restarting from a
@@ -108,20 +119,26 @@ object StreamAnnIngest {
     val (folded, pending) = epochDirs.partition(_._1 <= hw)
     // already under the watermark: a previous run's append committed but
     // the delete crashed, or the stream re-delivered an already-folded
-    // epoch — BOTH leave dirs whose ids are already IN the base table, so
-    // retire without re-folding. A dir under the watermark holding ids the
-    // table has never seen is neither: it is the epoch-id-reuse contract
-    // violation (a stream restarted from a FRESH checkpoint restarts at
-    // epoch 0 against a table whose watermark is higher) — deleting it
-    // would be silent data loss, so fail loudly instead. The guard costs
-    // one epoch-sized anti-join per retired dir — zero on the happy path
-    // (no folded dirs).
+    // epoch — BOTH leave dirs whose rows are already IN the base table, so
+    // retire without re-folding. A dir under the watermark holding rows
+    // the table has never seen is neither: it is the epoch-id-reuse
+    // contract violation (a stream restarted from a FRESH checkpoint
+    // restarts at epoch 0 against a table whose watermark is higher) —
+    // deleting it would be silent data loss, so fail loudly instead. The
+    // guard anti-joins on (neighbor_id, epoch), not neighbor_id alone: a
+    // reused epoch whose ids happen to collide with batch-appended rows
+    // (those carry epoch = NoEpoch) or with rows folded under a DIFFERENT
+    // epoch still refuses. Residual blind spot: a reused epoch
+    // re-ingesting exactly the original (id, epoch) pairs with different
+    // VECTORS is indistinguishable without comparing payloads — the
+    // new-lineage contract below is the real fence. Costs one epoch-sized
+    // anti-join per retired dir — zero on the happy path (no folded dirs).
     if (folded.nonEmpty) {
       val orphans = Similarity.readDeltaEpochs(spark, deltaPath,
           assignmentTable, folded.map(_._2.toString))
-        .select("neighbor_id")
-        .join(spark.table(assignmentTable).select("neighbor_id"),
-          Seq("neighbor_id"), "left_anti")
+        .select("neighbor_id", "epoch")
+        .join(spark.table(assignmentTable).select("neighbor_id", "epoch"),
+          Seq("neighbor_id", "epoch"), "left_anti")
         .count()
       if (orphans > 0)
         throw new IllegalStateException(
@@ -132,11 +149,23 @@ object StreamAnnIngest {
       folded.foreach { case (_, p) => fs.delete(p, true) }
     }
     if (pending.nonEmpty) {
-      Similarity.appendAssigned(
-        Similarity.readDeltaEpochs(spark, deltaPath, assignmentTable,
-          pending.map(_._2.toString)),
-        assignmentTable, buckets)
-      pending.foreach { case (_, p) => fs.delete(p, true) }
+      // re-read the watermark immediately before the append: a CONCURRENT
+      // compaction (overlapping cron windows) that committed its append
+      // after our entry-time read has advanced it, and re-folding the dirs
+      // it already folded would double every vector. Folding only epochs
+      // still above the fresh watermark shrinks the race window from the
+      // whole run to append-vs-append (see the single-runner note in the
+      // scaladoc); dirs that dropped below it are left for the
+      // folded-branch retire (with its orphan guard) on the next cycle.
+      val hwNow = Similarity.foldedEpochWatermark(spark, assignmentTable)
+      val still = pending.filter(_._1 > hwNow)
+      if (still.nonEmpty) {
+        Similarity.appendAssigned(
+          Similarity.readDeltaEpochs(spark, deltaPath, assignmentTable,
+            still.map(_._2.toString)),
+          assignmentTable, buckets)
+        still.foreach { case (_, p) => fs.delete(p, true) }
+      }
     }
     // best-effort tidy-up of a fully-drained delta: drop write markers
     // (_SUCCESS), then a NON-recursive root delete — if a live ingest
