@@ -82,7 +82,8 @@ object Bench {
     * silently join the fallback path: it must either be pinned or be listed
     * here explicitly. Empty whenever the pin is fresh.
     */
-  private[graft] val pinGrace: Set[String] = Set()
+  private[graft] val pinGrace: Set[String] =
+    Set("h116", "h117", "h118", "h119") // round-18 additions; re-pin at close
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

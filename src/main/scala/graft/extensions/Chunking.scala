@@ -102,6 +102,49 @@ object Chunking {
       .select(idCol, "shard", "pos", "n_toks", "bin")
   }
 
+  /** Deterministic EPOCH SHUFFLE — the serving-side twin of [[packBins]]:
+    * a reproducible global permutation of the corpus per training epoch,
+    * so every epoch reads a different order (shuffling between epochs is
+    * standard training practice) yet any epoch's order can be replayed
+    * exactly for debugging/resumption — the order is a pure function of
+    * (ids present, `epochSeed`), stable under repartitioning and engine.
+    *
+    * Construction: key = `md5(epochSeed || ':' || id)`; shard = first 16
+    * key bits mod `shards`; `pos` = rank of the key within its shard;
+    * `global_pos` = shard offset (exclusive prefix sum of shard sizes) +
+    * pos − 1, a bijection onto 0..N−1.
+    *
+    * 100 TB posture: NO global sort — each shard ranks independently (the
+    * [[packBins]] sharding argument; `shards` is the write parallelism, so
+    * a production writer emits one file per shard sorted by `pos` and the
+    * epoch reader concatenates in `(shard, pos)` order), and the offset
+    * join broadcasts a `shards`-row relation. The md5 keys are uniform, so
+    * shards balance to N/shards ± noise regardless of id clustering.
+    *
+    * Output: `idCol, shard:int, pos:int, global_pos:long`.
+    */
+  def epochShuffle(docs: DataFrame, idCol: String, epochSeed: Long,
+      shards: Int = 16): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val k = md5(concat_ws(":", lit(epochSeed.toString), col(idCol).cast("string")))
+    val keyed = docs.select(col(idCol), k.as("__k"))
+      .withColumn("shard",
+        (conv(substring(col("__k"), 1, 4), 16, 10).cast("long") % shards)
+          .cast("int"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__k"), col(idCol))
+    val positioned = keyed.withColumn("pos", row_number().over(w))
+    // exclusive prefix sum of shard sizes — a `shards`-row relation, so the
+    // single-partition window and the broadcast join cost nothing
+    val offsets = positioned.groupBy("shard").agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum(col("__n")).over(Window.orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("__offset"))
+    positioned.join(broadcast(offsets), "shard")
+      .select(col(idCol), col("shard"), col("pos"),
+        (col("__offset") + col("pos") - 1).as("global_pos"))
+  }
+
   /** Span-level (paragraph-style) exact deduplication with reassembly:
     * split each document into non-overlapping `spanTokens`-token spans,
     * keep only the corpus-wide FIRST occurrence of each distinct span text

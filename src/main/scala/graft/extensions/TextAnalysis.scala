@@ -637,4 +637,84 @@ object TextAnalysis {
       .select(col(idCol), col("domain"), col("quality_score"),
         col("rank_in_domain"), col("n_in_domain"))
   }
+
+  /** TRAINED character-trigram Naive Bayes language identification — the
+    * model-based upgrade of [[langId]]'s marker-word heuristic (which can
+    * only see the words on its marker lists; char n-gram NB is the classic
+    * langid.py/fastText-LID model family and covers every string). Trains
+    * and scores IN ONE relational pass structure: multinomial NB over
+    * char-trigram occurrences of the whitespace-normalized lowercased text
+    * with add-one smoothing, self-trained on the corpus' own `langCol`
+    * labels.
+    *
+    * Determinism (the [[LmScore]] micro-nat device): every per-trigram
+    * log-likelihood `ln((c+1)/(T_l+V))` and prior `ln(n_l/N)` is ONE
+    * double op tree over exact integer counts, quantized to micro-nats
+    * (`floor(x·10⁶ + 0.5)` as long) at the leaf; per-document scores are
+    * exact integer SUMS of those quanta (partition-order independent), and
+    * the argmax breaks ties toward the alphabetically-first language — so
+    * a DuckDB oracle replays training and scoring bit-for-bit.
+    *
+    * Shapes at 100 TB: trigram occurrences explode scan-side (~n_chars
+    * rows per doc); the model aggregate partial-aggregates to ≤ |langs|·V
+    * rows (V ≤ charset³ — BOUNDED, unlike word vocabularies), so the model
+    * grid — including the zero-count smoothing rows from the langs×vocab
+    * cross — stays broadcast-sized by construction; scoring is one
+    * broadcast join of occurrences against the model plus a (doc, lang)
+    * partial aggregate. The occurrence relation is referenced by both the
+    * trainer and the scorer (two scans of the text — persist or
+    * materialize it, the token_rows posture, when the corpus is not
+    * re-readable).
+    *
+    * Output, one row per doc with ≥ 3 normalized chars: `idCol,
+    * lang_true, pred_lang, score_q:long, is_match:int`.
+    */
+  def nbLangId(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val base = docs
+      .select(col(idCol), col(langCol).as("lang_true"),
+        TextOps.normalized(col(textCol)).as("__t"))
+      .filter(length(col("__t")) >= 3)
+    // the lambda reads only the projected __t ATTRIBUTE (no captured
+    // expression recompute — the bpePairStats doctrine)
+    val occ = base.select(col(idCol), col("lang_true"),
+      explode(transform(sequence(lit(1), length(col("__t")) - 2),
+        i => col("__t").substr(i, lit(3)))).as("tri"))
+    val counts = occ.groupBy(col("lang_true").as("lang"), col("tri"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = counts.groupBy("lang").agg(sum(col("__c")).as("__tl"))
+    val vocab = occ.select("tri").distinct()
+    val vsize = vocab.agg(count(lit(1)).as("__v")) // 1 row
+    // langs × vocab grid with add-one smoothing: a trigram a language never
+    // produced still carries mass ln(1/(T_l+V))
+    val model = vocab.crossJoin(broadcast(totals))
+      .join(counts, Seq("lang", "tri"), "left")
+      .crossJoin(broadcast(vsize))
+      .select(col("lang"), col("tri"),
+        floor(log((coalesce(col("__c"), lit(0L)) + lit(1L)).cast("double") /
+          (col("__tl") + col("__v")).cast("double")) * 1e6 + 0.5)
+          .cast("long").as("__lq"))
+    val docCounts = base.groupBy(col("lang_true").as("lang"))
+      .agg(count(lit(1)).as("__nl"))
+    val priors = docCounts
+      .crossJoin(broadcast(docCounts.agg(sum(col("__nl")).as("__nd"))))
+      .select(col("lang"),
+        floor(log(col("__nl").cast("double") / col("__nd").cast("double"))
+          * 1e6 + 0.5).cast("long").as("__pq"))
+    val perLang = occ.join(broadcast(model), "tri")
+      .groupBy(col(idCol), col("lang_true"), col("lang"))
+      .agg(sum(col("__lq")).as("__sumq"))
+      .join(broadcast(priors), "lang")
+      .select(col(idCol), col("lang_true"), col("lang"),
+        (col("__sumq") + col("__pq")).as("score_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score_q").desc, col("lang"))
+    perLang
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col("lang_true"), col("lang").as("pred_lang"),
+        col("score_q"),
+        (col("lang") === col("lang_true")).cast("int").as("is_match"))
+  }
 }

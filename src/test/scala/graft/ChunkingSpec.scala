@@ -231,4 +231,39 @@ class ChunkingSpec extends SparkSpec {
       assert(bucketed === fromText)
     } finally DupGraph.reset()
   }
+  // --- epochShuffle -------------------------------------------------------
+
+  test("epochShuffle: global_pos is a bijection onto 0..N-1") {
+    val out = Chunking.epochShuffle(docs, "doc_id", epochSeed = 17L)
+    val n = docs.count()
+    assert(out.count() === n)
+    val pos = out.select($"global_pos").collect().map(_.getLong(0)).sorted
+    assert(pos.toSeq === (0L until n).toSeq)
+    // every shard participates and pos ranks are dense within each shard
+    val shards = out.groupBy($"shard").agg(count(lit(1)).as("c"),
+      max($"pos").as("mx")).collect()
+    assert(shards.length === 16)
+    assert(shards.forall(r => r.getInt(2) === r.getLong(1).toInt))
+  }
+
+  test("epochShuffle: different seeds give different orders over the same ids") {
+    val a = Chunking.epochShuffle(docs, "doc_id", epochSeed = 17L)
+      .select($"doc_id", $"global_pos")
+    val b = Chunking.epochShuffle(docs, "doc_id", epochSeed = 18L)
+      .select($"doc_id", $"global_pos")
+    // same id set either epoch...
+    assert(a.select("doc_id").exceptAll(b.select("doc_id")).count() === 0)
+    // ...but the permutation itself moves (almost every doc, in fact)
+    val moved = a.join(b.withColumnRenamed("global_pos", "gp2"), "doc_id")
+      .filter($"global_pos" =!= $"gp2").count()
+    assert(moved > docs.count() / 2, s"only $moved docs moved between seeds")
+  }
+
+  test("epochShuffle: a pure function of (ids, seed) - repartition-stable") {
+    val a = Chunking.epochShuffle(docs, "doc_id", epochSeed = 17L)
+      .orderBy("global_pos").collect().map(_.toString).toSeq
+    val b = Chunking.epochShuffle(docs.repartition(7), "doc_id", epochSeed = 17L)
+      .orderBy("global_pos").collect().map(_.toString).toSeq
+    assert(a === b)
+  }
 }

@@ -145,7 +145,15 @@ class Round11Spec extends SparkSpec {
     // refactor folded the rounds into the measured plan, the corpus-token
     // aggregate would land here and blow straight past it
     ("h114_bpe_merge_learning", "/root/testdata/sf0.001", 16L),
-    ("h114_bpe_merge_learning", "/root/testdata/sf0.1", 16L))
+    ("h114_bpe_merge_learning", "/root/testdata/sf0.1", 16L),
+    // h115 (round 18 pin for the round-17 query): the trainer rounds are
+    // eager like h114's, so the measured plan is the per-doc fertility
+    // aggregate + display sort — exactly 2·docs records (measured 1,000 at
+    // sf0.001 / 10,000 at sf0.1 for 500/5,000 docs, 36 B/row: ids and
+    // counts only). Trips if the encode starts re-shuffling piece text or
+    // a refactor folds the corpus-token aggregate into the measured plan
+    ("h115_bpe_fertility", "/root/testdata/sf0.001", 1500L),
+    ("h115_bpe_fertility", "/root/testdata/sf0.1", 15000L))
 
   for ((name, dir, ceiling) <- pins) {
     val sfLabel = dir.split('/').last
