@@ -18,23 +18,92 @@ import org.apache.spark.sql.functions._
   * key (broadcast-able: catalog-sized, not corpus-sized); the top-k is
   * TakeOrderedAndProject, so no global sort ever materializes the full
   * pair table.
+  *
+  * The Σ|basket|² term is the operator's one adversarial knob (the h71
+  * heavy-key lever): a real corpus occasionally holds PATHOLOGICAL baskets
+  * — a crawler session, a batch-import order, a bot cart — whose size is
+  * corpus-shaped, not order-shaped, and a single such basket serializes
+  * its |basket|² pairs through one join task. [[pairLift]] therefore wires
+  * a basket-size profile in front of the enumeration: baskets at or above
+  * `heavyBasket` items are BLOCK-DECOMPOSED — items hash into `nblk ≈
+  * size / blockTarget` blocks and the basket's pairs enumerate per block
+  * CELL (p ≤ q), so the giant basket's quadratic work spreads over ~nblk²/2
+  * parallel tasks instead of one. The decomposition is exact (every
+  * unordered pair lands in exactly one cell — see the xs/ys construction),
+  * so the result is bit-identical to the plain join and the DuckDB oracle
+  * (h80) gates both paths. Replication cost: each heavy item is emitted
+  * once per cell it can reach (~nblk rows), O(Σ_heavy |basket|·nblk) ≪ the
+  * |basket|² being parallelized. ScaleBench's `hubbasket<N>k` mode measures
+  * the payoff; with no heavy basket present the split costs one
+  * basket-keyed count — which [[pairLift]] reuses as the n_baskets
+  * denominator, REPLACING the old second full-corpus countDistinct pass,
+  * so the guarded plan is also the cheaper steady-state plan.
   */
 object Baskets {
 
   /** Top-`k` co-occurring item pairs by pair count (lift as the measure,
     * 4-dp): `lift = n_baskets · c(a,b) / (c(a) · c(b))` over distinct
     * (basket, item) incidences, pairs oriented `item_a < item_b`.
+    *
+    * `heavyBasket`: baskets with at least this many distinct items take
+    * the block-decomposed enumeration (see the object scaladoc); the
+    * default sits far above any order-shaped basket, so retail-shaped data
+    * never pays the replication. `blockTarget`/`maxBlocks` size the
+    * decomposition: nblk = clamp(ceil(size/blockTarget), 1, maxBlocks).
     */
   def pairLift(df: DataFrame, basketCol: String, itemCol: String,
-      k: Int): DataFrame = {
+      k: Int, heavyBasket: Int = 32768, blockTarget: Int = 4096,
+      maxBlocks: Int = 64): DataFrame = {
+    require(heavyBasket > 1 && blockTarget > 0 && maxBlocks > 0,
+      "heavyBasket must be > 1; blockTarget and maxBlocks positive")
+    // FOUR consumers read the distinct incidence relation (sizes, item
+    // marginals, and the split pair enumeration), and the heavy-set
+    // broadcast makes the size profile a blocking dependency of the join —
+    // checkpoint it once instead of recomputing the scan+distinct per
+    // consumer (the token_rows posture, operator-internal)
     val b = df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
       .distinct()
+      .localCheckpoint(eager = false)
+    // ONE basket-keyed count serves both the heavy-basket profile and the
+    // n_baskets denominator (count of its rows == the old countDistinct)
+    val sizes = b.groupBy("basket").agg(count(lit(1)).as("bsz"))
+    val nB = sizes.agg(count(lit(1)).as("n"))
     val itemCnt = b.groupBy("item").agg(count(lit(1)).as("c"))
-    val nB = b.agg(countDistinct(col("basket")).as("n"))
-    val pairs = b.as("x")
-      .join(b.as("y"),
+    // the heavy set is pathology-sized (usually empty), so it broadcasts;
+    // a LEFT join tags incidences without shuffling b by a new key
+    val heavy = sizes.filter(col("bsz") >= lit(heavyBasket))
+    val tagged = b.join(broadcast(heavy), Seq("basket"), "left")
+    val light = tagged.filter(col("bsz").isNull).select("basket", "item")
+    val lightPairs = light.as("x")
+      .join(light.as("y"),
         col("x.basket") === col("y.basket") && col("x.item") < col("y.item"))
-      .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+      .select(col("x.item").as("item_a"), col("y.item").as("item_b"))
+    // Block decomposition for heavy baskets: item → block blk =
+    // hash(item) mod nblk; the basket's pair space partitions into cells
+    // (p, q), p ≤ q. The x side emits each item into cells (blk, q≥blk),
+    // the y side into cells (p≤blk, blk), so an unordered pair with blocks
+    // {ca ≤ cb} meets in EXACTLY cell (ca, cb) — off-diagonal cells once
+    // (only the orientation x∈ca, y∈cb matches), diagonal cells twice
+    // (both orientations), which the p = q ⇒ item_x < item_y filter halves.
+    val hv = tagged.filter(col("bsz").isNotNull)
+      .withColumn("nblk",
+        least(ceil(col("bsz").cast("double") / lit(blockTarget)),
+          lit(maxBlocks.toLong)).cast("int"))
+      .withColumn("blk", pmod(xxhash64(col("item")), col("nblk")).cast("int"))
+    val xs = hv
+      .withColumn("q", explode(sequence(col("blk"), col("nblk") - 1)))
+      .select(col("basket"), col("item").as("item_x"),
+        col("blk").as("p"), col("q"))
+    val ys = hv
+      .withColumn("p", explode(sequence(lit(0), col("blk"))))
+      .select(col("basket"), col("item").as("item_y"),
+        col("p"), col("blk").as("q"))
+    val heavyPairs = xs.join(ys, Seq("basket", "p", "q"))
+      .filter(col("p") < col("q") || col("item_x") < col("item_y"))
+      .select(least(col("item_x"), col("item_y")).as("item_a"),
+        greatest(col("item_x"), col("item_y")).as("item_b"))
+    val pairs = lightPairs.unionByName(heavyPairs)
+      .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("pair_cnt"))
     pairs
       .join(itemCnt.select(col("item").as("item_a"), col("c").as("c_a")), "item_a")

@@ -596,7 +596,55 @@ object Similarity {
     * cycle).
     */
   def refreshIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      centroidsTable: String, assignmentTable: String): Unit = {
+      centroidsTable: String, assignmentTable: String): Unit =
+    rewriteIvfIndex(spark, centroidsTable, assignmentTable)(kmeansStep)
+
+  /** Cold IN-PLACE rebuild of a persisted [[buildIvfIndex]] layout: re-seed
+    * from the k smallest `neighbor_id`s of the CURRENT assignment (k = the
+    * live centroid-table size, so the rebuild keeps the index's own
+    * capacity) and run the full `kmeansIters` refinement — the same
+    * seed-then-iterate recipe as [[buildIvfIndex]], so on identical vector
+    * content the rebuilt centroids and assignment are bit-equal to a cold
+    * build's (SimilaritySpec pins this), EXCEPT that per-row `epoch` values
+    * are preserved: a cold `buildIvfIndex` over re-extracted vectors would
+    * stamp [[NoEpoch]] and silently reset the compaction watermark,
+    * re-folding every retired streaming epoch on the next
+    * [[graft.streaming.StreamAnnIngest.compactDelta]].
+    *
+    * This is the "cold rebuild" arm of the measured maintenance verdict
+    * (BASELINE.md ivfdrift/ivftrip): the tool for ADVERSARIAL multi-modal
+    * drift, where [[refreshIvfIndex]]'s single warm step chases a moving
+    * blend — the rank re-seed re-fits the grown corpus cleanly at
+    * `kmeansIters`× the refresh's scan cost. Shares [[refreshIvfIndex]]'s
+    * swap machinery, so the crash-recovery posture (re-running finishes a
+    * torn DROP→RENAME) and the duplicate-id guard are identical.
+    */
+  def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      centroidsTable: String, assignmentTable: String,
+      kmeansIters: Int = 2): Unit = {
+    val k = spark.table(centroidsTable).count().toInt
+    rewriteIvfIndex(spark, centroidsTable, assignmentTable) { asg =>
+      var cent = asg.select(col("neighbor_id").as("cid"), col("cv").as("centroid"))
+        .orderBy(col("cid")).limit(k)
+      for (_ <- 0 until kmeansIters)
+        cent = kmeansStep(
+          assignToCentroids(asg.select(col("neighbor_id"), col("cv")), cent,
+            payload = Seq("cv")))
+      cent
+    }
+  }
+
+  /** The shared rewrite core of [[refreshIvfIndex]] and [[rebuildIvfIndex]]:
+    * crash-recover a torn swap, guard against duplicate ids, compute new
+    * centroids from the current assignment via `newCentroids`, persist
+    * them, re-assign every vector (epochs preserved), and swap the staged
+    * bucketed table in. One body, so the two maintenance paths cannot
+    * diverge on the recovery/guard/layout contract documented on
+    * [[refreshIvfIndex]].
+    */
+  private def rewriteIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      centroidsTable: String, assignmentTable: String)(
+      newCentroids: DataFrame => DataFrame): Unit = {
     val stage = s"${assignmentTable}__refresh"
     // crash recovery FIRST: a previous refresh that died inside its
     // DROP→RENAME swap left the staged table with the base table gone —
@@ -634,9 +682,10 @@ object Similarity {
         s"$assignmentTable is not bucketed — not a buildIvfIndex layout"))
     val asg = graft.sources.Bucketing.readBucketed(spark, assignmentTable)
       .select(col("cid"), col("neighbor_id"), col("cv"), col("epoch"))
-    // one exact k-means step over the current assignment — reads ONLY the
-    // assignment table, so overwriting the centroid table is safe
-    kmeansStep(asg).write.mode("overwrite").format("parquet")
+    // the new centroids read ONLY the assignment table, so overwriting the
+    // centroid table is safe (refresh: one exact k-means step; rebuild:
+    // rank re-seed + full refinement)
+    newCentroids(asg).write.mode("overwrite").format("parquet")
       .saveAsTable(centroidsTable)
     // re-assign every vector against the refreshed centroids into a staged
     // bucketed table (Spark cannot overwrite the table a plan reads), then

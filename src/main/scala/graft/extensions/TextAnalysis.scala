@@ -671,15 +671,26 @@ object TextAnalysis {
     */
   def nbLangId(docs: DataFrame, idCol: String, textCol: String,
       langCol: String): DataFrame = {
+    // repartition before the normalize+explode projections — a single-file
+    // corpus would otherwise serialize the trigram explosion through one
+    // task (the trainState lesson); integer-sum aggregates make row
+    // placement irrelevant to the result
     val base = docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col(idCol), col(langCol).as("lang_true"),
         TextOps.normalized(col(textCol)).as("__t"))
       .filter(length(col("__t")) >= 3)
     // the lambda reads only the projected __t ATTRIBUTE (no captured
     // expression recompute — the bpePairStats doctrine)
+    // the trigram explosion is the expensive projection (one substr per
+    // character of the corpus) and THREE consumers read it (counts, vocab,
+    // scoring) — checkpoint it once instead of re-exploding per consumer
+    // (the token_rows posture, applied operator-internally like
+    // Classifier.trainState does)
     val occ = base.select(col(idCol), col("lang_true"),
       explode(transform(sequence(lit(1), length(col("__t")) - 2),
         i => col("__t").substr(i, lit(3)))).as("tri"))
+      .localCheckpoint(eager = false)
     val counts = occ.groupBy(col("lang_true").as("lang"), col("tri"))
       .agg(count(lit(1)).as("__c"))
     val totals = counts.groupBy("lang").agg(sum(col("__c")).as("__tl"))

@@ -177,4 +177,81 @@ object StreamAnnIngest {
     if (fs.listStatus(loc).isEmpty)
       try fs.delete(loc, false): Unit catch { case _: java.io.IOException => }
   }
+
+  /** What one [[maintain]] run measured and did: the corpus-level staleness
+    * aggregates it read (Σn, Σn_would_move, the churn rate in permille, the
+    * worst frozen-vs-refreshed centroid cosine in 10⁻⁶ units) and the
+    * action those numbers adjudicated. Integer fields only, so StreamingSpec
+    * pins a run's report exactly.
+    */
+  final case class MaintainReport(action: String, n: Long, wouldMove: Long,
+      wouldMovePermille: Long, minCentroidCosQ: Long)
+
+  /** The whole IVF maintenance window as ONE profile-driven call: compact
+    * the streamed delta, read the [[graft.extensions.Similarity.ivfStaleness]]
+    * profile, and choose no-op / warm refresh / cold rebuild by the
+    * thresholds the measured A/Bs recorded (BASELINE.md `ivfdrift8x` /
+    * `ivftrip8x`) — the operational loop the pieces were built for, so a
+    * scheduler calls this instead of re-deriving the ordering and the
+    * decision rule.
+    *
+    * Ordering: COMPACT FIRST (the [[graft.extensions.Similarity.refreshIvfIndex]]
+    * contract — delta rows must be in the base before any rewrite, or their
+    * cid geometry goes stale against the refreshed probe selection), then
+    * profile over the full folded corpus, then at most one rewrite.
+    *
+    * Decision rule, from the measured verdicts:
+    *   - `minCentroidCosQ < rebuildCentroidCosQ` → COLD REBUILD
+    *     ([[graft.extensions.Similarity.rebuildIvfIndex]]). A frozen
+    *     centroid dragged far off its refreshed position is the multi-modal
+    *     drift signature: the per-batch `ivfdrift8x` arm measured warm
+    *     refresh LOSING recall there (0.838–0.919 vs frozen 0.944+,
+    *     min centroid cos ~0.930) because single steps chase a blend across
+    *     modes — only the rank re-seed re-fits cleanly. Default floor
+    *     950,000 (cos 0.95) splits the two measured regimes: gradual-drift
+    *     trips profiled ≥ 0.986, the adversarial arm ~0.930.
+    *   - else `wouldMovePermille ≥ tripWouldMovePermille` → WARM REFRESH
+    *     ([[graft.extensions.Similarity.refreshIvfIndex]]). `ivftrip8x`
+    *     measured refresh-at-the-trip (churn 1,516/16,000 ≈ 95‰) holding
+    *     recall at the frozen level while repairing the profile
+    *     (would-move −26%, min centroid cos 0.986 → 0.991) at ~half rebuild
+    *     cost; default trip 90‰ sits just under that measured trip point.
+    *   - else NO-OP: appends stay cheap and recall holds (0.944–0.988
+    *     frozen across 7 drift batches) — rewriting on a quiet profile
+    *     would pay a corpus-proportional pass for nothing.
+    *
+    * Cost when no rewrite fires: the compaction (delta-sized) plus the
+    * profile's one kmeansStep + one assignment-shaped pass — the same
+    * per-window price ivfStaleness documents as always affordable.
+    * SINGLE-RUNNER: inherits [[compactDelta]]'s contract (one maintenance
+    * run at a time per index); the rewrite arms additionally swap tables,
+    * which no concurrent probe-serving contract covers mid-swap.
+    */
+  def maintain(spark: SparkSession, deltaPath: String,
+      centroidsTable: String, assignmentTable: String, buckets: Int = 8,
+      tripWouldMovePermille: Long = 90L,
+      rebuildCentroidCosQ: Long = 950000L): MaintainReport = {
+    compactDelta(spark, deltaPath, assignmentTable, buckets)
+    val prof = Similarity.ivfStaleness(spark, centroidsTable, assignmentTable)
+      .agg(org.apache.spark.sql.functions.sum("n"),
+        org.apache.spark.sql.functions.sum("n_would_move"),
+        org.apache.spark.sql.functions.min("centroid_cos_q"))
+      .head()
+    val n = prof.getLong(0)
+    val wouldMove = prof.getLong(1)
+    val minCosQ = prof.getLong(2)
+    val permille = if (n == 0L) 0L else wouldMove * 1000L / n
+    val action =
+      if (minCosQ < rebuildCentroidCosQ) "rebuild"
+      else if (permille >= tripWouldMovePermille) "refresh"
+      else "noop"
+    action match {
+      case "rebuild" =>
+        Similarity.rebuildIvfIndex(spark, centroidsTable, assignmentTable)
+      case "refresh" =>
+        Similarity.refreshIvfIndex(spark, centroidsTable, assignmentTable)
+      case _ => ()
+    }
+    MaintainReport(action, n, wouldMove, permille, minCosQ)
+  }
 }

@@ -281,6 +281,34 @@ class Round6Spec extends SparkSpec {
       (10L, 30L, 1L, 3L, 1L, 1.0)))
   }
 
+  test("pairLift: block-decomposed heavy-basket path == plain enumeration, bit-for-bit") {
+    import extensions.Baskets
+    // a pathological basket (40 items — "heavy" at the test threshold) among
+    // order-shaped ones, with overlapping items so marginals and lift mix
+    // across both paths; duplicates exercise the distinct
+    val heavy = (0 until 40).map(i => (100L, i.toLong % 37)) // dups: 37 distinct
+    val light = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 5L), (3L, 36L))
+    val li = (heavy ++ light).toDF("ord", "item")
+    // plain path: threshold above every basket
+    val plain = Baskets.pairLift(li, "ord", "item", 1000,
+      heavyBasket = 1000).collect().map(_.toSeq).toSeq
+    // forced decomposition: the 37-item basket splits into ceil(37/8)=5
+    // blocks (multi-block diagonal + off-diagonal cells all exercised)
+    val blocked = Baskets.pairLift(li, "ord", "item", 1000,
+      heavyBasket = 20, blockTarget = 8, maxBlocks = 64)
+      .collect().map(_.toSeq).toSeq
+    assert(blocked === plain)
+    // sanity: the heavy basket's pair count is C(37,2) + the light pairs
+    val totalPairs = plain.map(_(2).asInstanceOf[Long]).sum
+    assert(totalPairs === 37L * 36 / 2 + 1 + 3 + 1)
+    // maxBlocks clamp: nblk pinned to 2 still agrees
+    val clamped = Baskets.pairLift(li, "ord", "item", 1000,
+      heavyBasket = 20, blockTarget = 1, maxBlocks = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(clamped === plain)
+  }
+
   test("scd2Lookup: facts pick the version valid at their date; open version wins after") {
     import extensions.Cdc
     val dim = Seq(

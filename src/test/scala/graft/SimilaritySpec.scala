@@ -435,6 +435,41 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("rebuildIvfIndex == cold buildIvfIndex over the same content, bit-for-bit") {
+    import spark.implicits._
+    val pid = ProcessHandle.current().pid()
+    // cold-rebuild contract: build on a base, append drift the frozen
+    // centroids never saw, then rebuild IN PLACE — the rank re-seed + full
+    // refinement must equal a cold buildIvfIndex over the grown corpus
+    // (same seed rule, same iterations), which is exactly the property the
+    // maintenance verdict leans on: the rebuild arm re-fits the grown
+    // corpus as if built fresh, unlike the warm refresh's single step
+    val base = embs.filter(col("vec_id") < 400)
+    val (ct, at) = Similarity.buildIvfIndex(base, "vec_id", "embedding",
+      s"graft_ivfrb_pid$pid")
+    val (ct2, at2) = Similarity.buildIvfIndex(embs, "vec_id", "embedding",
+      s"graft_ivfrbtwin_pid$pid")
+    try {
+      Similarity.appendToIvfIndex(embs.filter(col("vec_id") >= 400),
+        "vec_id", "embedding", ct, at)
+      Similarity.rebuildIvfIndex(spark, ct, at)
+      def cents(t: String) = spark.table(t).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+      assert(cents(ct) === cents(ct2),
+        "in-place rebuild centroids differ from a cold build over the same corpus")
+      def asg(t: String) = spark.table(t).select("neighbor_id", "cid")
+        .as[(Long, Long)].collect().toMap
+      assert(asg(at) === asg(at2),
+        "in-place rebuild assignment differs from a cold build over the same corpus")
+      // the rebuilt table still serves bucketed probes through the swap
+      val qs = embs.filter(col("vec_id") < 8)
+      assert(Similarity.ivfTopKFromIndex(spark, ct, at, qs,
+        "vec_id", "embedding", 5).count() === 40)
+    } finally {
+      for (t <- Seq(ct, at, ct2, at2)) spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("delta schema derives from the assignment table: int-id corpus round-trips through ingest and serve") {
     import spark.implicits._
     // regression for the hardcoded 'neighbor_id BIGINT' delta read: a

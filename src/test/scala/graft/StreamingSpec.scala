@@ -806,6 +806,134 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("profile-driven maintenance: one maintain call compacts, profiles, and picks noop/refresh/rebuild") {
+    import graft.extensions.Similarity
+    import graft.streaming.StreamAnnIngest
+    val embs = Tables.embeddings(spark, sf)
+    val base = embs.filter(col("vec_id") < 300)
+    val pid = ProcessHandle.current().pid()
+    val (ct, at) = Similarity.buildIvfIndex(base, "vec_id", "embedding",
+      s"graft_annmaint_pid$pid")
+    // a twin maintained BY HAND pins the refresh branch's content equality
+    val (ctT, atT) = Similarity.buildIvfIndex(base, "vec_id", "embedding",
+      s"graft_annmtwin_pid$pid")
+    val deltaPath = s"target/scratch/ann_maint_delta_$pid"
+    // thresholds that cannot fire — the "probe the profile, touch nothing"
+    // setting (cosines are > Long.MinValue; churn permille caps at 1000)
+    val never = (1001L, Long.MinValue)
+    try {
+      val b0 = embs.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+        .select("vec_id", "embedding")
+      StreamAnnIngest.ingestEpoch(b0, 0L, "vec_id", "embedding", ct, deltaPath)
+      // 1. quiet window: maintain still COMPACTS (watermark advances, delta
+      // retired) and its report equals a direct ivfStaleness aggregate —
+      // the decision is auditable against the profile it read
+      val r0 = StreamAnnIngest.maintain(spark, deltaPath, ct, at,
+        tripWouldMovePermille = never._1, rebuildCentroidCosQ = never._2)
+      assert(r0.action === "noop")
+      assert(Similarity.foldedEpochWatermark(spark, at) === 0L)
+      assert(spark.table(at).count() === 400)
+      assert(!new java.io.File(deltaPath).exists(),
+        "maintain must run the compaction even on the noop branch")
+      val direct = Similarity.ivfStaleness(spark, ct, at)
+        .agg(sum("n"), sum("n_would_move"), min("centroid_cos_q")).head()
+      assert((r0.n, r0.wouldMove, r0.minCentroidCosQ) ===
+        ((direct.getLong(0), direct.getLong(1), direct.getLong(2))))
+      assert(r0.wouldMovePermille === r0.wouldMove * 1000L / r0.n)
+      // 2. refresh branch: a trip at/below the reported churn fires exactly
+      // one warm refresh — content equal to the hand-driven
+      // append-then-refresh twin (cid geometry, not just counts)
+      Similarity.appendToIvfIndex(b0, "vec_id", "embedding", ctT, atT)
+      Similarity.refreshIvfIndex(spark, ctT, atT)
+      val r1 = StreamAnnIngest.maintain(spark, deltaPath, ct, at,
+        tripWouldMovePermille = 0L, rebuildCentroidCosQ = never._2)
+      assert(r1.action === "refresh")
+      // nothing landed between the calls: the decision inputs are stable
+      assert((r1.n, r1.wouldMove, r1.minCentroidCosQ) ===
+        ((r0.n, r0.wouldMove, r0.minCentroidCosQ)))
+      def asg(t: String) = spark.table(t).select("neighbor_id", "cid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      def cents(t: String) = spark.table(t).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+      assert(asg(at) === asg(atT))
+      assert(cents(ct) === cents(ctT))
+      // post-refresh quiet profile (frozen == just-refreshed, so the drift
+      // signal is at its floor) — the reference point the rotation must move
+      val r1b = StreamAnnIngest.maintain(spark, deltaPath, ct, at,
+        tripWouldMovePermille = never._1, rebuildCentroidCosQ = never._2)
+      assert(r1b.action === "noop")
+      // 3. adversarial drift: a ROTATED epoch folds in; the profile moves
+      // the honest direction and a floor between the quiet and dragged
+      // minima flips the decision to the cold rebuild
+      val rotated = embs.filter(col("vec_id") >= 400)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          concat(slice(col("embedding"), 33, 32),
+            slice(col("embedding"), 1, 32)).as("embedding"))
+      StreamAnnIngest.ingestEpoch(rotated, 1L, "vec_id", "embedding", ct, deltaPath)
+      val r2 = StreamAnnIngest.maintain(spark, deltaPath, ct, at,
+        tripWouldMovePermille = never._1, rebuildCentroidCosQ = never._2)
+      assert(r2.action === "noop")
+      assert(Similarity.foldedEpochWatermark(spark, at) === 1L)
+      assert(spark.table(at).count() === 500)
+      assert(r2.minCentroidCosQ < r1b.minCentroidCosQ,
+        "rotated appends must drag a frozen centroid off its refreshed position")
+      assert(r2.wouldMovePermille > r1b.wouldMovePermille,
+        "rotated appends must raise the would-move churn")
+      val r3 = StreamAnnIngest.maintain(spark, deltaPath, ct, at,
+        tripWouldMovePermille = never._1,
+        rebuildCentroidCosQ = r2.minCentroidCosQ + 1L)
+      assert(r3.action === "rebuild")
+      // the rebuild preserved the epoch watermark and exactly-once content
+      assert(Similarity.foldedEpochWatermark(spark, at) === 1L,
+        "rebuild lost the epoch watermark")
+      assert(spark.table(at).count() === 500)
+      assert(spark.table(at).select("neighbor_id").distinct().count() === 500)
+      // 4. recall floor after the full cycle: served probes vs driver-side
+      // exact cosine top-k over the same corpus
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i).toDouble * b(i).toDouble
+          na += a(i).toDouble * a(i).toDouble
+          nb += b(i).toDouble * b(i).toDouble
+          i += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val corpus = spark.table(at).select("neighbor_id", "cv").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val qs = embs.filter(col("vec_id") < 8)
+      val exact = qs.select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .flatMap { case (qid, qv) =>
+          corpus.filter(_._1 != qid)
+            .map { case (nid, nv) => (nid, cos(qv, nv)) }
+            .sortBy { case (nid, c) => (-c, nid) }.take(5)
+            .map { case (nid, _) => (qid, nid) }
+        }.toSet
+      val served = Similarity.ivfTopKFromIndex(spark, ct, at, qs,
+        "vec_id", "embedding", 5).select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(served.size === 40)
+      val recall = served.intersect(exact).size.toDouble / exact.size
+      info(s"post-cycle recall@5 = $recall")
+      // deterministic measured value at sf0.001: 0.8 — an nProbe=2/16 IVF
+      // over a 500-vector corpus whose last fold was 100 ADVERSARIAL
+      // rotated vectors (the re-seed absorbed them into the geometry); the
+      // floor is the pin, the exact value recorded for drift visibility
+      assert(recall >= 0.75,
+        s"recall after the full maintain cycle fell to $recall")
+      assert(recall === 0.8)
+    } finally {
+      for (t <- Seq(ct, at, ctT, atT)) spark.sql(s"DROP TABLE IF EXISTS $t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(deltaPath))
+    }
+  }
+
   test("compaction folds ONLY the epochs present at its snapshot; later epochs keep serving and fold next cycle") {
     import graft.extensions.Similarity
     import graft.streaming.StreamAnnIngest

@@ -715,6 +715,52 @@ object ScaleBench {
       s""""id_ordered_sec":${f3(tId)},"id_ordered_wedges":$idWedges}""")
   }
 
+  /** Adversarial-basket mode (`… ScaleBench <ignored> hubbasket<N>k`):
+    * wall-clock evidence for [[graft.extensions.Baskets.pairLift]]'s
+    * heavy-basket block decomposition — ONE pathological basket of
+    * H = N·1000 items (the crawler-session / batch-import shape the h71
+    * profile exists to catch) among H order-shaped 4-item baskets over the
+    * same catalog. The hub basket's C(H,2) pairs serialize through a
+    * single join task on the plain path (the threshold is lifted above H
+    * to force it); the decomposed path spreads them over ~nblk²/2 cells.
+    * Self-checking: both arms must return the identical top-30 rows (the
+    * h80 oracle's bit-for-bit contract at adversarial scale), and the
+    * pair-count closed form is asserted on the cheap arm. Run at two N for
+    * the trajectory (the plain arm grows ~H², the blocked arm ~H²/cells
+    * per task — flat wall-clock until cells saturate the cores).
+    */
+  private def runHubBasketNk(spark: SparkSession, thousands: Int): Unit = {
+    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val h = thousands * 1000L
+    val hub = spark.range(h).select(lit(0L).as("basket"), col("id").as("item"))
+    val light = spark.range(1L, h + 1).select(col("id").as("basket"),
+        explode(sequence(col("id") % h, col("id") % h + 3)).as("item0"))
+      .select(col("basket"), pmod(col("item0"), lit(h)).as("item"))
+    val df = hub.union(light).repartition(32).localCheckpoint(true)
+    def time[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def run(heavyBasket: Int) = graft.extensions.Baskets.pairLift(
+        df.toDF("basket", "item"), "basket", "item", 30,
+        heavyBasket = heavyBasket)
+      .collect().map(_.toSeq).toSeq
+    // blocked arm first (cold-file warmup lands on the cheaper plan)
+    val (blocked, tBlocked) = time(run(heavyBasket = 32768))
+    val (plain, tPlain) = time(run(heavyBasket = Int.MaxValue))
+    require(blocked == plain,
+      "block-decomposed top-30 diverged from the plain enumeration")
+    // top pair is hub-dominated: every hub pair has pair_cnt >= 1; light
+    // baskets add at most 4 incidences per item — the top row's count is
+    // small but the ROWS must match exactly, which the require above pins
+    println(s"[scale] hubbasket${thousands}k plain=${f3(tPlain)}s " +
+      s"blocked=${f3(tBlocked)}s speedup=${f3(tPlain / tBlocked)}")
+    println(s"""{"metric":"hubbasket${thousands}k","hub_items":$h,""" +
+      s""""plain_sec":${f3(tPlain)},"blocked_sec":${f3(tBlocked)},""" +
+      s""""speedup":${f3(tPlain / tBlocked)}}""")
+  }
+
   private def orientedWedgeCount(edges: DataFrame): Long = {
     import graft.extensions.Graph
     val canon = edges.select(col("a"), col("b"))
@@ -1109,18 +1155,36 @@ object ScaleBench {
     val IvfTripNx = """ivftrip(\d+)x""".r
     val SkewBandNx = """skewband(\d+)x""".r
     val HubNk = """hub(\d+)k""".r
+    val HubBasketNk = """hubbasket(\d+)k""".r
     val ChainNk = """chain(\d+)k""".r
     val StreamB = """stream(\d+)""".r
     val VideoNx = """video(\d+)x""".r
     val MjpegNx = """mjpeg(\d+)x""".r
     val AudioNx = """audio(\d+)x""".r
     args.lift(1) match {
+      case Some(m) if m.startsWith("time:") =>
+        // ad-hoc single-query timing (`… ScaleBench <sfDir> time:h116,h117`):
+        // best-of-2 per named registry query at sfDir, for plan iteration
+        // without a full Bench sweep
+        def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+        for (n <- m.stripPrefix("time:").split(',').toSeq) {
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            graft.SparkEntry.queries(n)(spark, sfDir)
+              .write.mode("overwrite").format("noop").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(s"[time] $n best2=${f3(math.min(once(), once()))}s")
+        }
+        spark.stop(); return
       case Some(VideoNx(n)) =>
         runVideoNx(spark, sfDir, copies(n)); spark.stop(); return
       case Some(MjpegNx(n)) =>
         runVideoNx(spark, sfDir, copies(n), mjpeg = true); spark.stop(); return
       case Some(AudioNx(n)) =>
         runAudioNx(spark, sfDir, copies(n)); spark.stop(); return
+      case Some(HubBasketNk(n)) =>
+        runHubBasketNk(spark, copies(n)); spark.stop(); return
       case Some(HubNk(n)) =>
         runHubNk(spark, copies(n)); spark.stop(); return
       case Some(StreamB(n)) =>
