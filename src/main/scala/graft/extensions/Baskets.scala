@@ -52,7 +52,7 @@ object Baskets {
     * decomposition: nblk = clamp(ceil(size/blockTarget), 1, maxBlocks).
     */
   def pairLift(df: DataFrame, basketCol: String, itemCol: String,
-      k: Int, heavyBasket: Int = 32768, blockTarget: Int = 4096,
+      k: Int, heavyBasket: Int = 32768, blockTarget: Int = 1024,
       maxBlocks: Int = 64): DataFrame = {
     require(heavyBasket > 1 && blockTarget > 0 && maxBlocks > 0,
       "heavyBasket must be > 1; blockTarget and maxBlocks positive")
@@ -90,10 +90,19 @@ object Baskets {
         least(ceil(col("bsz").cast("double") / lit(blockTarget)),
           lit(maxBlocks.toLong)).cast("int"))
       .withColumn("blk", pmod(xxhash64(col("item")), col("nblk")).cast("int"))
+    // the cell join's INPUTS are replication-sized (tiny) but its OUTPUT is
+    // the |basket|² pair stream — AQE's coalescing reads the input sizes
+    // and would collapse the join to one partition, re-serializing exactly
+    // the work the decomposition exists to spread (measured 2.2× WORSE than
+    // plain); an explicit fixed-count repartition on the cell key is exempt
+    // from AQE coalescing, so cells stay spread across the cluster and each
+    // task enumerates + partial-aggregates only its cells' pairs
+    val cellPar = df.sparkSession.sessionState.conf.numShufflePartitions
     val xs = hv
       .withColumn("q", explode(sequence(col("blk"), col("nblk") - 1)))
       .select(col("basket"), col("item").as("item_x"),
         col("blk").as("p"), col("q"))
+      .repartition(cellPar, col("basket"), col("p"), col("q"))
     val ys = hv
       .withColumn("p", explode(sequence(lit(0), col("blk"))))
       .select(col("basket"), col("item").as("item_y"),

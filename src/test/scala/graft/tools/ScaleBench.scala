@@ -523,7 +523,15 @@ object ScaleBench {
       "h112_split_repair", "h113_boilerplate_lines", "h114_bpe_merge_learning",
       // h115 = h114's rounds + one corpus token join: the fertility profile
       // should track h114's latency-bound curve plus a linear join term
-      "h115_bpe_fertility")
+      "h115_bpe_fertility",
+      // round 18: the two trained models and the serving-side ops — the LR
+      // trainer's steps are corpus-scan-bound (featurize linear, 12 fixed
+      // steps each one pass + a model-sized exchange), the NB trainer is
+      // trigram-explode linear with a broadcast-sized model grid, the epoch
+      // shuffle is one rank exchange, and the newline boilerplate pass is
+      // line-proportional like h113
+      "h116_quality_classifier", "h117_langid_nb", "h118_epoch_shuffle",
+      "h119_boilerplate_newlines")
     val js = names.map { n =>
       def once(d: String): Double = {
         val t0 = System.nanoTime()
@@ -746,9 +754,11 @@ object ScaleBench {
         df.toDF("basket", "item"), "basket", "item", 30,
         heavyBasket = heavyBasket)
       .collect().map(_.toSeq).toSeq
-    // blocked arm first (cold-file warmup lands on the cheaper plan)
-    val (blocked, tBlocked) = time(run(heavyBasket = 32768))
+    // plain arm first (cold-start lands on the arm being beaten)
     val (plain, tPlain) = time(run(heavyBasket = Int.MaxValue))
+    println(s"[scale] hubbasket${thousands}k plain arm done: ${f3(tPlain)}s")
+    val (blocked, tBlocked) = time(run(heavyBasket = 32768))
+    println(s"[scale] hubbasket${thousands}k blocked arm done: ${f3(tBlocked)}s")
     require(blocked == plain,
       "block-decomposed top-30 diverged from the plain enumeration")
     // top pair is hub-dominated: every hub pair has pair_cnt >= 1; light
