@@ -88,16 +88,19 @@ object Classifier {
       steps: Int): (Array[Long], DataFrame, Long) = {
     require(nBuckets >= 2 && steps >= 1,
       s"need nBuckets >= 2 and steps >= 1, got $nBuckets/$steps")
-    // repartition BEFORE the featurize projection: the md5-per-bigram work
-    // and every subsequent gradient pass otherwise inherit the input FILE
-    // layout (a single-file corpus serializes the whole trainer through one
-    // task — measured 4 s featurize + 1 s/step single-core at sf0.1, ~0.4 s
-    // + 0.2 s/step at 32-way); partition-for-the-cluster, not for the file,
-    // is also the 100 TB posture. Row placement does not affect results:
-    // every step aggregate is an exact integer sum.
+    // repartition BEFORE the featurize projection when the input layout is
+    // narrower than the cluster: the md5-per-bigram work and every
+    // subsequent gradient pass otherwise inherit the FILE layout (a
+    // single-file corpus serializes the whole trainer through one task —
+    // measured 4 s featurize + 1 s/step single-core at sf0.1, ~0.4 s +
+    // 0.2 s/step at 32-way). Conditional, because an already-wide corpus
+    // should NOT pay a corpus-sized raw-text exchange for nothing. Row
+    // placement does not affect results: every step aggregate is an exact
+    // integer sum.
     val par = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val rows = hashedBigramRows(docs.repartition(par), idCol, textCol,
-        seedRule, nBuckets)
+    val src = if (docs.rdd.getNumPartitions < par) docs.repartition(par)
+              else docs
+    val rows = hashedBigramRows(src, idCol, textCol, seedRule, nBuckets)
       .localCheckpoint(eager = false)
     val n = rows.count()
     val w = Array.fill(nBuckets + 1)(0L)

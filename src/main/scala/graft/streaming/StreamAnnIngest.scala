@@ -237,6 +237,10 @@ object StreamAnnIngest {
         org.apache.spark.sql.functions.sum("n_would_move"),
         org.apache.spark.sql.functions.min("centroid_cos_q"))
       .head()
+    // an empty assignment table (index built over an empty corpus, nothing
+    // ingested yet) profiles to null aggregates — nothing to maintain
+    if (prof.isNullAt(0))
+      return MaintainReport("noop", 0L, 0L, 0L, Long.MaxValue)
     val n = prof.getLong(0)
     val wouldMove = prof.getLong(1)
     val minCosQ = prof.getLong(2)
