@@ -697,17 +697,27 @@ object TextAnalysis {
     val counts = occ.groupBy(col("lang_true").as("lang"), col("tri"))
       .agg(count(lit(1)).as("__c"))
     val totals = counts.groupBy("lang").agg(sum(col("__c")).as("__tl"))
-    val vocab = occ.select("tri").distinct()
-    val vsize = vocab.agg(count(lit(1)).as("__v")) // 1 row
-    // langs × vocab grid with add-one smoothing: a trigram a language never
-    // produced still carries mass ln(1/(T_l+V))
-    val model = vocab.crossJoin(broadcast(totals))
-      .join(counts, Seq("lang", "tri"), "left")
+    val vsize = occ.agg(count_distinct(col("tri")).as("__v")) // 1 row
+    // SPARSE smoothed model: only the COUNTED (lang, tri) cells carry a
+    // row; the add-one zero-count mass ln(1/(T_l+V)) — identical for every
+    // trigram a language never produced — is ONE per-language constant
+    // applied analytically below. The dense langs×vocab grid the naive
+    // formulation materializes (and broadcasts) grows as |langs|·V with the
+    // corpus vocabulary; the sparse form is counts-sized, and the per-doc
+    // score decomposes EXACTLY: Σ_tri lq = Σ_matched lq_counted +
+    // (n_occ − n_matched)·zq(lang) — same integers, same oracle.
+    val langConst = totals
       .crossJoin(broadcast(vsize))
-      .select(col("lang"), col("tri"),
-        floor(log((coalesce(col("__c"), lit(0L)) + lit(1L)).cast("double") /
+      .select(col("lang"),
+        floor(log(lit(1.0) /
           (col("__tl") + col("__v")).cast("double")) * 1e6 + 0.5)
-          .cast("long").as("__lq"))
+          .cast("long").as("__zq"),
+        (col("__tl") + col("__v")).cast("double").as("__denom"))
+    val modelSparse = counts
+      .join(broadcast(langConst.select(col("lang"), col("__denom"))), "lang")
+      .select(col("lang"), col("tri"),
+        floor(log((col("__c") + lit(1L)).cast("double") / col("__denom"))
+          * 1e6 + 0.5).cast("long").as("__lq"))
     val docCounts = base.groupBy(col("lang_true").as("lang"))
       .agg(count(lit(1)).as("__nl"))
     val priors = docCounts
@@ -715,12 +725,24 @@ object TextAnalysis {
       .select(col("lang"),
         floor(log(col("__nl").cast("double") / col("__nd").cast("double"))
           * 1e6 + 0.5).cast("long").as("__pq"))
-    val perLang = occ.join(broadcast(model), "tri")
+    // matched occurrences per (doc, lang): the sparse join reaches only
+    // languages that actually counted the trigram; the planner picks
+    // broadcast vs shuffle by the model's measured size
+    val matched = occ.join(modelSparse, "tri")
       .groupBy(col(idCol), col("lang_true"), col("lang"))
-      .agg(sum(col("__lq")).as("__sumq"))
+      .agg(sum(col("__lq")).as("__mq"), count(lit(1)).as("__nm"))
+    // every doc scores against EVERY language (langs-sized broadcast), with
+    // unmatched occurrences contributing the per-language zero-count mass
+    val docTotals = occ.groupBy(col(idCol), col("lang_true"))
+      .agg(count(lit(1)).as("__no"))
+    val perLang = docTotals
+      .join(broadcast(langConst.select(col("lang"), col("__zq"))))
+      .join(matched, Seq(idCol, "lang_true", "lang"), "left")
       .join(broadcast(priors), "lang")
       .select(col(idCol), col("lang_true"), col("lang"),
-        (col("__sumq") + col("__pq")).as("score_q"))
+        (coalesce(col("__mq"), lit(0L)) +
+          (col("__no") - coalesce(col("__nm"), lit(0L))) * col("__zq") +
+          col("__pq")).as("score_q"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("score_q").desc, col("lang"))
