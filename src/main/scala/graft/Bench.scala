@@ -44,34 +44,35 @@ object Bench {
     * literal (one command, can't drift from the median rule).
     */
   private[graft] val pinMedianSec: Map[String, Double] = Map(
-    "a1" -> 0.72, "a2" -> 0.643, "a3" -> 0.337, "a4" -> 0.755, "a5" -> 0.153, "a6" -> 0.143,
-    "a7" -> 0.295, "a8" -> 0.42, "b1" -> 0.283, "c1" -> 1.131, "c2" -> 0.392, "c3" -> 0.487,
-    "c4" -> 0.57, "d1" -> 0.391, "d2" -> 0.624, "d3" -> 0.41, "d4" -> 0.334, "d5" -> 0.291,
-    "d6" -> 1.362, "d7" -> 0.359, "d8" -> 0.276, "e1" -> 0.926, "e10" -> 0.663, "e11" -> 0.352,
-    "e12" -> 0.439, "e13" -> 0.332, "e14" -> 0.267, "e15" -> 0.818, "e2" -> 0.614, "e3" -> 0.38,
-    "e4" -> 0.745, "e5" -> 0.379, "e6" -> 1.441, "e7" -> 0.246, "e8" -> 0.76, "e9" -> 0.511,
-    "f1" -> 0.364, "f10" -> 0.551, "f11" -> 0.233, "f2" -> 0.519, "f3" -> 0.597, "f4" -> 0.213,
-    "f5" -> 0.295, "f6" -> 0.358, "f7" -> 0.297, "f8" -> 0.343, "f9" -> 0.694, "g1" -> 0.193,
-    "g2" -> 0.435, "g3" -> 1.243, "g4" -> 0.644, "g5" -> 0.28, "g6" -> 0.366, "h1" -> 0.232,
-    "h10" -> 0.391, "h100" -> 0.505, "h101" -> 0.447, "h102" -> 2.167, "h103" -> 0.458, "h104" -> 1.821,
-    "h105" -> 0.671, "h106" -> 0.633, "h107" -> 1.413, "h108" -> 0.864, "h109" -> 2.574, "h11" -> 0.72,
-    "h110" -> 0.427, "h111" -> 0.078, "h112" -> 1.609, "h113" -> 1.365, "h114" -> 1.14, "h115" -> 1.38,
-    "h12" -> 0.533, "h13" -> 0.578, "h14" -> 0.431, "h15" -> 1.147, "h16" -> 0.353, "h17" -> 1.373,
-    "h18" -> 0.519, "h19" -> 0.764, "h2" -> 0.269, "h20" -> 0.87, "h21" -> 0.155, "h22" -> 0.471,
-    "h23" -> 0.85, "h24" -> 0.626, "h25" -> 0.86, "h26" -> 1.076, "h27" -> 0.963, "h28" -> 0.71,
-    "h29" -> 0.805, "h3" -> 0.311, "h30" -> 0.665, "h31" -> 0.326, "h32" -> 0.391, "h33" -> 0.332,
-    "h34" -> 0.262, "h35" -> 0.197, "h36" -> 0.327, "h37" -> 0.233, "h38" -> 1.581, "h39" -> 0.796,
-    "h4" -> 0.762, "h40" -> 0.774, "h41" -> 0.235, "h42" -> 0.704, "h43" -> 0.477, "h44" -> 1.264,
-    "h45" -> 0.633, "h46" -> 0.511, "h47" -> 1.895, "h48" -> 0.945, "h49" -> 0.709, "h5" -> 2.186,
-    "h50" -> 0.881, "h51" -> 0.824, "h52" -> 0.349, "h53" -> 0.461, "h54" -> 1.004, "h55" -> 1.061,
-    "h56" -> 1.366, "h57" -> 0.401, "h58" -> 0.805, "h59" -> 0.602, "h6" -> 1.035, "h60" -> 1.075,
-    "h61" -> 3.032, "h62" -> 0.789, "h63" -> 0.552, "h64" -> 0.504, "h65" -> 0.922, "h66" -> 1.143,
-    "h67" -> 1.842, "h68" -> 0.847, "h69" -> 0.391, "h7" -> 0.713, "h70" -> 0.202, "h71" -> 0.214,
-    "h72" -> 0.637, "h73" -> 0.545, "h74" -> 1.88, "h75" -> 1.033, "h76" -> 0.227, "h77" -> 0.264,
-    "h78" -> 1.296, "h79" -> 0.416, "h8" -> 0.477, "h80" -> 1.847, "h81" -> 0.849, "h82" -> 0.541,
-    "h83" -> 0.31, "h84" -> 0.499, "h85" -> 0.568, "h86" -> 0.722, "h87" -> 0.747, "h88" -> 0.422,
-    "h89" -> 1.2, "h9" -> 0.497, "h90" -> 1.166, "h91" -> 0.74, "h92" -> 0.418, "h93" -> 0.623,
-    "h94" -> 0.572, "h95" -> 0.694, "h96" -> 0.327, "h97" -> 0.441, "h98" -> 0.537, "h99" -> 0.528)
+    "a1" -> 0.718, "a2" -> 0.724, "a3" -> 0.402, "a4" -> 0.812, "a5" -> 0.195, "a6" -> 0.222,
+    "a7" -> 0.375, "a8" -> 0.578, "b1" -> 0.318, "c1" -> 1.127, "c2" -> 0.578, "c3" -> 0.609,
+    "c4" -> 0.654, "d1" -> 0.469, "d2" -> 0.754, "d3" -> 0.586, "d4" -> 0.371, "d5" -> 0.342,
+    "d6" -> 1.509, "d7" -> 0.39, "d8" -> 0.352, "e1" -> 1.228, "e10" -> 0.714, "e11" -> 0.382,
+    "e12" -> 0.529, "e13" -> 0.348, "e14" -> 0.288, "e15" -> 0.846, "e2" -> 0.821, "e3" -> 0.443,
+    "e4" -> 0.711, "e5" -> 0.487, "e6" -> 1.652, "e7" -> 0.36, "e8" -> 0.863, "e9" -> 0.581,
+    "f1" -> 0.487, "f10" -> 0.599, "f11" -> 0.255, "f2" -> 0.583, "f3" -> 0.666, "f4" -> 0.38,
+    "f5" -> 0.345, "f6" -> 0.411, "f7" -> 0.349, "f8" -> 0.379, "f9" -> 0.679, "g1" -> 0.236,
+    "g2" -> 0.436, "g3" -> 1.214, "g4" -> 0.735, "g5" -> 0.236, "g6" -> 0.422, "h1" -> 0.28,
+    "h10" -> 0.521, "h100" -> 0.675, "h101" -> 0.514, "h102" -> 2.722, "h103" -> 0.713, "h104" -> 2.114,
+    "h105" -> 0.715, "h106" -> 0.702, "h107" -> 1.443, "h108" -> 1.083, "h109" -> 3.127, "h11" -> 0.819,
+    "h110" -> 0.484, "h111" -> 0.103, "h112" -> 1.917, "h113" -> 1.691, "h114" -> 1.356, "h115" -> 1.586,
+    "h116" -> 6.911, "h117" -> 7.202, "h118" -> 0.378, "h119" -> 1.549, "h12" -> 0.56, "h13" -> 0.676,
+    "h14" -> 0.458, "h15" -> 1.42, "h16" -> 0.376, "h17" -> 1.351, "h18" -> 0.605, "h19" -> 0.771,
+    "h2" -> 0.41, "h20" -> 0.965, "h21" -> 0.194, "h22" -> 0.75, "h23" -> 1.084, "h24" -> 0.515,
+    "h25" -> 0.898, "h26" -> 0.94, "h27" -> 1.137, "h28" -> 0.734, "h29" -> 0.879, "h3" -> 0.368,
+    "h30" -> 0.679, "h31" -> 0.419, "h32" -> 0.482, "h33" -> 0.408, "h34" -> 0.33, "h35" -> 0.236,
+    "h36" -> 0.397, "h37" -> 0.274, "h38" -> 1.876, "h39" -> 1.184, "h4" -> 0.7, "h40" -> 0.827,
+    "h41" -> 0.227, "h42" -> 0.818, "h43" -> 0.473, "h44" -> 1.233, "h45" -> 0.717, "h46" -> 0.562,
+    "h47" -> 2.178, "h48" -> 1.317, "h49" -> 0.859, "h5" -> 2.556, "h50" -> 1.062, "h51" -> 0.816,
+    "h52" -> 0.544, "h53" -> 0.612, "h54" -> 1.033, "h55" -> 1.092, "h56" -> 1.584, "h57" -> 0.475,
+    "h58" -> 0.759, "h59" -> 0.609, "h6" -> 1.026, "h60" -> 1.093, "h61" -> 4.489, "h62" -> 0.841,
+    "h63" -> 0.583, "h64" -> 0.618, "h65" -> 1.16, "h66" -> 1.181, "h67" -> 2.011, "h68" -> 0.904,
+    "h69" -> 0.433, "h7" -> 0.605, "h70" -> 0.275, "h71" -> 0.301, "h72" -> 0.989, "h73" -> 0.664,
+    "h74" -> 2.331, "h75" -> 1.082, "h76" -> 0.27, "h77" -> 0.308, "h78" -> 2.162, "h79" -> 0.422,
+    "h8" -> 0.516, "h80" -> 2.631, "h81" -> 0.955, "h82" -> 0.586, "h83" -> 0.402, "h84" -> 0.565,
+    "h85" -> 0.649, "h86" -> 0.856, "h87" -> 0.854, "h88" -> 0.46, "h89" -> 1.238, "h9" -> 0.624,
+    "h90" -> 1.373, "h91" -> 0.825, "h92" -> 0.511, "h93" -> 0.577, "h94" -> 0.509, "h95" -> 0.762,
+    "h96" -> 0.413, "h97" -> 0.543, "h98" -> 0.637, "h99" -> 0.704)
 
   /** Queries declared in the registry but not yet pinned above — the
     * documented mid-round grace window between a query's addition and the
@@ -83,7 +84,7 @@ object Bench {
     * here explicitly. Empty whenever the pin is fresh.
     */
   private[graft] val pinGrace: Set[String] =
-    Set("h116", "h117", "h118", "h119") // round-18 additions; re-pin at close
+    Set.empty // round-18 close: full 172-query re-pin triple landed
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
