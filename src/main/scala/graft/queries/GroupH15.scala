@@ -96,12 +96,17 @@ object GroupH15 {
   /** Trained char-trigram Naive Bayes language ID
     * ([[graft.extensions.TextAnalysis.nbLangId]]) — the model-based
     * replacement for h10's marker-word ceiling: add-one-smoothed
-    * multinomial NB over character trigrams of the normalized text,
-    * self-trained on the corpus' `lang` labels, scored with micro-nat
-    * integer log-probability sums (exact, order-independent), ties to the
-    * alphabetically-first language. The oracle replays training (counts →
-    * smoothed quantized log-likelihood grid → priors) and scoring.
+    * multinomial NB over character trigrams of the normalized text HASHED
+    * into a fixed 2¹⁶-bucket feature space (round 19 — bounds the sparse
+    * model at |langs|·65536 rows independent of charset, the langid.py /
+    * h116 device), self-trained on the corpus' `lang` labels, scored with
+    * micro-nat integer log-probability sums (exact, order-independent),
+    * ties to the alphabetically-first language. The oracle replays
+    * training (per-doc bucket histogram → counted sparse cells + one
+    * per-language zero-mass constant → priors) and scoring.
     */
+  private val nbBuckets = 65536
+
   val h117 = Q(
     "h117_langid_nb",
     s"""WITH base AS (
@@ -109,45 +114,61 @@ object GroupH15 {
       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
       |  FROM documents
       |  WHERE len(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) >= 3),
-      |occ AS MATERIALIZED (
-      |  SELECT doc_id, lang_true, substr(t, CAST(i AS INT), 3) AS tri
+      |occ AS (
+      |  SELECT doc_id, lang_true,
+      |    CAST(CAST('0x' || substr(md5(substr(t, CAST(i AS INT), 3)), 1, 4)
+      |      AS BIGINT) % $nbBuckets AS INT) AS b
       |  FROM (SELECT doc_id, lang_true, t,
       |          unnest(generate_series(1, len(t) - 2)) AS i FROM base)),
-      |counts AS (SELECT lang_true AS lang, tri, count(*) AS c
-      |  FROM occ GROUP BY 1, 2),
-      |totals AS (SELECT lang, sum(c) AS tl FROM counts GROUP BY lang),
-      |vocab AS (SELECT DISTINCT tri FROM occ),
-      |v AS (SELECT count(*) AS v FROM vocab),
+      |db AS MATERIALIZED (
+      |  SELECT doc_id, lang_true, b, count(*) AS cnt FROM occ GROUP BY 1, 2, 3),
+      |counts AS MATERIALIZED (SELECT lang_true AS lang, b, sum(cnt) AS c
+      |  FROM db GROUP BY 1, 2),
+      |v AS (SELECT count(DISTINCT b) AS v FROM counts),
+      |zc AS (SELECT lang,
+      |    CAST(floor(ln(1.0 / CAST(tl + v AS DOUBLE)) * 1e6 + 0.5)
+      |      AS BIGINT) AS zq,
+      |    CAST(tl + v AS DOUBLE) AS denom
+      |  FROM (SELECT lang, sum(c) AS tl FROM counts GROUP BY lang)
+      |  CROSS JOIN v),
       |model AS MATERIALIZED (
-      |  SELECT t2.lang, vb.tri,
-      |    CAST(floor(ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE) /
-      |      CAST(t2.tl + v.v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS lq
-      |  FROM vocab vb CROSS JOIN totals t2 CROSS JOIN v
-      |  LEFT JOIN counts c ON c.lang = t2.lang AND c.tri = vb.tri),
-      |dc AS (SELECT lang_true AS lang, count(*) AS nl FROM base GROUP BY 1),
+      |  SELECT c.lang, c.b,
+      |    CAST(floor(ln(CAST(c.c + 1 AS DOUBLE) / z.denom) * 1e6 + 0.5)
+      |      AS BIGINT) AS lq
+      |  FROM counts c JOIN zc z USING (lang)),
+      |dt AS MATERIALIZED (
+      |  SELECT doc_id, lang_true, CAST(sum(cnt) AS BIGINT) AS n_occ
+      |  FROM db GROUP BY 1, 2),
+      |dc AS (SELECT lang_true AS lang, count(*) AS nl FROM dt GROUP BY 1),
       |nd AS (SELECT sum(nl) AS nd FROM dc),
       |priors AS (SELECT lang,
       |    CAST(floor(ln(CAST(nl AS DOUBLE) / CAST(nd AS DOUBLE)) * 1e6 + 0.5)
       |      AS BIGINT) AS pq
       |  FROM dc CROSS JOIN nd),
+      |matched AS (
+      |  SELECT d.doc_id, d.lang_true, m.lang,
+      |    sum(d.cnt * m.lq) AS mq, sum(d.cnt) AS nm
+      |  FROM db d JOIN model m USING (b)
+      |  GROUP BY 1, 2, 3),
       |perlang AS (
-      |  SELECT o.doc_id, o.lang_true, m.lang, sum(m.lq) AS sumq
-      |  FROM occ o JOIN model m USING (tri)
-      |  GROUP BY o.doc_id, o.lang_true, m.lang),
-      |scored AS (SELECT doc_id, lang_true, lang,
-      |    CAST(sumq + pq AS BIGINT) AS score_q
-      |  FROM perlang JOIN priors USING (lang)),
+      |  SELECT dt.doc_id, dt.lang_true, z.lang,
+      |    CAST(coalesce(m.mq, 0) + (dt.n_occ - coalesce(m.nm, 0)) * z.zq
+      |      + p.pq AS BIGINT) AS score_q
+      |  FROM dt CROSS JOIN zc z
+      |  LEFT JOIN matched m ON m.doc_id = dt.doc_id AND m.lang = z.lang
+      |  JOIN priors p ON p.lang = z.lang),
       |ranked AS (
       |  SELECT doc_id, lang_true, lang, score_q,
       |    row_number() OVER (PARTITION BY doc_id
       |      ORDER BY score_q DESC, lang) AS rk
-      |  FROM scored)
+      |  FROM perlang)
       |SELECT doc_id, lang_true, lang AS pred_lang, score_q,
       |  CAST(lang = lang_true AS INT) AS is_match
       |FROM ranked WHERE rk = 1
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     graft.extensions.TextAnalysis.nbLangId(
-        Tables.documents(s, d), "doc_id", "text", "lang")
+        Tables.documents(s, d), "doc_id", "text", "lang",
+        nBuckets = nbBuckets)
       .orderBy("doc_id")
   }
 

@@ -228,10 +228,15 @@ object StreamAnnIngest {
     * which no concurrent probe-serving contract covers mid-swap.
     */
   def maintain(spark: SparkSession, deltaPath: String,
-      centroidsTable: String, assignmentTable: String, buckets: Int = 8,
+      centroidsTable: String, assignmentTable: String,
       tripWouldMovePermille: Long = 90L,
       rebuildCentroidCosQ: Long = 950000L): MaintainReport = {
-    compactDelta(spark, deltaPath, assignmentTable, buckets)
+    // derive the compaction's bucket count from the assignment table's OWN
+    // spec (the rewriteIvfIndex pattern) — a fixed default here would fail
+    // appendAssigned's spec check loudly mid-window on any index built with
+    // a different count (round-18 review finding)
+    compactDelta(spark, deltaPath, assignmentTable,
+      Similarity.tableBuckets(spark, assignmentTable))
     val prof = Similarity.ivfStaleness(spark, centroidsTable, assignmentTable)
       .agg(org.apache.spark.sql.functions.sum("n"),
         org.apache.spark.sql.functions.sum("n_would_move"),

@@ -195,4 +195,49 @@ class Round11Spec extends SparkSpec {
           s"ceiling $ceiling — the subdivision must change partitioning, not volume")
     }
   }
+
+  // h117 (round 19, feature-hashed): the NB model is bounded at
+  // |langs| × nBuckets rows BY CONSTRUCTION — independent of charset /
+  // vocabulary, the property whose absence made the r18 raw-trigram model
+  // weak. Pinned on a corpus whose distinct-trigram vocabulary EXCEEDS the
+  // bucket space (so the ceiling binds), through the operator's own
+  // hashing expression (nbDocBuckets — a test-side re-derivation could
+  // drift from what the operator scores with).
+  test("nbLangId hashed model: bounded by langs x nBuckets independent of vocabulary") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val nb = 32
+    // 300 docs / 3 langs; text = the doc id's md5 hex (wide trigram space)
+    val docs = spark.range(300)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", md5(col("id").cast("string")),
+          md5((col("id") + 1000).cast("string"))).as("text"),
+        concat(lit("lang"), (col("id") % 3).cast("string")).as("lang"))
+    val vocab = docs
+      .select(explode(transform(
+        sequence(lit(1), length(col("text")) - 2),
+        i => col("text").substr(i, lit(3)))).as("tri"))
+      .agg(count_distinct(col("tri"))).head().getLong(0)
+    assert(vocab > 3L * nb,
+      s"fixture too narrow: $vocab distinct trigrams vs ceiling ${3 * nb}")
+    val db = graft.extensions.TextAnalysis.nbDocBuckets(
+      docs, "doc_id", "text", "lang", nb)
+    val Array(bMin, bMax) = db.agg(min(col("b")), max(col("b")))
+      .head().toSeq.map(_.asInstanceOf[Int].toLong).toArray
+    assert(bMin >= 0L && bMax < nb.toLong,
+      s"bucket range [$bMin, $bMax] escaped [0, $nb)")
+    val modelCells = db.select(col("lang_true"), col("b")).distinct().count()
+    info(s"nb model: vocab=$vocab cells=$modelCells ceiling=${3 * nb}")
+    assert(modelCells <= 3L * nb,
+      s"model has $modelCells cells over ceiling ${3 * nb} — hashing lost")
+    // the hashed operator still scores every doc exactly once, identically
+    // under repartitioning (the histogram aggregate is an exact integer sum)
+    val a = graft.extensions.TextAnalysis.nbLangId(
+      docs, "doc_id", "text", "lang", nb).orderBy("doc_id").collect().toSeq
+    val b = graft.extensions.TextAnalysis.nbLangId(
+      docs.repartition(7), "doc_id", "text", "lang", nb)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    assert(a.size === 300)
+  }
 }

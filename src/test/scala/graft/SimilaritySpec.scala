@@ -517,4 +517,38 @@ class SimilaritySpec extends SparkSpec {
       rm(new java.io.File(deltaPath))
     }
   }
+
+  test("rebuildIvfIndex re-seeds at the BUILD capacity, not a shrunk live centroid count") {
+    // kmeansStep drops clusters that lose all members, so the live centroid
+    // count can fall below the build-time nCentroids; a rebuild seeded from
+    // the live count would permanently shrink the index (round-18 review
+    // finding). Simulate the shrunk state directly (overwrite the centroid
+    // table with a strict subset, re-stamping the property the overwrite
+    // drops, exactly as rewriteIvfIndex preserves it) and assert the
+    // rebuild restores full capacity.
+    val pid = ProcessHandle.current().pid()
+    val (ct, at) = Similarity.buildIvfIndex(
+      embs.filter(col("vec_id") < 400), "vec_id", "embedding",
+      s"graft_ivfcap_pid$pid", nCentroids = 16)
+    try {
+      assert(Similarity.builtNCentroids(spark, ct) === Some(16))
+      val shrunk = spark.table(ct).orderBy(col("cid")).limit(12).collect()
+      val sch = spark.table(ct).schema
+      spark.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(shrunk: _*)), sch)
+        .write.mode("overwrite").format("parquet").saveAsTable(ct)
+      spark.sql(s"ALTER TABLE $ct SET TBLPROPERTIES ('graft.ncentroids' = '16')")
+      assert(spark.table(ct).count() === 12L)
+      Similarity.rebuildIvfIndex(spark, ct, at)
+      assert(spark.table(ct).count() === 16L,
+        "rebuild lost the emptied clusters' capacity")
+      // the property survives the rebuild's own centroid overwrite too
+      assert(Similarity.builtNCentroids(spark, ct) === Some(16))
+      // and a refresh (same rewrite core) keeps both capacity and property
+      Similarity.refreshIvfIndex(spark, ct, at)
+      assert(Similarity.builtNCentroids(spark, ct) === Some(16))
+    } finally {
+      for (t <- Seq(ct, at)) spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
 }

@@ -973,4 +973,37 @@ class StreamingSpec extends SparkSpec {
       rm(new java.io.File(deltaPath))
     }
   }
+
+  test("maintain derives the compaction bucket count from the table's own spec") {
+    import graft.extensions.Similarity
+    import graft.streaming.StreamAnnIngest
+    // regression for the hardcoded buckets=8 forward: an index built with a
+    // DIFFERENT bucket count must compact through maintain without tripping
+    // appendAssigned's spec check
+    val embs = Tables.embeddings(spark, sf)
+    val pid = ProcessHandle.current().pid()
+    val (ct, at) = Similarity.buildIvfIndex(
+      embs.filter(col("vec_id") < 300), "vec_id", "embedding",
+      s"graft_annb4_pid$pid", buckets = 4)
+    val deltaPath = s"target/scratch/ann_b4_delta_$pid"
+    try {
+      StreamAnnIngest.ingestEpoch(
+        embs.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+          .select("vec_id", "embedding"),
+        0L, "vec_id", "embedding", ct, deltaPath)
+      val r = StreamAnnIngest.maintain(spark, deltaPath, ct, at,
+        tripWouldMovePermille = 1001L, rebuildCentroidCosQ = Long.MinValue)
+      assert(r.action === "noop")
+      assert(Similarity.foldedEpochWatermark(spark, at) === 0L)
+      assert(spark.table(at).count() === 400)
+      assert(Similarity.tableBuckets(spark, at) === 4)
+    } finally {
+      for (t <- Seq(ct, at)) spark.sql(s"DROP TABLE IF EXISTS $t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(deltaPath))
+    }
+  }
 }
