@@ -84,7 +84,7 @@ object Bench {
     * here explicitly. Empty whenever the pin is fresh.
     */
   private[graft] val pinGrace: Set[String] =
-    Set.empty // round-18 close: full 172-query re-pin triple landed
+    Set("h120", "h121") // round-19 additions; pin at the round-19 close triple
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

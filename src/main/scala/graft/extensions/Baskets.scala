@@ -24,8 +24,10 @@ import org.apache.spark.sql.functions._
   * — a crawler session, a batch-import order, a bot cart — whose size is
   * corpus-shaped, not order-shaped, and a single such basket serializes
   * its |basket|² pairs through one join task. [[pairLift]] therefore wires
-  * a basket-size profile in front of the enumeration: baskets at or above
-  * `heavyBasket` items are BLOCK-DECOMPOSED — items hash into `nblk ≈
+  * a basket-size profile in front of the enumeration: heavy baskets — by
+  * default SELF-SELECTED as the ones whose pair work exceeds a task's fair
+  * share of Σ|basket|² (see [[heavySet]]; a static `heavyBasket` threshold
+  * remains available) — are BLOCK-DECOMPOSED — items hash into `nblk ≈
   * size / blockTarget` blocks and the basket's pairs enumerate per block
   * CELL (p ≤ q), so the giant basket's quadratic work spreads over ~nblk²/2
   * parallel tasks instead of one. The decomposition is exact (every
@@ -45,17 +47,26 @@ object Baskets {
     * 4-dp): `lift = n_baskets · c(a,b) / (c(a) · c(b))` over distinct
     * (basket, item) incidences, pairs oriented `item_a < item_b`.
     *
-    * `heavyBasket`: baskets with at least this many distinct items take
-    * the block-decomposed enumeration (see the object scaladoc); the
-    * default sits far above any order-shaped basket, so retail-shaped data
-    * never pays the replication. `blockTarget`/`maxBlocks` size the
+    * `heavyBasket`: positive = STATIC threshold — baskets with at least
+    * this many distinct items take the block-decomposed enumeration (see
+    * the object scaladoc). `<= 0` (the default) = SELF-TUNED (round 19,
+    * the h71 profile wired in): a basket is decomposed exactly when its
+    * quadratic pair work exceeds one task's fair share of the corpus-total
+    * pair work — `bsz² · shuffle_partitions > Σ bsz²` — with a
+    * `2·blockTarget` floor below which the replication can't pay (nblk
+    * would be ≤ 2). The rule is the decomposition's own payoff condition:
+    * a basket under it fits inside one task's average load, so splitting
+    * it buys nothing; a basket over it IS the straggler. Derived from the
+    * same `sizes` count the denominator already needs, so the profile
+    * costs nothing extra; either path is bit-identical (Round6Spec), the
+    * choice only moves work. `blockTarget`/`maxBlocks` size the
     * decomposition: nblk = clamp(ceil(size/blockTarget), 1, maxBlocks).
     */
   def pairLift(df: DataFrame, basketCol: String, itemCol: String,
-      k: Int, heavyBasket: Int = 32768, blockTarget: Int = 1024,
+      k: Int, heavyBasket: Int = 0, blockTarget: Int = 1024,
       maxBlocks: Int = 64): DataFrame = {
-    require(heavyBasket > 1 && blockTarget > 0 && maxBlocks > 0,
-      "heavyBasket must be > 1; blockTarget and maxBlocks positive")
+    require(heavyBasket != 1 && blockTarget > 0 && maxBlocks > 0,
+      "heavyBasket must be <= 0 (auto) or > 1; blockTarget and maxBlocks positive")
     // FOUR consumers read the distinct incidence relation (sizes, item
     // marginals, and the split pair enumeration), and the heavy-set
     // broadcast makes the size profile a blocking dependency of the join —
@@ -65,13 +76,21 @@ object Baskets {
       .distinct()
       .localCheckpoint(eager = false)
     // ONE basket-keyed count serves both the heavy-basket profile and the
-    // n_baskets denominator (count of its rows == the old countDistinct)
+    // n_baskets denominator (count of its rows == the old countDistinct),
+    // and ONE roll-up over it carries both totals the plan needs — the
+    // basket count for the lift denominator AND the Σbsz² fair-share total
+    // the auto-trigger compares against (an extra aggregate stage here
+    // measured ~0.5 s of pure stage latency at sf0.1)
     val sizes = b.groupBy("basket").agg(count(lit(1)).as("bsz"))
-    val nB = sizes.agg(count(lit(1)).as("n"))
+    val prof = sizes.agg(count(lit(1)).as("n"),
+      sum(col("bsz").cast("double") * col("bsz")).as("__sq"))
+    val nB = prof.select("n")
     val itemCnt = b.groupBy("item").agg(count(lit(1)).as("c"))
+    val cellPar = df.sparkSession.sessionState.conf.numShufflePartitions
     // the heavy set is pathology-sized (usually empty), so it broadcasts;
     // a LEFT join tags incidences without shuffling b by a new key
-    val heavy = sizes.filter(col("bsz") >= lit(heavyBasket))
+    val heavy = heavySet(sizes, heavyBasket, blockTarget, cellPar,
+      Some(prof.select("__sq")))
     val tagged = b.join(broadcast(heavy), Seq("basket"), "left")
     val light = tagged.filter(col("bsz").isNull).select("basket", "item")
     val lightPairs = light.as("x")
@@ -97,7 +116,6 @@ object Baskets {
     // plain); an explicit fixed-count repartition on the cell key is exempt
     // from AQE coalescing, so cells stay spread across the cluster and each
     // task enumerates + partial-aggregates only its cells' pairs
-    val cellPar = df.sparkSession.sessionState.conf.numShufflePartitions
     val xs = hv
       .withColumn("q", explode(sequence(col("blk"), col("nblk") - 1)))
       .select(col("basket"), col("item").as("item_x"),
@@ -125,4 +143,30 @@ object Baskets {
       .orderBy(col("pair_cnt").desc, col("item_a"), col("item_b"))
       .limit(k)
   }
+
+  /** The decomposition trigger of [[pairLift]]: which baskets take the
+    * block-decomposed enumeration. Positive `heavyBasket` = the static
+    * rule (`bsz >= heavyBasket`); otherwise the SELF-TUNED rule — a basket
+    * is heavy iff its pair work `bsz²` exceeds one task's fair share of
+    * the corpus total (`bsz² · cellPar > Σ bsz²`, compared in doubles: the
+    * trigger is a heuristic, overflow-free beats exact here) and clears
+    * the `2·blockTarget` replication floor. Package-visible so Round6Spec
+    * pins the selection itself (the result is bit-identical either way, so
+    * only the trigger can be asserted directly).
+    */
+  private[graft] def heavySet(sizes: DataFrame, heavyBasket: Int,
+      blockTarget: Int, cellPar: Int,
+      sqTotal: Option[DataFrame] = None): DataFrame =
+    if (heavyBasket > 0) sizes.filter(col("bsz") >= lit(heavyBasket.toLong))
+    else {
+      // `sqTotal` lets pairLift pass the Σbsz² it already rolled up with
+      // the n_baskets denominator (one aggregate serving both) — the
+      // self-contained fallback recomputes it for direct callers/tests
+      val tot = sqTotal.getOrElse(sizes
+        .agg(sum(col("bsz").cast("double") * col("bsz")).as("__sq")))
+      sizes.crossJoin(broadcast(tot))
+        .filter(col("bsz") >= lit(2L * blockTarget) &&
+          col("bsz").cast("double") * col("bsz") * cellPar > col("__sq"))
+        .select("basket", "bsz")
+    }
 }

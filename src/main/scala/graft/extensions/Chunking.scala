@@ -114,12 +114,22 @@ object Chunking {
     * `global_pos` = shard offset (exclusive prefix sum of shard sizes) +
     * pos − 1, a bijection onto 0..N−1.
     *
-    * 100 TB posture: NO global sort — each shard ranks independently (the
-    * [[packBins]] sharding argument; `shards` is the write parallelism, so
-    * a production writer emits one file per shard sorted by `pos` and the
-    * epoch reader concatenates in `(shard, pos)` order), and the offset
-    * join broadcasts a `shards`-row relation. The md5 keys are uniform, so
-    * shards balance to N/shards ± noise regardless of id clustering.
+    * 100 TB posture (re-sized round 19): NO global sort AND no per-shard
+    * window — the rank is [[Ranking.globalRowNumber]]'s two-phase
+    * range-rank over the total order `(shard, key, id)` (shards order
+    * consecutively under it, so the 0-based global rank IS `global_pos`
+    * and `pos` falls out as rank − shard offset). The original per-shard
+    * `row_number()` window serialized each shard through ONE task —
+    * parallelism = `shards` (default 16), a bottleneck on a wide cluster
+    * unless the caller remembered to size shards to cluster width; the
+    * range-rank spreads across `spark.sql.shuffle.partitions` REGARDLESS
+    * of `shards`, which is now a purely LOGICAL parameter: part of the
+    * permutation's identity (like the seed — changing it changes the
+    * order, so it is pinned in the h118 oracle) and the file-grouping
+    * unit a production writer emits (one file per shard sorted by `pos`,
+    * the epoch reader concatenates in `(shard, pos)` order). The offset
+    * join broadcasts a `shards`-row relation; the md5 keys are uniform,
+    * so shards balance to N/shards ± noise regardless of id clustering.
     *
     * Output: `idCol, shard:int, pos:int, global_pos:long`.
     */
@@ -131,18 +141,73 @@ object Chunking {
       .withColumn("shard",
         (conv(substring(col("__k"), 1, 4), 16, 10).cast("long") % shards)
           .cast("int"))
-    val w = Window.partitionBy(col("shard")).orderBy(col("__k"), col(idCol))
-    val positioned = keyed.withColumn("pos", row_number().over(w))
+    val ranked = Ranking.globalRowNumber(keyed,
+      Seq(col("shard"), col("__k"), col(idCol)), "__gp")
     // exclusive prefix sum of shard sizes — a `shards`-row relation, so the
-    // single-partition window and the broadcast join cost nothing
-    val offsets = positioned.groupBy("shard").agg(count(lit(1)).as("__n"))
+    // single-partition window and the broadcast join cost nothing; the
+    // aggregate shares the rank's range exchange (ReuseExchange — the
+    // Ranking correctness invariant)
+    val offsets = ranked.groupBy("shard").agg(count(lit(1)).as("__n"))
       .withColumn("__offset",
         coalesce(sum(col("__n")).over(Window.orderBy(col("shard"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("shard"), col("__offset"))
-    positioned.join(broadcast(offsets), "shard")
-      .select(col(idCol), col("shard"), col("pos"),
-        (col("__offset") + col("pos") - 1).as("global_pos"))
+    ranked.join(broadcast(offsets), "shard")
+      .select(col(idCol), col("shard"),
+        (col("__gp") - col("__offset")).cast("int").as("pos"),
+        (col("__gp") - 1).as("global_pos"))
+  }
+
+  /** TRAINING-SHARD EXPORT MANIFEST — the last meter of the serving path:
+    * compose [[packBins]] (h43 sequence packing) and [[epochShuffle]]
+    * (h118 epoch order) into numbered output shards and emit ONE manifest
+    * row per shard — the WebDataset/TFRecord-manifest shape every training
+    * loader consumes (shard id, row/doc/token counts, content
+    * fingerprint). Idempotent re-export by construction: the manifest is a
+    * pure function of (ids, token counts, epochSeed, budget, shardSize,
+    * shards) — re-running emits the identical rows, no state or temp files
+    * to reconcile (PropertySpec pins idempotence and row/token
+    * conservation).
+    *
+    * Construction: packed sequences = [[packBins]]' (shard, bin) cells;
+    * each sequence takes a global epoch position from [[epochShuffle]]
+    * over `seq_id = shard ':' bin`; output shard = `global_pos div
+    * shardSize` (the serving unit: shardSize sequences per exported file).
+    * The fingerprint is [[Provenance]]'s 60-bit XOR row hash over
+    * (doc id, seq_id, global_pos) — membership AND epoch order,
+    * layout-independent, and sub-slice fingerprints XOR up into a dataset
+    * version (the h70 Merkle property), so a loader can verify any shard
+    * subset without rescanning the rest.
+    *
+    * 100 TB posture: every piece is an already-measured operator — the
+    * packing is shard-parallel scan-side work, the epoch rank is the
+    * two-phase range-rank over SEQUENCES (≈ corpus_tokens/budget rows, not
+    * docs), the doc→sequence order join is seq_id-keyed (broadcast when
+    * the order relation fits, shuffle-hash otherwise — the planner's
+    * call), and the manifest is one partial-aggregated groupBy emitting
+    * shard-count rows.
+    *
+    * Output: `out_shard:int, n_seqs, n_docs, n_tokens, content_fp`.
+    */
+  def exportManifest(docs: DataFrame, idCol: String, textCol: String,
+      epochSeed: Long, budget: Int, shardSize: Long,
+      shards: Int = 16): DataFrame = {
+    require(shardSize > 0, s"shardSize must be positive, got $shardSize")
+    val packed = packBins(docs, idCol, textCol, budget)
+      .withColumn("seq_id", concat_ws(":", col("shard"), col("bin")))
+    val seqs = packed.select(col("seq_id")).distinct()
+    val order = epochShuffle(seqs, "seq_id", epochSeed, shards)
+      .select(col("seq_id"), col("global_pos"))
+    packed
+      .join(order, "seq_id")
+      .withColumn("out_shard", expr(s"int(global_pos div $shardSize)"))
+      .withColumn("__rh", Provenance.rowHash(Seq(idCol, "seq_id", "global_pos")))
+      .groupBy(col("out_shard"))
+      .agg(
+        count_distinct(col("seq_id")).as("n_seqs"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).cast("long").as("n_tokens"),
+        expr("bit_xor(__rh)").as("content_fp"))
   }
 
   /** Span-level (paragraph-style) exact deduplication with reassembly:

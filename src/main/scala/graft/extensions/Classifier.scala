@@ -176,4 +176,156 @@ object Classifier {
         hardSigmoidQ(zQ(w)).as("score_q"))
       .withColumn("pred", (col("score_q") >= lit(Micro / 2)).cast("int"))
   }
+
+  /** Score documents with FROZEN weights — the serving-side half of
+    * [[qualityLrScores]], for data the trainer never saw: a streaming
+    * micro-batch, a fresh crawl slice ([[graft.streaming.StreamClassify]]
+    * wires this into `foreachBatch` behind the idempotent epoch sink).
+    * Same featurization, same hard sigmoid, no training pass; docs with
+    * < 2 tokens are excluded exactly as in training.
+    *
+    * Output: `idCol, score_q:long, pred:int`.
+    */
+  def scoreWith(docs: DataFrame, idCol: String, textCol: String,
+      weights: Array[Long], nBuckets: Int): DataFrame = {
+    require(weights.length == nBuckets + 1,
+      s"weights must be nBuckets+1 = ${nBuckets + 1} long, got ${weights.length}")
+    hashedBigramRows(docs, idCol, textCol, _ => lit(0), nBuckets)
+      .select(col(idCol), hardSigmoidQ(zQ(weights)).as("score_q"))
+      .withColumn("pred", (col("score_q") >= lit(Micro / 2)).cast("int"))
+  }
+
+  /** The multi-head featurized corpus: one row per document with ≥ 2
+    * tokens — `(idCol, ys:array<int>, js:array<int>)` where `ys(k)` is the
+    * k-th seed rule's label and `js` is the SAME hashed-bigram bucket set
+    * as [[hashedBigramRows]] (features are shared across heads — the
+    * one-scan point of the multi-head form).
+    */
+  private[graft] def hashedBigramRowsMulti(docs: DataFrame, idCol: String,
+      textCol: String, seedRules: Seq[Column => Column],
+      nBuckets: Int): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    docs
+      .select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(col(idCol),
+        array(seedRules.map(r => r(col("__toks")).cast("int")): _*).as("ys"),
+        concat(
+          array_sort(array_distinct(transform(
+            TextOps.shingles2(col("__toks")),
+            bg => (conv(substring(md5(bg), 1, 4), 16, 10).cast("long")
+              % nBuckets).cast("int")))),
+          array(lit(nBuckets))).as("js"))
+  }
+
+  /** Train K heads in the [[trainState]] loop structure, ONE corpus scan
+    * per step for ALL heads: the per-row error of every head is computed
+    * in one projection against K broadcast weight literals, the bucket set
+    * explodes once, and a single feature-keyed aggregate carries K error
+    * sums per bucket — the gradient aggregate keyed by (head, bucket),
+    * laid out as K columns so the exchange stays (nBuckets+1)-row-sized.
+    * Each head's arithmetic is EXACTLY [[trainState]]'s (same featurize,
+    * same hard sigmoid, same truncating update over the same N), so head k
+    * of the multi-head training equals an independent single-rule training
+    * bit-for-bit (ClassifierSpec pins it).
+    */
+  private[graft] def trainStateMulti(docs: DataFrame, idCol: String,
+      textCol: String, seedRules: Seq[Column => Column], nBuckets: Int,
+      steps: Int): (Array[Array[Long]], DataFrame, Long) = {
+    require(seedRules.nonEmpty, "need at least one head")
+    require(nBuckets >= 2 && steps >= 1,
+      s"need nBuckets >= 2 and steps >= 1, got $nBuckets/$steps")
+    // same conditional pre-featurize repartition as trainState (the
+    // single-file-corpus parallelism lesson); same exactness argument
+    val par = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val src = if (docs.rdd.getNumPartitions < par) docs.repartition(par)
+              else docs
+    val rows = hashedBigramRowsMulti(src, idCol, textCol, seedRules, nBuckets)
+      .localCheckpoint(eager = false)
+    val n = rows.count()
+    val k = seedRules.size
+    val w = Array.fill(k)(Array.fill(nBuckets + 1)(0L))
+    if (n > 0) {
+      for (_ <- 1 to steps) {
+        val g = gradientMulti(rows, w)
+        val d = 2L * n
+        var h = 0
+        while (h < k) {
+          var j = 0
+          while (j < w(h).length) {
+            val gj = g(h)(j)
+            w(h)(j) -= (if (gj >= 0) gj / d else -((-gj) / d))
+            j += 1
+          }
+          h += 1
+        }
+      }
+    }
+    (w, rows, n)
+  }
+
+  /** One step's K gradient vectors in one pass: K error terms in their OWN
+    * projection below the explode (the [[gradient]] doctrine — fused into
+    * the Generate they would re-evaluate per exploded row), one explode,
+    * one groupBy(j) with K sums, one (nBuckets+1)-row collect.
+    */
+  private def gradientMulti(rows: DataFrame,
+      w: Array[Array[Long]]): Array[Array[Long]] = {
+    val k = w.length
+    val g = Array.fill(k)(Array.fill(w(0).length)(0L))
+    val errCols = (0 until k).map(h =>
+      (hardSigmoidQ(zQ(w(h))) -
+        element_at(col("ys"), h + 1).cast("long") * Micro).as(s"__e$h"))
+    rows
+      .select(errCols :+ col("js"): _*)
+      .select(explode(col("js")).as("j") +:
+        (0 until k).map(h => col(s"__e$h")): _*)
+      .groupBy("j")
+      .agg(sum(col("__e0")).as("g0"),
+        (1 until k).map(h => sum(col(s"__e$h")).as(s"g$h")): _*)
+      .collect()
+      .foreach { r =>
+        val j = r.getInt(0)
+        var h = 0
+        while (h < k) { g(h)(j) = r.getLong(h + 1); h += 1 }
+      }
+    g
+  }
+
+  /** The h121 operator — a ONE-VS-REST policy filter bank from the same
+    * trainer machinery: K deterministic seed rules (quality, topicality,
+    * formality — whatever policies the pipeline gates on) train K weight
+    * vectors over SHARED hashed-bigram features in one pass structure, and
+    * scoring runs all K heads in one scan with an argmax routing decision —
+    * the multi-policy gate a real pipeline runs as ONE corpus pass instead
+    * of K.
+    *
+    * Output: `idCol`, then per head `y_<name>:int` and
+    * `score_q_<name>:long`, then `pred_head` — the argmax head by
+    * hard-sigmoid score, ties toward the alphabetically-first head name
+    * (implemented as array_sort over (−score, name) structs — integer
+    * fields, so the tie-break is engine-exact).
+    */
+  def multiPolicyScores(docs: DataFrame, idCol: String, textCol: String,
+      heads: Seq[(String, Column => Column)], nBuckets: Int = 256,
+      steps: Int = 8): DataFrame = {
+    require(heads.map(_._1).distinct.size == heads.size,
+      "head names must be distinct")
+    val (w, rows, _) =
+      trainStateMulti(docs, idCol, textCol, heads.map(_._2), nBuckets, steps)
+    val k = heads.size
+    val scored = rows.select(
+      col(idCol) +: col("ys") +:
+        (0 until k).map(h => hardSigmoidQ(zQ(w(h))).as(s"__s$h")): _*)
+    val cand = array((0 until k).map(h =>
+      struct((-col(s"__s$h")).as("ns"), lit(heads(h)._1).as("h"))): _*)
+    scored
+      .withColumn("pred_head", element_at(array_sort(cand), 1).getField("h"))
+      .select(
+        col(idCol) +:
+          ((0 until k).map(h =>
+            element_at(col("ys"), h + 1).as(s"y_${heads(h)._1}")) ++
+           (0 until k).map(h => col(s"__s$h").as(s"score_q_${heads(h)._1}")) :+
+           col("pred_head")): _*)
+  }
 }

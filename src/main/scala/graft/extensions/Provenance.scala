@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
 object Provenance {
 
   /** The shared portable row hash: md5 over 0x1f-joined, 0x1e-null-coalesced
-    * content columns, first 15 hex chars as a 60-bit BIGINT.
+    * content columns, first 15 hex chars as a 60-bit BIGINT. Package-visible
+    * so [[Chunking.exportManifest]]'s per-shard XOR fingerprint is THIS
+    * device, not a drifting copy.
     */
-  private def rowHash(contentCols: Seq[String]) = conv(
+  private[graft] def rowHash(contentCols: Seq[String]) = conv(
     substring(
       md5(concat_ws("\u001f",
         contentCols.map(c => coalesce(col(c).cast("string"), lit("\u001e"))): _*)),

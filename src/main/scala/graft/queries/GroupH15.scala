@@ -270,5 +270,166 @@ object GroupH15 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(h116, h117, h118, h119)
+  // ---------------------------------------------------------------- h120
+  /** Training-shard export manifest
+    * ([[graft.extensions.Chunking.exportManifest]], budget 256, epoch seed
+    * 29, 16 logical shards, 4 sequences per output shard): h43's packed
+    * sequences take h118's epoch order, land in numbered output shards
+    * (`global_pos div 4`), and each shard emits one manifest row — counts
+    * plus the h70 XOR-Merkle content fingerprint over (doc, sequence,
+    * epoch position). The WebDataset/TFRecord-manifest shape a training
+    * loader consumes; idempotent re-export and conservation pinned in
+    * PropertySpec. The oracle replays packing, epoch order, shard
+    * assignment, and the 60-bit XOR fingerprint.
+    */
+  val h120 = Q(
+    "h120_export_manifest",
+    s"""WITH t AS (
+      |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+      |    CAST(len($dTok) AS INT) AS n_toks
+      |  FROM documents),
+      |f AS (SELECT doc_id, substr(h, 1, 1) AS shard, h, n_toks
+      |  FROM t WHERE n_toks > 0),
+      |packed AS (SELECT doc_id, shard, n_toks,
+      |    CAST(((sum(n_toks) OVER (PARTITION BY shard ORDER BY h, doc_id
+      |      ROWS UNBOUNDED PRECEDING)) - 1) // 256 AS INT) AS bin
+      |  FROM f),
+      |pseq AS MATERIALIZED (SELECT doc_id, n_toks,
+      |    shard || ':' || CAST(bin AS VARCHAR) AS seq_id
+      |  FROM packed),
+      |seqs AS (SELECT DISTINCT seq_id FROM pseq),
+      |k AS (SELECT seq_id, md5('29:' || seq_id) AS k FROM seqs),
+      |s2 AS (SELECT seq_id, k,
+      |    CAST(CAST('0x' || substr(k, 1, 4) AS BIGINT) % 16 AS INT) AS oshard
+      |  FROM k),
+      |p2 AS (SELECT seq_id, oshard,
+      |    CAST(row_number() OVER (PARTITION BY oshard ORDER BY k, seq_id)
+      |      AS INT) AS pos
+      |  FROM s2),
+      |o2 AS (SELECT oshard, count(*) AS n FROM p2 GROUP BY oshard),
+      |off AS (SELECT oshard,
+      |    coalesce(sum(n) OVER (ORDER BY oshard
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offs
+      |  FROM o2),
+      |gp AS (SELECT p2.seq_id,
+      |    CAST(off.offs + p2.pos - 1 AS BIGINT) AS global_pos
+      |  FROM p2 JOIN off USING (oshard)),
+      |a AS (SELECT d.doc_id, d.n_toks, d.seq_id, g.global_pos,
+      |    CAST(g.global_pos // 4 AS INT) AS out_shard
+      |  FROM pseq d JOIN gp g USING (seq_id))
+      |SELECT out_shard,
+      |  CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+      |  bit_xor(CAST('0x' || substr(md5(concat_ws(chr(31),
+      |    coalesce(CAST(doc_id AS VARCHAR), chr(30)),
+      |    coalesce(seq_id, chr(30)),
+      |    coalesce(CAST(global_pos AS VARCHAR), chr(30)))), 1, 15) AS BIGINT))
+      |    AS content_fp
+      |FROM a
+      |GROUP BY out_shard
+      |ORDER BY out_shard""".stripMargin) { (s, d) =>
+    graft.extensions.Chunking.exportManifest(
+        Tables.documents(s, d), "doc_id", "text",
+        epochSeed = 29L, budget = 256, shardSize = 4L, shards = 16)
+      .orderBy("out_shard")
+  }
+
+  // ---------------------------------------------------------------- h121
+  private val mhBuckets = 256
+  private val mhSteps = 8
+
+  /** One unrolled gradient step for ALL THREE h121 heads — the h116 lrStep
+    * shape with the weight/error/gradient relations carrying one COLUMN per
+    * head (the (head, bucket)-keyed aggregate, laid out wide).
+    */
+  private def mhStep(r: Int): String = {
+    def upd(k: Int) =
+      s"""w.wq$k - (CASE WHEN coalesce(g.g$k, 0) >= 0
+        |      THEN coalesce(g.g$k, 0) // (2 * n.n)
+        |      ELSE -((-coalesce(g.g$k, 0)) // (2 * n.n)) END) AS wq$k""".stripMargin
+    def err(k: Int) =
+      s"least(1000000, greatest(0, (z.zq$k + 2000000) // 4)) - l.y$k * 1000000 AS e$k"
+    s"""z$r AS (SELECT f.doc_id, sum(w.wq0) AS zq0, sum(w.wq1) AS zq1,
+      |    sum(w.wq2) AS zq2
+      |  FROM feat f JOIN w${r - 1} w USING (j) GROUP BY f.doc_id),
+      |e$r AS MATERIALIZED (
+      |  SELECT l.doc_id, ${err(0)}, ${err(1)}, ${err(2)}
+      |  FROM lab l JOIN z$r z USING (doc_id)),
+      |g$r AS (SELECT f.j, sum(e.e0) AS g0, sum(e.e1) AS g1, sum(e.e2) AS g2
+      |  FROM feat f JOIN e$r e USING (doc_id) GROUP BY f.j),
+      |w$r AS MATERIALIZED (
+      |  SELECT w.j, ${upd(0)},
+      |    ${upd(1)},
+      |    ${upd(2)}
+      |  FROM w${r - 1} w LEFT JOIN g$r g USING (j) CROSS JOIN n)""".stripMargin
+  }
+
+  private def mhOracle: String = {
+    val steps = (1 to mhSteps).map(mhStep).mkString(",\n")
+    def sig(k: Int) =
+      s"CAST(least(1000000, greatest(0, (z.zq$k + 2000000) // 4)) AS BIGINT) AS s$k"
+    s"""WITH toks AS (SELECT doc_id, $dTok AS t FROM documents),
+      |bi AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i + 1])) AS bg
+      |  FROM toks WHERE len(t) >= 2),
+      |feat AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id,
+      |    CAST('0x' || substr(md5(bg), 1, 4) AS BIGINT) % $mhBuckets AS j
+      |  FROM bi
+      |  UNION ALL
+      |  SELECT DISTINCT doc_id, $mhBuckets AS j FROM bi),
+      |lab AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CASE WHEN len(list_filter(t, x -> x = 'data')) >= 2 THEN 1 ELSE 0 END AS y0,
+      |    CASE WHEN len(t) >= 56 THEN 1 ELSE 0 END AS y1,
+      |    CASE WHEN len(list_filter(t, x -> x = 'spark')) >= 2 THEN 1 ELSE 0 END AS y2
+      |  FROM toks WHERE len(t) >= 2),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lab),
+      |w0 AS (SELECT CAST(unnest(generate_series(0, $mhBuckets)) AS BIGINT) AS j,
+      |  CAST(0 AS BIGINT) AS wq0, CAST(0 AS BIGINT) AS wq1,
+      |  CAST(0 AS BIGINT) AS wq2),
+      |$steps,
+      |zf AS (SELECT f.doc_id, sum(w.wq0) AS zq0, sum(w.wq1) AS zq1,
+      |    sum(w.wq2) AS zq2
+      |  FROM feat f JOIN w$mhSteps w USING (j) GROUP BY f.doc_id),
+      |sc AS (SELECT l.doc_id, l.y0, l.y1, l.y2, ${sig(0)}, ${sig(1)}, ${sig(2)}
+      |  FROM lab l JOIN zf z USING (doc_id))
+      |SELECT doc_id,
+      |  y0 AS y_datarich, y1 AS y_longform, y2 AS y_quality,
+      |  s0 AS score_q_datarich, s1 AS score_q_longform, s2 AS score_q_quality,
+      |  CASE WHEN s0 >= s1 AND s0 >= s2 THEN 'datarich'
+      |       WHEN s1 >= s2 THEN 'longform'
+      |       ELSE 'quality' END AS pred_head
+      |FROM sc
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  /** One-vs-rest policy filter bank
+    * ([[graft.extensions.Classifier.multiPolicyScores]]): THREE heads —
+    * datarich ('data' ≥ 2), longform (≥ 56 tokens), quality ('spark' ≥ 2,
+    * the h116 rule) — trained over SHARED hashed-bigram features with 8
+    * full-batch gradient steps in ONE pass structure per step (the gradient
+    * aggregate carries all heads' error sums per bucket), scored with an
+    * argmax routing decision (ties toward the alphabetically-first head;
+    * the head ORDER is alphabetical, so the oracle's first-max CASE chain
+    * is the same rule). The oracle unrolls every step for every head
+    * bit-for-bit; ClassifierSpec pins each head's weights equal to an
+    * independent single-rule training.
+    */
+  val h121 = Q("h121_policy_bank", mhOracle) { (s, d) =>
+    graft.extensions.Classifier.multiPolicyScores(
+        Tables.documents(s, d), "doc_id", "text",
+        Seq(
+          "datarich" -> (toks => size(filter(toks,
+            (t: org.apache.spark.sql.Column) => t === "data")) >= 2),
+          "longform" -> (toks => size(toks) >= 56),
+          "quality" -> (toks => size(filter(toks,
+            (t: org.apache.spark.sql.Column) => t === "spark")) >= 2)),
+        nBuckets = mhBuckets, steps = mhSteps)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(h116, h117, h118, h119, h120, h121)
 }

@@ -129,4 +129,37 @@ class ClassifierSpec extends SparkSpec {
       length(trim(regexp_replace(lower($"text"), "\\s+", " "))) >= 3).count()
     assert(a.size.toLong === eligible)
   }
+
+  test("multiPolicyScores: each head's training equals an independent single-rule run bit-for-bit") {
+    import org.apache.spark.sql.Column
+    val heads: Seq[(String, Column => Column)] = Seq(
+      "datarich" -> ((toks: Column) => size(filter(toks,
+        (t: Column) => t === "data")) >= 2),
+      "longform" -> ((toks: Column) => size(toks) >= 56),
+      "quality" -> ((toks: Column) => size(filter(toks,
+        (t: Column) => t === "spark")) >= 2))
+    val steps = 8
+    val (wm, _, nm) = Classifier.trainStateMulti(docs, "doc_id", "text",
+      heads.map(_._2), D, steps)
+    for (((name, rule), k) <- heads.zipWithIndex) {
+      val (w1, _, n1) = Classifier.trainState(docs, "doc_id", "text",
+        rule, D, steps)
+      assert(n1 === nm)
+      assert(wm(k).toSeq === w1.toSeq,
+        s"head '$name' diverged from its independent training")
+    }
+    // the argmax routes to the alphabetically-first head on ties: with
+    // zero steps... (ties are data-dependent, so pin the rule structurally:
+    // scores equal => pred_head is the first name alphabetically)
+    val out = Classifier.multiPolicyScores(docs, "doc_id", "text", heads,
+      D, steps).collect()
+    out.foreach { r =>
+      val scores = Seq(("datarich", r.getLong(4)), ("longform", r.getLong(5)),
+        ("quality", r.getLong(6)))
+      val best = scores.maxBy(_._2)._2
+      val expect = scores.filter(_._2 == best).map(_._1).min
+      assert(r.getString(7) === expect,
+        s"pred_head ${r.getString(7)} != argmax-with-alpha-tie $expect")
+    }
+  }
 }

@@ -580,4 +580,43 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  // --- exportManifest (h120) -----------------------------------------------
+
+  test("exportManifest: conservation, contiguous full shards, idempotent re-export") {
+    import graft.extensions.Chunking
+    val docs = Tables.documents(spark, sf)
+    def manifest() = Chunking.exportManifest(docs, "doc_id", "text",
+      epochSeed = 29L, budget = 256, shardSize = 4L)
+      .orderBy("out_shard").collect().toSeq
+    val m1 = manifest()
+    // idempotent re-export: the manifest is a pure function of
+    // (ids, token counts, seed, budget, shardSize) — byte-identical rerun
+    assert(m1 === manifest())
+    val packed = Chunking.packBins(docs, "doc_id", "text", budget = 256)
+    val nDocs = packed.count()
+    val nTokens = packed.agg(sum(col("n_toks"))).head().getLong(0)
+    val nSeqs = packed.select(col("shard"), col("bin")).distinct().count()
+    // conservation: every packed doc, token, and sequence lands in exactly
+    // one manifest shard
+    assert(m1.map(_.getLong(2)).sum === nDocs)
+    assert(m1.map(_.getLong(3)).sum === nTokens)
+    assert(m1.map(_.getLong(1)).sum === nSeqs)
+    // shard ids are contiguous 0..ceil(S/4)-1 and every shard except the
+    // last holds exactly shardSize sequences (global_pos div is total)
+    val ids = m1.map(_.getInt(0))
+    assert(ids === (0 until ((nSeqs + 3) / 4).toInt))
+    assert(m1.dropRight(1).forall(_.getLong(1) === 4L),
+      "a non-final shard is not full")
+    // the Merkle property: shard fingerprints XOR up to the dataset-level
+    // fingerprint over the same content columns
+    val order = Chunking.epochShuffle(
+      packed.select(concat_ws(":", col("shard"), col("bin")).as("seq_id"))
+        .distinct(), "seq_id", 29L)
+    val full = graft.extensions.Provenance.datasetFingerprint(
+      packed.withColumn("seq_id", concat_ws(":", col("shard"), col("bin")))
+        .join(order.select(col("seq_id"), col("global_pos")), "seq_id"),
+      Seq.empty, Seq("doc_id", "seq_id", "global_pos")).head()
+    assert(m1.map(_.getLong(4)).reduce(_ ^ _) === full.getLong(1))
+  }
 }

@@ -309,6 +309,41 @@ class Round6Spec extends SparkSpec {
     assert(clamped === plain)
   }
 
+  test("pairLift auto-trigger: decomposes exactly the baskets whose pair work exceeds a task share") {
+    import extensions.Baskets
+    import org.apache.spark.sql.functions.{count => fcount}
+    def sizesOf(df: org.apache.spark.sql.DataFrame) =
+      df.distinct().groupBy("basket").agg(fcount(lit(1)).as("bsz"))
+    // ONE hub basket (3,000 items — over the 2·blockTarget floor and over
+    // its fair share of Σbsz²) among 500 4-item baskets → only the hub
+    val hub = spark.range(3000).select(lit(0L).as("basket"), $"id".as("item"))
+    val light = spark.range(1L, 501L).select($"id".as("basket"),
+      explode(sequence($"id" * 10, $"id" * 10 + 3)).as("item"))
+    val skewed = hub.union(light).toDF("basket", "item")
+    val picked = Baskets.heavySet(sizesOf(skewed), 0, 1024, 32)
+      .select("basket").as[Long].collect().toSeq
+    assert(picked === Seq(0L))
+    // EQUAL-share corpus: 32 equally large baskets on a 32-task cluster —
+    // no basket exceeds its fair share (strict >), nothing decomposes even
+    // though every basket clears the size floor
+    val uniform = spark.range(32L * 3000).select(
+      ($"id" % 32).as("basket"), $"id".as("item")).toDF("basket", "item")
+    assert(Baskets.heavySet(sizesOf(uniform), 0, 1024, 32).count() === 0L)
+    // floor: a corpus-dominating but SMALL basket (100 items — nblk would
+    // be 1, replication can't pay) stays on the plain path
+    val small = spark.range(100).select(lit(0L).as("basket"), $"id".as("item"))
+      .union(spark.range(1L, 4L).select($"id".as("basket"), ($"id" + 200L).as("item")))
+      .toDF("basket", "item")
+    assert(Baskets.heavySet(sizesOf(small), 0, 1024, 32).count() === 0L)
+    // and the self-tuned path is bit-identical to the plain enumeration on
+    // the skewed corpus (blockTarget lowered so the hub actually splits)
+    val auto = Baskets.pairLift(skewed, "basket", "item", 50,
+      heavyBasket = 0, blockTarget = 256).collect().map(_.toSeq).toSeq
+    val plain = Baskets.pairLift(skewed, "basket", "item", 50,
+      heavyBasket = Int.MaxValue).collect().map(_.toSeq).toSeq
+    assert(auto === plain)
+  }
+
   test("scd2Lookup: facts pick the version valid at their date; open version wins after") {
     import extensions.Cdc
     val dim = Seq(

@@ -1006,4 +1006,52 @@ class StreamingSpec extends SparkSpec {
       rm(new java.io.File(deltaPath))
     }
   }
+
+  test("streaming classifier scoring: frozen h116 weights through the epoch sink equal the batch scoring") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.extensions.Classifier
+    import org.apache.spark.sql.Column
+    val docs = Tables.documents(spark, sf)
+    val rule = (toks: Column) => size(filter(toks,
+      (t: Column) => t === "spark")) >= 2
+    // train ONCE over the corpus (h116), freeze the weights
+    val (w, _, _) = Classifier.trainState(docs, "doc_id", "text", rule, 256, 12)
+    val path = s"target/scratch/clf_scores_${ProcessHandle.current().pid()}"
+    val rows = docs.select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val (half1, half2) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF.toDF("doc_id", "text").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.streaming.StreamClassify.scoreEpoch(
+          df, id, "doc_id", "text", w, 256, path)
+      }
+      .start()
+    try {
+      mem.addData(half1.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(half2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    def streamed() = spark.read.parquet(path)
+      .select("doc_id", "score_q", "pred")
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    val got = streamed()
+    // stream == batch: scoring each micro-batch with the frozen weights and
+    // unioning epochs equals one batch scoring pass over the same docs
+    val want = Classifier.scoreWith(docs, "doc_id", "text", w, 256)
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(got === want)
+    // and equals the trainer's own in-pass scoring (same weights, same link)
+    val trained = Classifier.qualityLrScores(docs, "doc_id", "text", rule,
+        256, 12)
+      .select("doc_id", "score_q", "pred")
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(got === trained)
+    // at-least-once re-delivery: re-running epoch 1 with the same payload
+    // REPLACES the epoch partition — content converges, nothing doubles
+    graft.streaming.StreamClassify.scoreEpoch(
+      half2.toIndexedSeq.toDF("doc_id", "text"), 1L, "doc_id", "text",
+      w, 256, path)
+    assert(streamed() === got)
+  }
 }

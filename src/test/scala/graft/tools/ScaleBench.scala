@@ -531,7 +531,11 @@ object ScaleBench {
       // shuffle is one rank exchange, and the newline boilerplate pass is
       // line-proportional like h113
       "h116_quality_classifier", "h117_langid_nb", "h118_epoch_shuffle",
-      "h119_boilerplate_newlines")
+      "h119_boilerplate_newlines",
+      // round 19: the manifest composes packing + epoch order (sequence-
+      // rank sub-linear, doc→order join linear) and the policy bank is the
+      // h116 trainer shape × K heads over shared features
+      "h120_export_manifest", "h121_policy_bank")
     val js = names.map { n =>
       def once(d: String): Double = {
         val t0 = System.nanoTime()
@@ -757,18 +761,29 @@ object ScaleBench {
     // plain arm first (cold-start lands on the arm being beaten)
     val (plain, tPlain) = time(run(heavyBasket = Int.MaxValue))
     println(s"[scale] hubbasket${thousands}k plain arm done: ${f3(tPlain)}s")
-    val (blocked, tBlocked) = time(run(heavyBasket = 32768))
+    // static arm at a threshold that actually FIRES on this hub (round-19
+    // fix: the r18 arm passed 32,768 against 4k/8k hubs — below threshold,
+    // so both r18 arms ran the identical plain plan and the recorded
+    // separation was environmental; BASELINE.md round-19 correction)
+    val (blocked, tBlocked) = time(run(heavyBasket = math.max(2, (h / 2).toInt)))
     println(s"[scale] hubbasket${thousands}k blocked arm done: ${f3(tBlocked)}s")
+    // round 19: the SELF-TUNED default (heavyBasket = 0) must pick the hub
+    // by itself and land at the blocked arm's cost — the auto-trigger
+    // choosing decomposition exactly when it pays
+    val (auto, tAuto) = time(run(heavyBasket = 0))
+    println(s"[scale] hubbasket${thousands}k auto arm done: ${f3(tAuto)}s")
     require(blocked == plain,
       "block-decomposed top-30 diverged from the plain enumeration")
+    require(auto == plain,
+      "self-tuned top-30 diverged from the plain enumeration")
     // top pair is hub-dominated: every hub pair has pair_cnt >= 1; light
     // baskets add at most 4 incidences per item — the top row's count is
     // small but the ROWS must match exactly, which the require above pins
     println(s"[scale] hubbasket${thousands}k plain=${f3(tPlain)}s " +
-      s"blocked=${f3(tBlocked)}s speedup=${f3(tPlain / tBlocked)}")
+      s"blocked=${f3(tBlocked)}s auto=${f3(tAuto)}s speedup=${f3(tPlain / tBlocked)}")
     println(s"""{"metric":"hubbasket${thousands}k","hub_items":$h,""" +
       s""""plain_sec":${f3(tPlain)},"blocked_sec":${f3(tBlocked)},""" +
-      s""""speedup":${f3(tPlain / tBlocked)}}""")
+      s""""auto_sec":${f3(tAuto)},"speedup":${f3(tPlain / tBlocked)}}""")
   }
 
   private def orientedWedgeCount(edges: DataFrame): Long = {
