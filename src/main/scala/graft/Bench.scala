@@ -44,35 +44,35 @@ object Bench {
     * literal (one command, can't drift from the median rule).
     */
   private[graft] val pinMedianSec: Map[String, Double] = Map(
-    "a1" -> 0.718, "a2" -> 0.724, "a3" -> 0.402, "a4" -> 0.812, "a5" -> 0.195, "a6" -> 0.222,
-    "a7" -> 0.375, "a8" -> 0.578, "b1" -> 0.318, "c1" -> 1.127, "c2" -> 0.578, "c3" -> 0.609,
-    "c4" -> 0.654, "d1" -> 0.469, "d2" -> 0.754, "d3" -> 0.586, "d4" -> 0.371, "d5" -> 0.342,
-    "d6" -> 1.509, "d7" -> 0.39, "d8" -> 0.352, "e1" -> 1.228, "e10" -> 0.714, "e11" -> 0.382,
-    "e12" -> 0.529, "e13" -> 0.348, "e14" -> 0.288, "e15" -> 0.846, "e2" -> 0.821, "e3" -> 0.443,
-    "e4" -> 0.711, "e5" -> 0.487, "e6" -> 1.652, "e7" -> 0.36, "e8" -> 0.863, "e9" -> 0.581,
-    "f1" -> 0.487, "f10" -> 0.599, "f11" -> 0.255, "f2" -> 0.583, "f3" -> 0.666, "f4" -> 0.38,
-    "f5" -> 0.345, "f6" -> 0.411, "f7" -> 0.349, "f8" -> 0.379, "f9" -> 0.679, "g1" -> 0.236,
-    "g2" -> 0.436, "g3" -> 1.214, "g4" -> 0.735, "g5" -> 0.236, "g6" -> 0.422, "h1" -> 0.28,
-    "h10" -> 0.521, "h100" -> 0.675, "h101" -> 0.514, "h102" -> 2.722, "h103" -> 0.713, "h104" -> 2.114,
-    "h105" -> 0.715, "h106" -> 0.702, "h107" -> 1.443, "h108" -> 1.083, "h109" -> 3.127, "h11" -> 0.819,
-    "h110" -> 0.484, "h111" -> 0.103, "h112" -> 1.917, "h113" -> 1.691, "h114" -> 1.356, "h115" -> 1.586,
-    "h116" -> 6.911, "h117" -> 7.202, "h118" -> 0.378, "h119" -> 1.549, "h12" -> 0.56, "h13" -> 0.676,
-    "h14" -> 0.458, "h15" -> 1.42, "h16" -> 0.376, "h17" -> 1.351, "h18" -> 0.605, "h19" -> 0.771,
-    "h2" -> 0.41, "h20" -> 0.965, "h21" -> 0.194, "h22" -> 0.75, "h23" -> 1.084, "h24" -> 0.515,
-    "h25" -> 0.898, "h26" -> 0.94, "h27" -> 1.137, "h28" -> 0.734, "h29" -> 0.879, "h3" -> 0.368,
-    "h30" -> 0.679, "h31" -> 0.419, "h32" -> 0.482, "h33" -> 0.408, "h34" -> 0.33, "h35" -> 0.236,
-    "h36" -> 0.397, "h37" -> 0.274, "h38" -> 1.876, "h39" -> 1.184, "h4" -> 0.7, "h40" -> 0.827,
-    "h41" -> 0.227, "h42" -> 0.818, "h43" -> 0.473, "h44" -> 1.233, "h45" -> 0.717, "h46" -> 0.562,
-    "h47" -> 2.178, "h48" -> 1.317, "h49" -> 0.859, "h5" -> 2.556, "h50" -> 1.062, "h51" -> 0.816,
-    "h52" -> 0.544, "h53" -> 0.612, "h54" -> 1.033, "h55" -> 1.092, "h56" -> 1.584, "h57" -> 0.475,
-    "h58" -> 0.759, "h59" -> 0.609, "h6" -> 1.026, "h60" -> 1.093, "h61" -> 4.489, "h62" -> 0.841,
-    "h63" -> 0.583, "h64" -> 0.618, "h65" -> 1.16, "h66" -> 1.181, "h67" -> 2.011, "h68" -> 0.904,
-    "h69" -> 0.433, "h7" -> 0.605, "h70" -> 0.275, "h71" -> 0.301, "h72" -> 0.989, "h73" -> 0.664,
-    "h74" -> 2.331, "h75" -> 1.082, "h76" -> 0.27, "h77" -> 0.308, "h78" -> 2.162, "h79" -> 0.422,
-    "h8" -> 0.516, "h80" -> 2.631, "h81" -> 0.955, "h82" -> 0.586, "h83" -> 0.402, "h84" -> 0.565,
-    "h85" -> 0.649, "h86" -> 0.856, "h87" -> 0.854, "h88" -> 0.46, "h89" -> 1.238, "h9" -> 0.624,
-    "h90" -> 1.373, "h91" -> 0.825, "h92" -> 0.511, "h93" -> 0.577, "h94" -> 0.509, "h95" -> 0.762,
-    "h96" -> 0.413, "h97" -> 0.543, "h98" -> 0.637, "h99" -> 0.704)
+    "a1" -> 0.892, "a2" -> 0.697, "a3" -> 0.321, "a4" -> 0.745, "a5" -> 0.223, "a6" -> 0.199,
+    "a7" -> 0.261, "a8" -> 0.636, "b1" -> 0.387, "c1" -> 1.26, "c2" -> 0.695, "c3" -> 0.929,
+    "c4" -> 0.646, "d1" -> 0.472, "d2" -> 0.829, "d3" -> 0.481, "d4" -> 0.351, "d5" -> 0.374,
+    "d6" -> 1.692, "d7" -> 0.387, "d8" -> 0.324, "e1" -> 1.037, "e10" -> 1.126, "e11" -> 0.348,
+    "e12" -> 0.498, "e13" -> 0.381, "e14" -> 0.36, "e15" -> 0.821, "e2" -> 0.663, "e3" -> 0.465,
+    "e4" -> 0.68, "e5" -> 0.397, "e6" -> 1.802, "e7" -> 0.311, "e8" -> 0.898, "e9" -> 0.518,
+    "f1" -> 0.417, "f10" -> 0.67, "f11" -> 0.28, "f2" -> 0.663, "f3" -> 0.704, "f4" -> 0.217,
+    "f5" -> 0.389, "f6" -> 0.416, "f7" -> 0.346, "f8" -> 0.404, "f9" -> 0.68, "g1" -> 0.306,
+    "g2" -> 0.446, "g3" -> 1.188, "g4" -> 0.727, "g5" -> 0.275, "g6" -> 0.361, "h1" -> 0.415,
+    "h10" -> 0.477, "h100" -> 0.626, "h101" -> 1.021, "h102" -> 2.396, "h103" -> 0.595, "h104" -> 2.172,
+    "h105" -> 1.204, "h106" -> 0.693, "h107" -> 1.393, "h108" -> 1.101, "h109" -> 3.544, "h11" -> 0.978,
+    "h110" -> 0.513, "h111" -> 0.102, "h112" -> 1.939, "h113" -> 1.555, "h114" -> 1.263, "h115" -> 1.644,
+    "h116" -> 4.521, "h117" -> 3.743, "h118" -> 0.614, "h119" -> 1.877, "h12" -> 0.605, "h120" -> 1.301,
+    "h121" -> 3.92, "h13" -> 0.501, "h14" -> 0.498, "h15" -> 1.552, "h16" -> 0.443, "h17" -> 2.173,
+    "h18" -> 0.579, "h19" -> 0.784, "h2" -> 0.337, "h20" -> 0.957, "h21" -> 0.189, "h22" -> 0.565,
+    "h23" -> 1.068, "h24" -> 0.536, "h25" -> 0.953, "h26" -> 0.949, "h27" -> 1.287, "h28" -> 0.699,
+    "h29" -> 0.852, "h3" -> 0.324, "h30" -> 0.742, "h31" -> 0.44, "h32" -> 0.484, "h33" -> 0.434,
+    "h34" -> 0.356, "h35" -> 0.236, "h36" -> 0.411, "h37" -> 0.351, "h38" -> 1.714, "h39" -> 1.093,
+    "h4" -> 0.67, "h40" -> 0.94, "h41" -> 0.258, "h42" -> 0.764, "h43" -> 0.503, "h44" -> 1.266,
+    "h45" -> 0.707, "h46" -> 0.921, "h47" -> 2.756, "h48" -> 1.057, "h49" -> 0.976, "h5" -> 2.383,
+    "h50" -> 1.153, "h51" -> 0.811, "h52" -> 0.405, "h53" -> 0.812, "h54" -> 1.049, "h55" -> 1.373,
+    "h56" -> 1.737, "h57" -> 0.496, "h58" -> 0.984, "h59" -> 0.658, "h6" -> 1.268, "h60" -> 1.222,
+    "h61" -> 3.442, "h62" -> 0.852, "h63" -> 0.642, "h64" -> 0.689, "h65" -> 1.037, "h66" -> 1.181,
+    "h67" -> 1.997, "h68" -> 1.236, "h69" -> 0.404, "h7" -> 0.752, "h70" -> 0.243, "h71" -> 0.304,
+    "h72" -> 0.697, "h73" -> 0.657, "h74" -> 2.074, "h75" -> 1.137, "h76" -> 0.335, "h77" -> 0.337,
+    "h78" -> 1.096, "h79" -> 0.49, "h8" -> 0.608, "h80" -> 2.747, "h81" -> 0.977, "h82" -> 0.584,
+    "h83" -> 0.425, "h84" -> 0.479, "h85" -> 0.64, "h86" -> 0.846, "h87" -> 0.879, "h88" -> 0.521,
+    "h89" -> 1.249, "h9" -> 0.651, "h90" -> 1.317, "h91" -> 0.926, "h92" -> 0.554, "h93" -> 0.73,
+    "h94" -> 0.575, "h95" -> 0.691, "h96" -> 0.351, "h97" -> 0.509, "h98" -> 1.118, "h99" -> 0.711)
 
   /** Queries declared in the registry but not yet pinned above — the
     * documented mid-round grace window between a query's addition and the
@@ -84,7 +84,7 @@ object Bench {
     * here explicitly. Empty whenever the pin is fresh.
     */
   private[graft] val pinGrace: Set[String] =
-    Set("h120", "h121") // round-19 additions; pin at the round-19 close triple
+    Set.empty // round-19 close: full 174-query re-pin triple landed
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
