@@ -153,7 +153,29 @@ class Round11Spec extends SparkSpec {
     // counts only). Trips if the encode starts re-shuffling piece text or
     // a refactor folds the corpus-token aggregate into the measured plan
     ("h115_bpe_fertility", "/root/testdata/sf0.001", 1500L),
-    ("h115_bpe_fertility", "/root/testdata/sf0.1", 15000L))
+    ("h115_bpe_fertility", "/root/testdata/sf0.1", 15000L),
+    // h118 (round 19, two-phase range-rank): keyed rows cross the range
+    // exchange once, local ranks + the shards-row offsets ride the reused
+    // exchange, and the offset join broadcasts — ≈3·docs records total
+    // (measured 1,535 at sf0.001 / 15,035 at sf0.1). Trips if the rank
+    // regresses to a corpus-sized window exchange or the offsets stop
+    // sharing the range exchange
+    ("h118_epoch_shuffle", "/root/testdata/sf0.001", 2400L),
+    ("h118_epoch_shuffle", "/root/testdata/sf0.1", 23000L),
+    // h120 (round 19): packing window + sequence-rank + manifest
+    // aggregate — everything past the doc scan is sequence- or
+    // shard-sized, so records stay ≈2·docs (measured 1,051 / 9,817).
+    // Trips if the doc→order join starts re-shuffling doc text or the
+    // manifest aggregate loses its partial step
+    ("h120_export_manifest", "/root/testdata/sf0.001", 1600L),
+    ("h120_export_manifest", "/root/testdata/sf0.1", 15000L),
+    // h121 (round 19): the gradient steps are EAGER (driver-collected
+    // model-sized aggregates, the h114/h116 posture), so the measured
+    // plan is just the scoring display sort — exactly docs records
+    // (measured 500 / 5,000 in ONE exchange). Trips if a refactor folds
+    // a training pass into the measured plan
+    ("h121_policy_bank", "/root/testdata/sf0.001", 800L),
+    ("h121_policy_bank", "/root/testdata/sf0.1", 7500L))
 
   for ((name, dir, ceiling) <- pins) {
     val sfLabel = dir.split('/').last
