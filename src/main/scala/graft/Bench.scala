@@ -173,6 +173,13 @@ object Bench {
     var failed = List.empty[String]
     var skipped = List.empty[String]
     var stallSuspect = List.empty[String]
+    // full sample evidence for every query whose stall-retry fired — feeds
+    // the JSON's self-adjudicating stall_detail (round 20): samples from the
+    // main loop, the late-rerun sample, and the pin, so the driver artifact
+    // alone distinguishes "storm persisted through the late rerun" from
+    // "real plan regression" without builder logs
+    var stallSamples = Map.empty[String, List[Double]]
+    var lateSamples = Map.empty[String, Option[Double]]
     var overBudget = false
 
     // Adaptive per-query stall threshold: 3× the query's pin median,
@@ -260,7 +267,10 @@ object Bench {
         // samples or the plan genuinely regressed — either way the artifact
         // must say so instead of shipping a silent 8× phantom (BENCH_r08's
         // e10/h98/c3/b1/h22 failure mode)
-        if (retried.nonEmpty && retried.min > thr) stallSuspect ::= name
+        if (retried.nonEmpty && retried.min > thr) {
+          stallSuspect ::= name
+          stallSamples += name -> retried
+        }
         val best = retried.sorted.headOption.getOrElse(0.0)
         System.err.println(s"[bench] ${now()} $name best=${"%.3f".format(best)}s samples=${retried.map("%.2f".format(_)).mkString(",")} elapsed=${"%.0f".format(elapsedSec)}s")
         name -> best
@@ -275,10 +285,13 @@ object Bench {
     // windows. One more sample at the END of the run — minutes after the
     // flag, when a transient storm has typically passed — separates the two
     // cases: back under the threshold replaces the timing and clears the
-    // flag (environmental); still above keeps the flag and the best time (a
-    // genuine plan regression reproduces in any window, so it stays
-    // visible). Budget-guarded like the main loop; a crashed late sample
-    // changes nothing.
+    // flag (environmental); still above keeps the flag AND the prior
+    // best-of-3 timing — a confirmed regression must NOT be min-folded down
+    // to its single most favorable of 4 samples (the round-19 ADVICE item:
+    // min-replacing understated confirmed regressions in the total while
+    // only the flag survived). The late sample is recorded separately in
+    // stall_detail either way. Budget-guarded like the main loop; a crashed
+    // late sample changes nothing.
     var results2 = results
     if (stallSuspect.nonEmpty) {
       val flagged = stallSuspect.reverse
@@ -288,10 +301,11 @@ object Bench {
         else {
           val thr = stallThreshold(name)
           val late = once(name)
-          val best = (late.toList :+ results2(name)).min
-          System.err.println(s"[bench] ${now()} $name LATE-RERUN sample=${late.map("%.2f".format(_)).getOrElse("crashed")} prior=${"%.3f".format(results2(name))} thr=${"%.2f".format(thr)} -> ${if (best > thr) "still suspect" else "cleared"}")
-          results2 = results2.updated(name, best)
-          if (best > thr) stallSuspect ::= name
+          lateSamples += name -> late
+          val cleared = late.exists(_ <= thr)
+          System.err.println(s"[bench] ${now()} $name LATE-RERUN sample=${late.map("%.2f".format(_)).getOrElse("crashed")} prior=${"%.3f".format(results2(name))} thr=${"%.2f".format(thr)} -> ${if (cleared) "cleared" else "still suspect"}")
+          if (cleared) results2 = results2.updated(name, late.get)
+          else stallSuspect ::= name
         }
       }
     }
@@ -321,6 +335,25 @@ object Bench {
     val prebuildSec = prebuild.map(_._2).sum
     val prebuildJson = prebuild.reverse
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    // Self-adjudicating stall evidence (round 20): per SURVIVING suspect,
+    // the full main-loop sample list, the late-rerun sample (null when
+    // crashed or budget-skipped), and the pin median — the pin ratio plus
+    // the late sample tell the reader storm-vs-regression from the artifact
+    // alone. Capped at 8 entries so the parsed LAST line stays well inside
+    // the driver's ~2 KB tail window (entries beyond the cap are counted in
+    // stall_detail_dropped; the named list in stall_suspect is never cut).
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val suspectsFinal = stallSuspect.reverse
+    val detailJson = suspectsFinal.take(8).map { name =>
+      val short = name.takeWhile(_ != '_')
+      val samples = stallSamples.getOrElse(name, Nil)
+        .map(f2).mkString("[", ",", "]")
+      val late = lateSamples.get(name).flatten.map(f2).getOrElse("null")
+      val pin = pinMedianSec.get(short).map(f2).getOrElse("null")
+      "\"" + short + "\":{\"samples\":" + samples + ",\"late\":" + late +
+        ",\"pin\":" + pin + "}"
+    }.mkString("{", ",", "}")
+    val detailDropped = math.max(0, suspectsFinal.size - 8)
     // TWO JSON lines, detail first, compact summary LAST. The driver locates
     // its line in a bounded ~2 KB tail window of stdout; the single combined
     // line outgrew that window at 151 queries (BENCH_r08/r09/r10 all
@@ -332,7 +365,7 @@ object Bench {
     // "[success]" line). Both lines repeat metric/value/unit so either is
     // self-describing if a future window shift exposes the other.
     println(s"""{"metric":"total_detail","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","prebuild_sec":${f3(prebuildSec)},"prebuild":$prebuildJson,"n_queries":${results2.size},"failed":${names(failed)},"skipped":${names(skipped)},"stall_suspect":${names(stallSuspect)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","prebuild_sec":${f3(prebuildSec)},"prebuild":$prebuildJson,"n_queries":${results2.size},"failed":${names(failed)},"skipped":${names(skipped)},"stall_suspect":${names(stallSuspect)},"stall_detail":$detailJson,"stall_detail_dropped":$detailDropped,"sf":"$sfDir"}""")
     System.out.flush()
     // stop() on a best-effort thread: an abandoned stuck query thread must
     // never block JVM exit after the JSON line is already out.

@@ -61,6 +61,14 @@ object Baskets {
     * costs nothing extra; either path is bit-identical (Round6Spec), the
     * choice only moves work. `blockTarget`/`maxBlocks` size the
     * decomposition: nblk = clamp(ceil(size/blockTarget), 1, maxBlocks).
+    *
+    * Auto is the INTENDED default contract (round 19→20): every existing
+    * caller (e.g. h71's profile consumer, h80's lift) inherits the
+    * profile-guarded plan deliberately — the Σbsz² profile rides an
+    * aggregate the denominator already pays, results are bit-identical on
+    * either path (Round6Spec), and the only behavior change is plan shape
+    * under pathological skew. Callers that must keep the pre-auto static
+    * plan pass an explicit positive `heavyBasket`.
     */
   def pairLift(df: DataFrame, basketCol: String, itemCol: String,
       k: Int, heavyBasket: Int = 0, blockTarget: Int = 1024,

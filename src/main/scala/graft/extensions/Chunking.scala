@@ -83,23 +83,32 @@ object Chunking {
     * document's packing position within its shard.
     */
   def packBins(docs: DataFrame, idCol: String, textCol: String,
-      budget: Int): DataFrame = {
+      budget: Int): DataFrame =
+    packBinsCarrying(docs, idCol, textCol, budget, Nil)
+      .select(idCol, "shard", "pos", "n_toks", "bin")
+
+  /** [[packBins]] carrying extra scan-side columns through the packing
+    * (e.g. a per-doc content hash for the versioned export manifest) —
+    * same plan, same output plus the carried columns at the end.
+    */
+  private[graft] def packBinsCarrying(docs: DataFrame, idCol: String,
+      textCol: String, budget: Int, carry: Seq[Column]): DataFrame = {
     require(budget > 0, "budget must be positive")
     val h = md5(col(idCol).cast("string"))
     val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
     val cum = sum(col("n_toks")).over(
       w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     docs
-      .select(col(idCol),
-        size(TextOps.tokens(col(textCol))).cast("int").as("n_toks"),
-        substring(h, 1, 1).as("shard"), h.as("__h"))
+      .select(col(idCol) +:
+        size(TextOps.tokens(col(textCol))).cast("int").as("n_toks") +:
+        substring(h, 1, 1).as("shard") +: h.as("__h") +: carry: _*)
       .filter(col("n_toks") > 0)
       .withColumn("pos", row_number().over(w))
       .withColumn("__cum", cum)
       // `div` = exact integer division (Column./ is double division, which
       // truncates toward zero after an inexact double detour)
       .withColumn("bin", expr(s"int((__cum - 1) div $budget)"))
-      .select(idCol, "shard", "pos", "n_toks", "bin")
+      .drop("__h", "__cum")
   }
 
   /** Deterministic EPOCH SHUFFLE — the serving-side twin of [[packBins]]:
@@ -131,7 +140,7 @@ object Chunking {
     * join broadcasts a `shards`-row relation; the md5 keys are uniform,
     * so shards balance to N/shards ± noise regardless of id clustering.
     *
-    * Output: `idCol, shard:int, pos:int, global_pos:long`.
+    * Output: `idCol, shard:int, pos:long, global_pos:long`.
     */
   def epochShuffle(docs: DataFrame, idCol: String, epochSeed: Long,
       shards: Int = 16): DataFrame = {
@@ -152,9 +161,13 @@ object Chunking {
         coalesce(sum(col("__n")).over(Window.orderBy(col("shard"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("shard"), col("__offset"))
+    // pos/global_pos stay LONG end-to-end (round 20): an int pos silently
+    // overflows negative past ~2.1B rows per shard — reachable at the
+    // advertised 100 TB posture when shards is small (it is a LOGICAL
+    // parameter, not a parallelism knob, so nothing bounds per-shard rows)
     ranked.join(broadcast(offsets), "shard")
       .select(col(idCol), col("shard"),
-        (col("__gp") - col("__offset")).cast("int").as("pos"),
+        (col("__gp") - col("__offset")).as("pos"),
         (col("__gp") - 1).as("global_pos"))
   }
 
@@ -187,27 +200,100 @@ object Chunking {
     * call), and the manifest is one partial-aggregated groupBy emitting
     * shard-count rows.
     *
-    * Output: `out_shard:int, n_seqs, n_docs, n_tokens, content_fp`.
+    * Output: `out_shard:long, n_seqs, n_docs, n_tokens, content_fp`.
     */
   def exportManifest(docs: DataFrame, idCol: String, textCol: String,
       epochSeed: Long, budget: Int, shardSize: Long,
-      shards: Int = 16): DataFrame = {
+      shards: Int = 16): DataFrame =
+    manifestCore(
+      packBins(docs, idCol, textCol, budget),
+      Seq(idCol, "seq_id", "global_pos"), idCol, epochSeed, shardSize, shards)
+
+  /** [[exportManifest]] with a CONTENT-BEARING fingerprint: the XOR row
+    * hash additionally covers `md5(textCol)`, so an in-place edit that
+    * preserves a document's token count — invisible to packing and epoch
+    * order, hence to [[exportManifest]]'s membership+order fingerprint —
+    * still flips exactly its shards' fingerprints. This is the variant
+    * [[incrementalExport]] diffs on: membership, order, AND content.
+    * Identical counts/shards to [[exportManifest]] by construction (the
+    * extra hash rides the packing scan; PropertySpec pins the equality on
+    * everything but `content_fp`).
+    */
+  def exportManifestVersioned(docs: DataFrame, idCol: String, textCol: String,
+      epochSeed: Long, budget: Int, shardSize: Long,
+      shards: Int = 16): DataFrame =
+    manifestCore(
+      packBinsCarrying(docs, idCol, textCol, budget,
+        Seq(md5(col(textCol)).as("__dfp"))),
+      Seq(idCol, "__dfp", "seq_id", "global_pos"), idCol, epochSeed,
+      shardSize, shards)
+
+  /** Shared manifest tail: seq ids → epoch order → out_shard → one
+    * partial-aggregated manifest row per shard with the XOR fingerprint
+    * over `hashCols`.
+    */
+  private def manifestCore(packed0: DataFrame, hashCols: Seq[String],
+      idCol: String, epochSeed: Long, shardSize: Long,
+      shards: Int): DataFrame = {
     require(shardSize > 0, s"shardSize must be positive, got $shardSize")
-    val packed = packBins(docs, idCol, textCol, budget)
+    val packed = packed0
       .withColumn("seq_id", concat_ws(":", col("shard"), col("bin")))
     val seqs = packed.select(col("seq_id")).distinct()
     val order = epochShuffle(seqs, "seq_id", epochSeed, shards)
       .select(col("seq_id"), col("global_pos"))
     packed
       .join(order, "seq_id")
-      .withColumn("out_shard", expr(s"int(global_pos div $shardSize)"))
-      .withColumn("__rh", Provenance.rowHash(Seq(idCol, "seq_id", "global_pos")))
+      // long, not int: out_shard = global_pos div shardSize inherits
+      // global_pos' full range (the epochShuffle overflow note)
+      .withColumn("out_shard", expr(s"global_pos div $shardSize"))
+      .withColumn("__rh", Provenance.rowHash(hashCols))
       .groupBy(col("out_shard"))
       .agg(
         count_distinct(col("seq_id")).as("n_seqs"),
         count(lit(1)).as("n_docs"),
         sum(col("n_toks")).cast("long").as("n_tokens"),
         expr("bit_xor(__rh)").as("content_fp"))
+  }
+
+  /** INCREMENTAL SHARD RE-EXPORT (h125) — the daily-pipeline composition
+    * of [[exportManifestVersioned]] and [[Provenance.snapshotDiff]]: given
+    * two corpus versions, emit ONLY the output shards whose manifest row
+    * changed (membership, epoch order, counts, or document content), so a
+    * re-export rewrites churn, not the corpus. This is exactly what the
+    * manifest's XOR-Merkle fingerprint exists for: a shard whose
+    * (doc, content, sequence, position) multiset is untouched keeps its
+    * fingerprint, whatever happened elsewhere.
+    *
+    * The diff IS [[Provenance.snapshotDiff]] keyed by `out_shard` over ALL
+    * manifest columns (counts + fingerprint — the counts are implied by
+    * the fingerprint up to 60-bit XOR collision; diffing the full row
+    * closes even that). `change_type`: 'added' (shard exists only in v2),
+    * 'removed' (only in v1), 'changed'.
+    *
+    * Blast-radius honesty (PropertySpec pins all three): identical corpus
+    * → ZERO rows; a token-count-preserving text edit → exactly the shards
+    * holding that document's sequences (packing and order are pure
+    * functions of ids + token counts, so nothing else can move); an edit
+    * that changes a token count can also shift every later bin in the
+    * doc's pack shard (the cumulative-sum packing law) — still pack-shard-
+    * bounded, never corpus-wide.
+    *
+    * 100 TB posture: two manifest builds (each the already-measured h120
+    * plan — in production v1's manifest is a stored table, so the
+    * steady-state cost is ONE build + a shard-count-sized diff join) and a
+    * full-outer join over shard-count rows.
+    *
+    * Output: `out_shard:long, change_type, old_fp, new_fp` — the fps are
+    * [[Provenance.rowHash]]es of the full manifest row, not the raw
+    * `content_fp` (which is one of the hashed columns).
+    */
+  def incrementalExport(oldDocs: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String, epochSeed: Long, budget: Int,
+      shardSize: Long, shards: Int = 16): DataFrame = {
+    def m(d: DataFrame) = exportManifestVersioned(d, idCol, textCol,
+      epochSeed, budget, shardSize, shards)
+    Provenance.snapshotDiff(m(oldDocs), m(newDocs), "out_shard",
+      Seq("n_seqs", "n_docs", "n_tokens", "content_fp"))
   }
 
   /** Span-level (paragraph-style) exact deduplication with reassembly:

@@ -177,6 +177,80 @@ object Classifier {
       .withColumn("pred", (col("score_q") >= lit(Micro / 2)).cast("int"))
   }
 
+  /** The h123 operator — CALIBRATION / operating-point selection for the
+    * trained gate: [[qualityLrScores]] emits scores and a fixed 0.5
+    * threshold, but a production gate picks its threshold from a measured
+    * precision/recall trade. Train exactly as [[qualityLrScores]] (same
+    * featurize, same steps — the calibration describes THE deployed model,
+    * not a retrained cousin), then emit the integer confusion table
+    * (tp/fp/fn/tn) of the rule `pred = score_q >= thr` at `thresholds + 1`
+    * evenly spaced micro-unit cutoffs `thr_q = i · (10⁶ / thresholds)`,
+    * i = 0..thresholds, against the seed labels, plus micro-unit
+    * precision/recall/F1 and a `best` flag on the F1-argmax row (ties
+    * toward the SMALLEST threshold — the more permissive gate).
+    *
+    * Determinism: everything after training is integer arithmetic —
+    * counts, truncating micro-unit ratios (`(tp·10⁶) div (tp+fp)`), and an
+    * integer-compare argmax — so the oracle replays it exactly. Edge
+    * conventions (documented, any deterministic choice works): an empty
+    * prediction set has precision 10⁶ (no false positives — the vacuous
+    * truth), an empty positive class has recall 10⁶, and F1 is 0 when
+    * `2·tp + fp + fn = 0`.
+    *
+    * 100 TB posture: ONE corpus scan past training — the score and its
+    * threshold-INDEX bucket (`score_q div step`, so `pred(i) ⇔ bucket ≥ i`
+    * — integer floor-div monotonicity) are computed scan-side, then a
+    * partial-aggregated groupBy collapses the corpus to ≤ thresholds+1
+    * (bucket, pos, neg) rows. Everything downstream — the ≥-join that
+    * unfolds buckets into cumulative confusion cells, the totals
+    * broadcast, the best-row window — runs on that threshold-count-sized
+    * relation, so the single-partition window costs nothing and no
+    * per-doc data crosses a second exchange.
+    *
+    * Output: `thr_q:long, tp, fp, fn, tn, prec_q, rec_q, f1_q, best:int`.
+    */
+  def calibrate(docs: DataFrame, idCol: String, textCol: String,
+      seedRule: Column => Column, nBuckets: Int = 256, steps: Int = 12,
+      thresholds: Int = 20): DataFrame = {
+    require(thresholds >= 1 && Micro % thresholds == 0,
+      s"thresholds must divide $Micro evenly, got $thresholds")
+    val stepQ = Micro / thresholds
+    val (w, rows, _) = trainState(docs, idCol, textCol, seedRule, nBuckets, steps)
+    val hist = rows
+      .select(col("y").cast("long").as("y"),
+        hardSigmoidQ(zQ(w)).as("score_q"))
+      .groupBy(expr(s"score_q div $stepQ").as("b"))
+      .agg(sum(col("y")).as("pos"),
+        (count(lit(1)) - sum(col("y"))).as("neg"))
+    val totals = hist.agg(sum(col("pos")).as("__p"), sum(col("neg")).as("__n"))
+    val idx = docs.sparkSession.range(0L, thresholds + 1L).toDF("i")
+    val conf = idx
+      .join(hist, col("b") >= col("i"), "left")
+      .groupBy("i")
+      .agg(coalesce(sum(col("pos")), lit(0L)).as("tp"),
+        coalesce(sum(col("neg")), lit(0L)).as("fp"))
+      .crossJoin(broadcast(totals))
+      .select(
+        (col("i") * stepQ).as("thr_q"),
+        col("tp"), col("fp"),
+        (col("__p") - col("tp")).as("fn"),
+        (col("__n") - col("fp")).as("tn"))
+      .select(col("thr_q"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") === 0, lit(Micro))
+          .otherwise(expr(s"(tp * $Micro) div (tp + fp)")).as("prec_q"),
+        when(col("tp") + col("fn") === 0, lit(Micro))
+          .otherwise(expr(s"(tp * $Micro) div (tp + fn)")).as("rec_q"),
+        when(lit(2) * col("tp") + col("fp") + col("fn") === 0, lit(0L))
+          .otherwise(expr(s"(2 * tp * $Micro) div (2 * tp + fp + fn)"))
+          .as("f1_q"))
+    // best-F1 operating point over the (thresholds+1)-row relation — the
+    // single-partition window is threshold-count-sized by construction
+    val byF1 = org.apache.spark.sql.expressions.Window
+      .orderBy(col("f1_q").desc, col("thr_q"))
+    conf.withColumn("best",
+        (row_number().over(byF1) === 1).cast("int"))
+  }
+
   /** Score documents with FROZEN weights — the serving-side half of
     * [[qualityLrScores]], for data the trainer never saw: a streaming
     * micro-batch, a fresh crawl slice ([[graft.streaming.StreamClassify]]

@@ -19,8 +19,8 @@ object GroupH15 {
     """list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)"""
 
   // ---------------------------------------------------------------- h116
-  private val lrBuckets = 256
-  private val lrSteps = 12
+  private[queries] val lrBuckets = 256
+  private[queries] val lrSteps = 12
 
   /** One unrolled full-batch gradient step for the h116 oracle: per-doc
     * margin over the previous weights, hard-sigmoid error, feature-keyed
@@ -44,9 +44,14 @@ object GroupH15 {
       |      ELSE -((-coalesce(g.g, 0)) // (2 * n.n)) END) AS wq
       |  FROM w${r - 1} w LEFT JOIN g$r g USING (j) CROSS JOIN n)""".stripMargin
 
-  private def lrOracle: String = {
+  /** The shared h116 training unroll — every CTE from tokenization through
+    * the final per-doc margin `zf` — so consumers of the SAME deployed
+    * model (h116's scores, h123's calibration) replay ONE training
+    * trajectory instead of drifting copies.
+    */
+  private[queries] def lrTrainCtes: String = {
     val steps = (1 to lrSteps).map(lrStep).mkString(",\n")
-    s"""WITH toks AS (SELECT doc_id, $dTok AS t FROM documents),
+    s"""toks AS (SELECT doc_id, $dTok AS t FROM documents),
       |bi AS (
       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
       |    i -> t[i] || ' ' || t[i + 1])) AS bg
@@ -66,13 +71,16 @@ object GroupH15 {
       |  CAST(0 AS BIGINT) AS wq),
       |$steps,
       |zf AS (SELECT f.doc_id, sum(w.wq) AS zq
-      |  FROM feat f JOIN w$lrSteps w USING (j) GROUP BY f.doc_id)
+      |  FROM feat f JOIN w$lrSteps w USING (j) GROUP BY f.doc_id)""".stripMargin
+  }
+
+  private def lrOracle: String =
+    s"""WITH $lrTrainCtes
       |SELECT l.doc_id, l.y,
       |  CAST(least(1000000, greatest(0, (z.zq + 2000000) // 4)) AS BIGINT) AS score_q,
       |  CAST(least(1000000, greatest(0, (z.zq + 2000000) // 4)) >= 500000 AS INT) AS pred
       |FROM lab l JOIN zf z USING (doc_id)
       |ORDER BY doc_id""".stripMargin
-  }
 
   /** Trained quality classifier
     * ([[graft.extensions.Classifier.qualityLrScores]]): hashed-bigram
@@ -190,7 +198,7 @@ object GroupH15 {
       |    CAST(CAST('0x' || substr(k, 1, 4) AS BIGINT) % 16 AS INT) AS shard
       |  FROM k),
       |p AS (SELECT doc_id, shard,
-      |    CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS INT) AS pos
+      |    CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos
       |  FROM s),
       |o AS (SELECT shard, count(*) AS n FROM p GROUP BY shard),
       |off AS (SELECT shard,
@@ -315,7 +323,7 @@ object GroupH15 {
       |    CAST(off.offs + p2.pos - 1 AS BIGINT) AS global_pos
       |  FROM p2 JOIN off USING (oshard)),
       |a AS (SELECT d.doc_id, d.n_toks, d.seq_id, g.global_pos,
-      |    CAST(g.global_pos // 4 AS INT) AS out_shard
+      |    CAST(g.global_pos // 4 AS BIGINT) AS out_shard
       |  FROM pseq d JOIN gp g USING (seq_id))
       |SELECT out_shard,
       |  CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,

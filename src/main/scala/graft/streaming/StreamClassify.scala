@@ -16,11 +16,18 @@ import graft.extensions.Classifier
   * table.
   *
   * Freshness is the standard serving contract: weights refresh on the
-  * maintenance cadence (retrain over the grown corpus, then swap the
-  * array the running query closes over — or restart the query, its
-  * checkpoint replays nothing already epoch-committed). Scoring inside the
-  * batch is scan-side featurize + a broadcast weight fold — no state store,
-  * no shuffle beyond the batch's own featurize aggregate.
+  * maintenance cadence (retrain over the grown corpus, then either restart
+  * the query — its checkpoint replays nothing already epoch-committed — or
+  * publish the new vector through a `java.util.concurrent.atomic
+  * .AtomicReference[Array[Long]]` the `foreachBatch` body reads ONCE per
+  * batch before calling [[scoreEpoch]]). Never mutate a shared
+  * `Array[Long]` in place under a running query: array writes are not
+  * synchronized with an in-flight batch's reads, so a batch could score
+  * against a TORN weight vector — nondeterministic scores that break the
+  * replay-equals-original property the idempotent epoch sink depends on.
+  * Scoring inside the batch is scan-side featurize + a broadcast weight
+  * fold — no state store, no shuffle beyond the batch's own featurize
+  * aggregate.
   */
 object StreamClassify {
 

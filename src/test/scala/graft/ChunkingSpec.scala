@@ -243,7 +243,7 @@ class ChunkingSpec extends SparkSpec {
     val shards = out.groupBy($"shard").agg(count(lit(1)).as("c"),
       max($"pos").as("mx")).collect()
     assert(shards.length === 16)
-    assert(shards.forall(r => r.getInt(2) === r.getLong(1).toInt))
+    assert(shards.forall(r => r.getLong(2) === r.getLong(1)))
   }
 
   test("epochShuffle: different seeds give different orders over the same ids") {

@@ -604,8 +604,8 @@ class PropertySpec extends SparkSpec {
     assert(m1.map(_.getLong(1)).sum === nSeqs)
     // shard ids are contiguous 0..ceil(S/4)-1 and every shard except the
     // last holds exactly shardSize sequences (global_pos div is total)
-    val ids = m1.map(_.getInt(0))
-    assert(ids === (0 until ((nSeqs + 3) / 4).toInt))
+    val ids = m1.map(_.getLong(0))
+    assert(ids === (0L until (nSeqs + 3) / 4))
     assert(m1.dropRight(1).forall(_.getLong(1) === 4L),
       "a non-final shard is not full")
     // the Merkle property: shard fingerprints XOR up to the dataset-level
