@@ -84,7 +84,7 @@ object Bench {
     * here explicitly. Empty whenever the pin is fresh.
     */
   private[graft] val pinGrace: Set[String] =
-    Set.empty // round-19 close: full 174-query re-pin triple landed
+    Set("h122", "h123", "h124", "h125") // round-20 additions, pending re-pin
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

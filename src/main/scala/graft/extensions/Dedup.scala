@@ -141,6 +141,87 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH PARAMETER PLANNER (h124) — the read-before-deciding profile a
+    * 100 TB dedup run consults BEFORE committing to a banding: for every
+    * candidate `(bands, rowsPerBand)` factorization of the `numHashes`
+    * MinHash signature, the EMPIRICAL candidate-pair volume the bucket
+    * join would materialize (Σ over (band, bucket) cells of C(n,2) — the
+    * verify-stage work, counted per colliding cell exactly as the join
+    * produces it, before the cross-band distinct) next to the THEORETICAL
+    * recall of the banding at the verify threshold θ = 1/2 (the h16/h112
+    * operating point): `P(candidate | J = θ) = 1 − (1 − θ^r)^b`. More rows
+    * per band → fewer, cheaper candidates but lower recall; the planner
+    * emits the whole trade so the operator (or its operator) picks the
+    * cheapest banding whose recall clears the pipeline's floor.
+    *
+    * Determinism: the recall is EXACT integer math — θ = 1/2 makes
+    * `(1 − 2^−r)^b = (2^r − 1)^b / 2^(r·b)` a ratio of exact integers
+    * (r·b = numHashes ≤ 30 keeps everything in long range), and
+    * `recall_q = floor(num·10⁶/2^numHashes + 1/2)` is one integer
+    * division — no `pow` whose last ulp an engine could disagree on.
+    *
+    * 100 TB posture: signatures are computed ONCE
+    * ([[minhashSignaturesFromShingles]] over the shared shingle relation —
+    * the [[graft.queries.DupGraph]] materialize-once posture) and
+    * checkpointed so the per-banding branches share the build instead of
+    * re-scanning the corpus per factorization; each branch is one
+    * posexplode projection (b rows/doc), the cell count is one balanced
+    * hash aggregate keyed by (r, band, bucket), and the roll-up is
+    * banding-count-sized. Total cost ≈ Σ_configs b rows per doc =
+    * σ(numHashes)-ish doc-sized rows — far below the candidate join any
+    * single MIS-chosen banding would pay.
+    *
+    * Output: `bands:int, rows_per_band:int, n_buckets, n_hot_buckets
+    * (cells with ≥ 2 docs), cand_pairs, recall_q` — one row per banding.
+    */
+  def lshPlan(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16): DataFrame =
+    lshPlanFromShingles(shingleRows(docs, idCol, textCol), idCol, numHashes)
+
+  /** [[lshPlan]] from an already-built shingle relation (see
+    * [[shingleRows]]).
+    */
+  def lshPlanFromShingles(rows: DataFrame, idCol: String,
+      numHashes: Int = 16): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 30,
+      s"recall math stays in long range for numHashes <= 30, got $numHashes")
+    val configs = (1 to numHashes).filter(numHashes % _ == 0)
+    val sig = minhashSignaturesFromShingles(rows, idCol, numHashes)
+      .localCheckpoint(eager = false)
+    val branches = configs.map { r =>
+      val b = numHashes / r
+      val bucketCols = (0 until b).map { band =>
+        md5(concat((0 until r).map(i => col(s"mh${band * r + i}")): _*))
+      }
+      sig.select(lit(r).as("rows_per_band"),
+          posexplode(array(bucketCols: _*)))
+        .toDF("rows_per_band", "band", "bucket")
+    }
+    val stats = branches.reduce(_ unionByName _)
+      .groupBy("rows_per_band", "band", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("rows_per_band")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("n") >= 2, 1L).otherwise(0L)).as("n_hot_buckets"),
+        sum(expr("(n * (n - 1)) div 2")).as("cand_pairs"))
+    // exact rational recall at theta = 1/2, computed driver-side over the
+    // banding enumeration (parameter math, not data math): BigInt keeps the
+    // intermediate power exact, the result fits a long by the require above
+    val den = BigInt(2).pow(numHashes)
+    val rec = configs.map { r =>
+      val b = numHashes / r
+      val num = den - (BigInt(2).pow(r) - 1).pow(b)
+      (b, r, ((num * 1000000 + den / 2) / den).toLong)
+    }
+    val sp = rows.sparkSession
+    import sp.implicits._
+    stats
+      .join(broadcast(rec.toDF("bands", "rows_per_band", "recall_q")),
+        "rows_per_band")
+      .select("bands", "rows_per_band", "n_buckets", "n_hot_buckets",
+        "cand_pairs", "recall_q")
+  }
+
   /** 16-bit SimHash signature per document (near-dup docs get equal or
     * near-equal signatures; weighted by token multiplicity).
     *
@@ -552,6 +633,23 @@ object Dedup {
     */
   def verifiedNearDupPairs(reps: DataFrame, idCol: String, textCol: String,
       minJaccard: Double, numHashes: Int = 16, bands: Int = 4,
+      persistShingles: Boolean = false): DataFrame =
+    verifiedNearDupScores(reps, idCol, textCol,
+      math.round(minJaccard * 10000), numHashes, bands, persistShingles)
+      .select("id_a", "id_b")
+
+  /** [[verifiedNearDupPairs]] KEEPING the verified similarity — the shared
+    * pair table a composed pipeline (h122) builds ONCE at its lowest
+    * consumer threshold and re-filters per stage (dedup keep at a strict
+    * threshold, leakage repair at a permissive one), instead of paying the
+    * LSH+verify chain per stage. `jacc_q` is the exact Jaccard in integer
+    * ten-thousandths, `floor(j·10⁴ + 0.5)` — the same 4-dp rounding the
+    * boolean form thresholds on, so `verifiedNearDupPairs(minJ)` ≡
+    * `verifiedNearDupScores(round(minJ·10⁴))` projected to the id pair
+    * (this delegation IS the implementation — the two cannot drift).
+    */
+  def verifiedNearDupScores(reps: DataFrame, idCol: String, textCol: String,
+      minJaccardQ: Long, numHashes: Int = 16, bands: Int = 4,
       persistShingles: Boolean = false): DataFrame = {
     val cand = lshCandidatePairs(reps, idCol, textCol, numHashes, bands)
     val ds0 = reps
@@ -569,8 +667,11 @@ object Dedup {
     inter
       .join(sizes.toDF("id_a", "na"), "id_a")
       .join(sizes.toDF("id_b", "nb"), "id_b")
-      .filter(Det.floorRound(col("i") / (col("na") + col("nb") - col("i")), 4) >= minJaccard)
-      .select("id_a", "id_b")
+      .withColumn("jacc_q",
+        floor(col("i") / (col("na") + col("nb") - col("i")) * 10000 + 0.5)
+          .cast("long"))
+      .filter(col("jacc_q") >= minJaccardQ)
+      .select("id_a", "id_b", "jacc_q")
   }
 
   /** Split-leakage audit — the eval-contamination check a training

@@ -29,7 +29,7 @@ object GroupH15 {
     * sign makes both compute `trunc(g / 2N)`). MATERIALIZED on the weight
     * relations: each is referenced by both the next z and the next update.
     */
-  private def lrStep(r: Int): String =
+  private[queries] def lrStep(r: Int): String =
     s"""z$r AS (SELECT f.doc_id, sum(w.wq) AS zq
       |  FROM feat f JOIN w${r - 1} w USING (j) GROUP BY f.doc_id),
       |e$r AS MATERIALIZED (

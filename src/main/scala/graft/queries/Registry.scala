@@ -7,7 +7,7 @@ object Registry {
       GroupG.all ++ GroupH.all ++ GroupH2.all ++ GroupH3.all ++ GroupH4.all ++
       GroupH5.all ++ GroupH6.all ++ GroupH7.all ++ GroupH8.all ++
       GroupH9.all ++ GroupH10.all ++ GroupH11.all ++ GroupH12.all ++
-      GroupH13.all ++ GroupH14.all ++ GroupH15.all
+      GroupH13.all ++ GroupH14.all ++ GroupH15.all ++ GroupH16.all
     // SparkEntry.queries folds this into a Map — a duplicate name would be
     // silently dropped there, so fail loudly at the source instead
     val names = qs.map(_.name)

@@ -162,4 +162,40 @@ class ClassifierSpec extends SparkSpec {
         s"pred_head ${r.getString(7)} != argmax-with-alpha-tie $expect")
     }
   }
+
+  test("calibrate: confusion cells replay from the scored corpus; best is the F1 argmax") {
+    import org.apache.spark.sql.Column
+    val rule = (toks: Column) => size(filter(toks,
+      (t: Column) => t === "spark")) >= 2
+    val scored = Classifier.qualityLrScores(docs, "doc_id", "text", rule, D, T)
+      .select($"y", $"score_q").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val out = Classifier.calibrate(docs, "doc_id", "text", rule, D, T,
+      thresholds = 20).orderBy($"thr_q").collect()
+    assert(out.length === 21)
+    val p = scored.count(_._1 == 1).toLong
+    val nn = scored.length - p
+    for (r <- out) {
+      val thr = r.getLong(0)
+      val tp = scored.count { case (y, s) => y == 1 && s >= thr }.toLong
+      val fp = scored.count { case (y, s) => y == 0 && s >= thr }.toLong
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+        ((tp, fp, p - tp, nn - fp)), s"confusion cells at thr $thr")
+      val precQ = if (tp + fp == 0) Micro else tp * Micro / (tp + fp)
+      val recQ = if (p == 0) Micro else tp * Micro / p
+      val f1Q = if (2 * tp + fp + (p - tp) == 0) 0L
+                else 2 * tp * Micro / (2 * tp + fp + (p - tp))
+      assert((r.getLong(5), r.getLong(6), r.getLong(7)) ===
+        ((precQ, recQ, f1Q)), s"ratios at thr $thr")
+    }
+    // exactly one best row: the max-F1 threshold, ties to the smallest
+    val best = out.filter(_.getInt(8) == 1)
+    assert(best.length === 1)
+    val maxF1 = out.map(_.getLong(7)).max
+    assert(best.head.getLong(7) === maxF1)
+    assert(best.head.getLong(0) ===
+      out.filter(_.getLong(7) == maxF1).map(_.getLong(0)).min)
+    // thr 0 predicts everything positive: recall is exactly 1
+    assert(out.head.getLong(6) === Micro)
+  }
 }

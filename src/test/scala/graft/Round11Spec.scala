@@ -175,7 +175,28 @@ class Round11Spec extends SparkSpec {
     // (measured 500 / 5,000 in ONE exchange). Trips if a refactor folds
     // a training pass into the measured plan
     ("h121_policy_bank", "/root/testdata/sf0.001", 800L),
-    ("h121_policy_bank", "/root/testdata/sf0.1", 7500L))
+    ("h121_policy_bank", "/root/testdata/sf0.1", 7500L),
+    // h122 (round 20): every stage aggregate is collected DRIVER-SIDE over
+    // the stage-boundary checkpoints (the ledger is ten rows), so the
+    // MEASURED plan is the literal audit relation + its display sort —
+    // ~10 records. Trips if a refactor folds a corpus-sized stage back
+    // into the returned plan
+    ("h122_curation_pipeline", "/root/testdata/sf0.001", 100L),
+    ("h122_curation_pipeline", "/root/testdata/sf0.1", 100L),
+    // h123 (round 20): training is eager (the h116/h121 posture); the
+    // measured plan is one corpus aggregate collapsed to <= 21 threshold
+    // buckets plus threshold-count-sized expansion rows
+    ("h123_gate_calibration", "/root/testdata/sf0.001", 400L),
+    ("h123_gate_calibration", "/root/testdata/sf0.1", 400L),
+    // h124 (round 20): one signature build (16 rows/doc) + 5 banding
+    // branches (31 band rows/doc total) + banding-count-sized rollups
+    ("h124_lsh_planner", "/root/testdata/sf0.001", 21000L),
+    ("h124_lsh_planner", "/root/testdata/sf0.1", 169000L),
+    // h125 (round 20): two versioned manifest builds + the shard-count
+    // diff join — everything past the two doc scans is sequence- or
+    // shard-sized (the h120 law, twice)
+    ("h125_incremental_export", "/root/testdata/sf0.001", 4600L),
+    ("h125_incremental_export", "/root/testdata/sf0.1", 44000L))
 
   for ((name, dir, ceiling) <- pins) {
     val sfLabel = dir.split('/').last
