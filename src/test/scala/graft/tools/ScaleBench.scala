@@ -480,6 +480,52 @@ object ScaleBench {
     * lineitem with shifted orderkey/partkey (N× baskets at base basket
     * size); events with shifted ids.
     */
+  /** Verbatim RE-CRAWL blow-up for the composed pipeline (h122,
+    * `pipe<N>x`): N copies of the documents table with shifted ids and
+    * UNCHANGED text — "N crawls of the same web". The disjoint-vocabulary
+    * blow-up the other tails use poisons the pipeline's own CLEAN stage
+    * (the c$k interleave halves the stopword/alpha ratios, so stage 1
+    * rejects the blown corpus and every downstream stage measures an
+    * empty relation — tail10x read 0.18× for exactly that reason);
+    * verbatim copies keep stage-1 semantics intact and make the dedup
+    * stages do their production work: clean and the exact-fingerprint
+    * collapse scan N× docs (the linear pre-collapse stages), exact_dedup
+    * keeps ~1/N (every doc is an N-way exact dup), and the near-dup /
+    * trainer / export stages run at base size — the honest cost law of
+    * curating a re-crawl. The 1× and N× audit ledgers print alongside the
+    * times so the stage populations document the shape.
+    */
+  private def runPipeNx(spark: SparkSession, sfDir: String, copies: Int): Unit = {
+    val dir = s"/root/repo/target/scalepipe$copies"
+    if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      (0 until copies).map { k =>
+        docs.withColumn("doc_id", col("doc_id") + lit(k * 1000000L))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+    }
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("count(*)").collect()
+    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def once(d: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries("h122_curation_pipeline")(spark, d)
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val t1 = math.min(once(sfDir), once(sfDir))
+    val tN = math.min(once(dir), once(dir))
+    println(s"[scale] h122_curation_pipeline sf0.1=${f3(t1)}s " +
+      s"${copies}x=${f3(tN)}s ratio=${f3(tN / t1)}")
+    for (d <- Seq(sfDir, dir)) {
+      val rows = graft.SparkEntry.queries("h122_curation_pipeline")(spark, d)
+        .orderBy("stage_idx").collect()
+      println(s"[scale] ledger@$d: " + rows.map(r =>
+        s"${r.getString(1)}=${r.getLong(2)}->${r.getLong(3)}").mkString(" "))
+    }
+  }
+
   private def runTailNx(spark: SparkSession, sfDir: String, copies: Int): Unit = {
     val dir = s"/root/repo/target/scaletail$copies"
     def blow(table: String, shifts: Map[String, Long]): Unit = {
@@ -535,8 +581,26 @@ object ScaleBench {
       // round 19: the manifest composes packing + epoch order (sequence-
       // rank sub-linear, doc→order join linear) and the policy bank is the
       // h116 trainer shape × K heads over shared features
-      "h120_export_manifest", "h121_policy_bank")
-    val js = names.map { n =>
+      "h120_export_manifest", "h121_policy_bank",
+      // round 20: the composed curation pipeline (every stage an
+      // already-measured operator — the chain's growth law is the max of
+      // its stages': trainer corpus-scan linear, pair table dup-mass
+      // linear under the disjoint-vocabulary blow-up, manifest
+      // sequence-rank sub-linear; the fixed CC/gradient round-trip
+      // latency amortizes with scale), the calibration (one h116 training
+      // + one threshold-bucketed corpus aggregate), the LSH planner
+      // (31 band rows/doc across 5 bandings over one signature build),
+      // and the incremental re-export (two manifest chains + a
+      // shard-count diff)
+      "h122_curation_pipeline", "h123_gate_calibration",
+      "h124_lsh_planner", "h125_incremental_export")
+    // dev filter (like Bench's SPARK_GRAFT_BENCH_ONLY): measure just the
+    // named tail queries — a deep-decade (100x) sweep of the FULL list
+    // costs an hour of wall-clock when only a few operators are new
+    val only = sys.env.get("SPARK_GRAFT_TAIL_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    val js = names.filter(n => only.forall(f =>
+      f.contains(n) || f.contains(n.takeWhile(_ != '_')))).map { n =>
       def once(d: String): Double = {
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(n)(spark, d)
@@ -1175,6 +1239,7 @@ object ScaleBench {
       c
     }
     val TailNx = """tail(\d+)x""".r
+    val PipeNx = """pipe(\d+)x""".r
     val MarginNx = """margin(\d+)x""".r
     val IvfDriftNx = """ivfdrift(\d+)x""".r
     val IvfTripNx = """ivftrip(\d+)x""".r
@@ -1222,6 +1287,8 @@ object ScaleBench {
         runChainNk(spark, copies(n)); spark.stop(); return
       case Some(TailNx(n)) =>
         runTailNx(spark, sfDir, copies(n)); spark.stop(); return
+      case Some(PipeNx(n)) =>
+        runPipeNx(spark, sfDir, copies(n)); spark.stop(); return
       case Some(MarginNx(n)) =>
         runMarginNx(spark, sfDir, copies(n)); spark.stop(); return
       case Some(IvfDriftNx(n)) =>
