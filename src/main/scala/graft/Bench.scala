@@ -44,35 +44,36 @@ object Bench {
     * literal (one command, can't drift from the median rule).
     */
   private[graft] val pinMedianSec: Map[String, Double] = Map(
-    "a1" -> 0.892, "a2" -> 0.697, "a3" -> 0.321, "a4" -> 0.745, "a5" -> 0.223, "a6" -> 0.199,
-    "a7" -> 0.261, "a8" -> 0.636, "b1" -> 0.387, "c1" -> 1.26, "c2" -> 0.695, "c3" -> 0.929,
-    "c4" -> 0.646, "d1" -> 0.472, "d2" -> 0.829, "d3" -> 0.481, "d4" -> 0.351, "d5" -> 0.374,
-    "d6" -> 1.692, "d7" -> 0.387, "d8" -> 0.324, "e1" -> 1.037, "e10" -> 1.126, "e11" -> 0.348,
-    "e12" -> 0.498, "e13" -> 0.381, "e14" -> 0.36, "e15" -> 0.821, "e2" -> 0.663, "e3" -> 0.465,
-    "e4" -> 0.68, "e5" -> 0.397, "e6" -> 1.802, "e7" -> 0.311, "e8" -> 0.898, "e9" -> 0.518,
-    "f1" -> 0.417, "f10" -> 0.67, "f11" -> 0.28, "f2" -> 0.663, "f3" -> 0.704, "f4" -> 0.217,
-    "f5" -> 0.389, "f6" -> 0.416, "f7" -> 0.346, "f8" -> 0.404, "f9" -> 0.68, "g1" -> 0.306,
-    "g2" -> 0.446, "g3" -> 1.188, "g4" -> 0.727, "g5" -> 0.275, "g6" -> 0.361, "h1" -> 0.415,
-    "h10" -> 0.477, "h100" -> 0.626, "h101" -> 1.021, "h102" -> 2.396, "h103" -> 0.595, "h104" -> 2.172,
-    "h105" -> 1.204, "h106" -> 0.693, "h107" -> 1.393, "h108" -> 1.101, "h109" -> 3.544, "h11" -> 0.978,
-    "h110" -> 0.513, "h111" -> 0.102, "h112" -> 1.939, "h113" -> 1.555, "h114" -> 1.263, "h115" -> 1.644,
-    "h116" -> 4.521, "h117" -> 3.743, "h118" -> 0.614, "h119" -> 1.877, "h12" -> 0.605, "h120" -> 1.301,
-    "h121" -> 3.92, "h13" -> 0.501, "h14" -> 0.498, "h15" -> 1.552, "h16" -> 0.443, "h17" -> 2.173,
-    "h18" -> 0.579, "h19" -> 0.784, "h2" -> 0.337, "h20" -> 0.957, "h21" -> 0.189, "h22" -> 0.565,
-    "h23" -> 1.068, "h24" -> 0.536, "h25" -> 0.953, "h26" -> 0.949, "h27" -> 1.287, "h28" -> 0.699,
-    "h29" -> 0.852, "h3" -> 0.324, "h30" -> 0.742, "h31" -> 0.44, "h32" -> 0.484, "h33" -> 0.434,
-    "h34" -> 0.356, "h35" -> 0.236, "h36" -> 0.411, "h37" -> 0.351, "h38" -> 1.714, "h39" -> 1.093,
-    "h4" -> 0.67, "h40" -> 0.94, "h41" -> 0.258, "h42" -> 0.764, "h43" -> 0.503, "h44" -> 1.266,
-    "h45" -> 0.707, "h46" -> 0.921, "h47" -> 2.756, "h48" -> 1.057, "h49" -> 0.976, "h5" -> 2.383,
-    "h50" -> 1.153, "h51" -> 0.811, "h52" -> 0.405, "h53" -> 0.812, "h54" -> 1.049, "h55" -> 1.373,
-    "h56" -> 1.737, "h57" -> 0.496, "h58" -> 0.984, "h59" -> 0.658, "h6" -> 1.268, "h60" -> 1.222,
-    "h61" -> 3.442, "h62" -> 0.852, "h63" -> 0.642, "h64" -> 0.689, "h65" -> 1.037, "h66" -> 1.181,
-    "h67" -> 1.997, "h68" -> 1.236, "h69" -> 0.404, "h7" -> 0.752, "h70" -> 0.243, "h71" -> 0.304,
-    "h72" -> 0.697, "h73" -> 0.657, "h74" -> 2.074, "h75" -> 1.137, "h76" -> 0.335, "h77" -> 0.337,
-    "h78" -> 1.096, "h79" -> 0.49, "h8" -> 0.608, "h80" -> 2.747, "h81" -> 0.977, "h82" -> 0.584,
-    "h83" -> 0.425, "h84" -> 0.479, "h85" -> 0.64, "h86" -> 0.846, "h87" -> 0.879, "h88" -> 0.521,
-    "h89" -> 1.249, "h9" -> 0.651, "h90" -> 1.317, "h91" -> 0.926, "h92" -> 0.554, "h93" -> 0.73,
-    "h94" -> 0.575, "h95" -> 0.691, "h96" -> 0.351, "h97" -> 0.509, "h98" -> 1.118, "h99" -> 0.711)
+    "a1" -> 0.727, "a2" -> 0.727, "a3" -> 0.334, "a4" -> 0.703, "a5" -> 0.235, "a6" -> 0.253,
+    "a7" -> 0.391, "a8" -> 0.499, "b1" -> 0.371, "c1" -> 1.953, "c2" -> 0.573, "c3" -> 0.744,
+    "c4" -> 0.795, "d1" -> 0.465, "d2" -> 0.717, "d3" -> 0.532, "d4" -> 0.393, "d5" -> 0.349,
+    "d6" -> 1.613, "d7" -> 0.466, "d8" -> 0.317, "e1" -> 0.87, "e10" -> 0.814, "e11" -> 0.397,
+    "e12" -> 0.519, "e13" -> 0.381, "e14" -> 0.359, "e15" -> 0.867, "e2" -> 0.647, "e3" -> 0.469,
+    "e4" -> 0.681, "e5" -> 0.43, "e6" -> 1.947, "e7" -> 0.428, "e8" -> 0.893, "e9" -> 0.552,
+    "f1" -> 0.518, "f10" -> 0.644, "f11" -> 0.276, "f2" -> 0.634, "f3" -> 0.627, "f4" -> 0.274,
+    "f5" -> 0.421, "f6" -> 0.513, "f7" -> 0.38, "f8" -> 0.381, "f9" -> 0.977, "g1" -> 0.249,
+    "g2" -> 0.428, "g3" -> 1.227, "g4" -> 0.699, "g5" -> 0.284, "g6" -> 0.403, "h1" -> 0.298,
+    "h10" -> 0.545, "h100" -> 0.539, "h101" -> 0.86, "h102" -> 2.42, "h103" -> 0.552, "h104" -> 2.377,
+    "h105" -> 0.77, "h106" -> 0.738, "h107" -> 1.498, "h108" -> 1.27, "h109" -> 3.218, "h11" -> 0.794,
+    "h110" -> 0.482, "h111" -> 0.099, "h112" -> 2.108, "h113" -> 1.465, "h114" -> 1.387, "h115" -> 1.709,
+    "h116" -> 4.992, "h117" -> 4.316, "h118" -> 0.688, "h119" -> 1.736, "h12" -> 0.59, "h120" -> 1.709,
+    "h121" -> 3.577, "h122" -> 20.902, "h123" -> 5.63, "h124" -> 4.055, "h125" -> 7.721, "h13" -> 0.62,
+    "h14" -> 0.447, "h15" -> 1.462, "h16" -> 0.377, "h17" -> 1.338, "h18" -> 0.46, "h19" -> 0.965,
+    "h2" -> 0.319, "h20" -> 1.034, "h21" -> 0.201, "h22" -> 0.586, "h23" -> 1.131, "h24" -> 0.633,
+    "h25" -> 1.118, "h26" -> 0.884, "h27" -> 1.379, "h28" -> 0.735, "h29" -> 1.04, "h3" -> 0.346,
+    "h30" -> 0.881, "h31" -> 0.403, "h32" -> 0.527, "h33" -> 0.453, "h34" -> 0.427, "h35" -> 0.267,
+    "h36" -> 0.467, "h37" -> 0.324, "h38" -> 1.936, "h39" -> 1.515, "h4" -> 0.812, "h40" -> 0.915,
+    "h41" -> 0.253, "h42" -> 0.867, "h43" -> 0.529, "h44" -> 1.32, "h45" -> 0.788, "h46" -> 0.68,
+    "h47" -> 2.325, "h48" -> 1.125, "h49" -> 0.88, "h5" -> 2.355, "h50" -> 1.02, "h51" -> 0.82,
+    "h52" -> 0.491, "h53" -> 0.632, "h54" -> 1.075, "h55" -> 1.593, "h56" -> 1.558, "h57" -> 0.491,
+    "h58" -> 1.233, "h59" -> 0.742, "h6" -> 1.165, "h60" -> 1.266, "h61" -> 3.736, "h62" -> 0.914,
+    "h63" -> 0.672, "h64" -> 0.607, "h65" -> 1.001, "h66" -> 1.438, "h67" -> 1.956, "h68" -> 1.054,
+    "h69" -> 0.505, "h7" -> 0.794, "h70" -> 0.24, "h71" -> 0.232, "h72" -> 0.855, "h73" -> 0.655,
+    "h74" -> 2.057, "h75" -> 1.155, "h76" -> 0.306, "h77" -> 0.312, "h78" -> 1.482, "h79" -> 0.482,
+    "h8" -> 0.612, "h80" -> 2.828, "h81" -> 0.953, "h82" -> 0.509, "h83" -> 0.378, "h84" -> 0.493,
+    "h85" -> 0.72, "h86" -> 0.894, "h87" -> 1.006, "h88" -> 0.507, "h89" -> 1.855, "h9" -> 0.613,
+    "h90" -> 1.694, "h91" -> 0.769, "h92" -> 0.532, "h93" -> 0.685, "h94" -> 0.59, "h95" -> 0.809,
+    "h96" -> 0.376, "h97" -> 0.593, "h98" -> 0.824, "h99" -> 1.183)
 
   /** Queries declared in the registry but not yet pinned above — the
     * documented mid-round grace window between a query's addition and the
@@ -84,7 +85,7 @@ object Bench {
     * here explicitly. Empty whenever the pin is fresh.
     */
   private[graft] val pinGrace: Set[String] =
-    Set("h122", "h123", "h124", "h125") // round-20 additions, pending re-pin
+    Set.empty // round-20 close: full 178-query re-pin triple landed
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
