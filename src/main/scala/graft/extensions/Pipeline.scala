@@ -203,6 +203,14 @@ object Pipeline {
     val dMoves = moves.count()
     val dDomains = mix.count()
 
+    // every ledger cell is now collected — release the persisted stage
+    // relations so a long-lived session (Bench runs 178 queries in one
+    // JVM) does not carry this pipeline's caches forward; the checkpointed
+    // stage RDDs are reclaimed by the ContextCleaner once this method's
+    // references drop
+    cleanDocs.unpersist(blocking = false)
+    repDocs.unpersist(blocking = false)
+
     val rows = Seq(
       (0, "input", sIn, sIn, 0L),
       (1, "clean", sIn, sClean, 0L),

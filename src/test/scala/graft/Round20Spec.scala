@@ -61,6 +61,18 @@ class Round20Spec extends SparkSpec {
     assert(audit(0).getLong(2) === docs.count())
   }
 
+  test("curateCorpus: the ledger is a pure function of the corpus — repartition-stable") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Pipeline.curateCorpus(df, "doc_id", "text", "source",
+          toks => size(filter(toks, t => t === "spark")) >= 2, steps = 8)
+        .orderBy("stage_idx").collect().map(_.toString).toSeq
+    // every stage (hash split, md5 packing, integer training, XOR
+    // fingerprints) is placement-independent by construction; the composed
+    // ledger must be too — the property that makes a production rerun over
+    // a re-laid-out corpus emit the identical audit
+    assert(run(docs) === run(docs.repartition(7)))
+  }
+
   // --- h124 lshPlan ----------------------------------------------------------
 
   test("lshPlan: exact recall endpoints, monotone trade, volume bounds the h5 join") {
