@@ -79,12 +79,42 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** Everything a curation run produces, beyond the audit: the artifacts a
+    * production consumer writes to tables. All relations sit on the run's
+    * stage-boundary checkpoints (stable handles — re-reading them does not
+    * re-run a stage), EXCEPT `manifest` and `mix`, which are cheap
+    * aggregates over those checkpoints re-evaluated per action.
+    *
+    *   - `audit`     — the 10-row per-stage ledger (what [[curateCorpus]]
+    *                   returns; the h122 gate surface)
+    *   - `trainDocs` — the curated effective-train corpus (id, text,
+    *                   domain), the pack/export input
+    *   - `splits`    — every surviving doc's EFFECTIVE split (hash label
+    *                   overridden by the leakage-repair moves)
+    *   - `mix`       — h57's per-domain mixture weights over the gated
+    *                   corpus
+    *   - `manifest`  — h120's per-shard export manifest over `trainDocs`
+    */
+  final case class CurationResult(audit: DataFrame, trainDocs: DataFrame,
+    splits: DataFrame, mix: DataFrame, manifest: DataFrame)
+
+  /** The h122 gate surface: [[curate]]'s audit ledger alone. */
   def curateCorpus(docs: DataFrame, idCol: String, textCol: String,
       domainCol: String, seedRule: Column => Column,
       dedupJaccQ: Long = 8000L, leakJaccQ: Long = 5000L,
       nBuckets: Int = 256, steps: Int = 8,
       epochSeed: Long = 29L, budget: Int = 256, shardSize: Long = 4L,
-      shards: Int = 16): DataFrame = {
+      shards: Int = 16): DataFrame =
+    curate(docs, idCol, textCol, domainCol, seedRule, dedupJaccQ,
+      leakJaccQ, nBuckets, steps, epochSeed, budget, shardSize, shards)
+      .audit
+
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      domainCol: String, seedRule: Column => Column,
+      dedupJaccQ: Long = 8000L, leakJaccQ: Long = 5000L,
+      nBuckets: Int = 256, steps: Int = 8,
+      epochSeed: Long = 29L, budget: Int = 256, shardSize: Long = 4L,
+      shards: Int = 16): CurationResult = {
     require(dedupJaccQ >= leakJaccQ,
       "the shared pair table is built at leakJaccQ; dedupJaccQ must not be below it")
     val base = docs.select(col(idCol), col(textCol), col(domainCol))
@@ -224,9 +254,10 @@ object Pipeline {
       (9, "export", sTrain, sManifest, dShards))
     val sp = docs.sparkSession
     import sp.implicits._
-    rows.map { case (i, name, in, out, detail) =>
+    val audit = rows.map { case (i, name, in, out, detail) =>
       (i, name, in._1, out._1, in._2, out._2, detail)
     }.toDF("stage_idx", "stage", "docs_in", "docs_out", "tokens_in",
       "tokens_out", "detail")
+    CurationResult(audit, trainDocs, effSplit, mix, manifest)
   }
 }

@@ -61,6 +61,22 @@ class Round20Spec extends SparkSpec {
     assert(audit(0).getLong(2) === docs.count())
   }
 
+  test("curate: returned artifacts agree with the ledger and with standalone exports") {
+    val res = Pipeline.curate(docs, "doc_id", "text", "source",
+      toks => size(filter(toks, t => t === "spark")) >= 2, steps = 8)
+    val audit = res.audit.orderBy("stage_idx").collect()
+    assert(res.trainDocs.count() === audit(8).getLong(3))
+    assert(res.splits.count() === audit(3).getLong(3),
+      "every surviving doc carries an effective split label")
+    assert(res.mix.count() === audit(7).getLong(6))
+    val m1 = res.manifest.orderBy("out_shard").collect()
+      .map(_.toString).toSeq
+    val m2 = Chunking.exportManifest(res.trainDocs, "doc_id", "text",
+        epochSeed = 29L, budget = 256, shardSize = 4L, shards = 16)
+      .orderBy("out_shard").collect().map(_.toString).toSeq
+    assert(m1 === m2, "result manifest drifted from the standalone export")
+  }
+
   test("curateCorpus: the ledger is a pure function of the corpus — repartition-stable") {
     def run(df: org.apache.spark.sql.DataFrame) =
       Pipeline.curateCorpus(df, "doc_id", "text", "source",
