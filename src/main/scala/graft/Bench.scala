@@ -85,7 +85,7 @@ object Bench {
     * here explicitly. Empty whenever the pin is fresh.
     */
   private[graft] val pinGrace: Set[String] =
-    Set.empty // round-20 close: full 178-query re-pin triple landed
+    Set("h126") // added after the round-20 triple; QTime anchor in BASELINE.md
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -216,7 +216,7 @@ object Chunking {
     * still flips exactly its shards' fingerprints. This is the variant
     * [[incrementalExport]] diffs on: membership, order, AND content.
     * Identical counts/shards to [[exportManifest]] by construction (the
-    * extra hash rides the packing scan; PropertySpec pins the equality on
+    * extra hash rides the packing scan; Round20Spec pins the equality on
     * everything but `content_fp`).
     */
   def exportManifestVersioned(docs: DataFrame, idCol: String, textCol: String,

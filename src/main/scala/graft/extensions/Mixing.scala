@@ -208,6 +208,75 @@ object Mixing {
         (col("upsample_q").cast("double") / 1e6).as("upsample"))
   }
 
+  /** EPOCH-CAPPED token-budget allocation (h126) — the mixture SOLVE the
+    * published data recipes run after [[domainMixture]] measures shares:
+    * given per-domain token counts, a total training-token `budget`, and a
+    * repetition ceiling of `maxEpochsQ` micro-epochs per domain (the
+    * "never sample any source more than ~E times" rule of the
+    * Gopher/LLaMA-class recipes; Muennighoff et al. 2023 measure why), split
+    * the budget UNIFORMLY across domains except where the ceiling binds,
+    * redistributing capped domains' shortfall to the others — exact
+    * water-filling, in closed form over one sorted pass:
+    *
+    * Sort domains by cap `c_d = (n_d · maxEpochsQ) div 10⁶` ascending (ties
+    * by name). Domain at sorted position i (1-based, D domains, prefix_i =
+    * Σ_{j≤i} c_j) is CAPPED iff `c_i · (D − i + 1) < B − prefix_{i−1}` —
+    * the predicate is monotone along the sort (c ascending makes a failing
+    * row's successors fail too), so the capped set is a PREFIX and one
+    * window pass finds it. With k capped domains and `rem = B − prefix_k`:
+    * every uncapped domain gets `base = rem div (D − k)` tokens, and the
+    * first `rem mod (D − k)` uncapped domains (same sort order) get one
+    * extra — a deterministic integer remainder rule, so Σ allocated =
+    * min(B, Σ caps) EXACTLY and no double ever appears. The uncapped
+    * allocation can never exceed its own cap: the smallest uncapped c
+    * satisfies `c·(D−k) ≥ rem`, hence `c ≥ ceil(rem/(D−k)) ≥ base + extra`.
+    *
+    * 100 TB posture: the input is the DOMAIN relation (already aggregated —
+    * corpus-independent cardinality), so the sort window and the one-row
+    * totals broadcast are domain-count-sized; nothing corpus-shaped moves.
+    *
+    * Output: `domain, n_tokens, cap_tokens, allocated, epochs_q
+    * (allocated·10⁶ div n_tokens, 0 for an empty domain), capped:int` —
+    * the per-domain sampling budget a loader consumes.
+    */
+  def epochCappedBudget(domainTokens: DataFrame, domainCol: String,
+      tokensCol: String, budget: Long, maxEpochsQ: Long): DataFrame = {
+    require(budget >= 0 && maxEpochsQ > 0,
+      s"need budget >= 0 and maxEpochsQ > 0, got $budget/$maxEpochsQ")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cap_tokens"), col("domain"))
+    val d = domainTokens.select(col(domainCol).as("domain"),
+        col(tokensCol).cast("long").as("n_tokens"))
+      .withColumn("cap_tokens", expr(s"(n_tokens * $maxEpochsQ) div 1000000"))
+    val ranked = d
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("__prefix", coalesce(sum(col("cap_tokens")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(d.agg(count(lit(1)).as("__nd"))))
+      .withColumn("capped",
+        col("cap_tokens") * (col("__nd") - col("i") + 1) <
+          lit(budget) - col("__prefix"))
+    val tot = ranked.agg(
+      coalesce(sum(when(col("capped"), col("cap_tokens"))), lit(0L))
+        .as("__cappedSum"),
+      coalesce(sum(col("capped").cast("long")), lit(0L)).as("__k"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("__rem", lit(budget) - col("__cappedSum"))
+      .withColumn("__un", col("__nd") - col("__k"))
+      .withColumn("allocated",
+        when(col("capped"), col("cap_tokens"))
+          .otherwise(expr("__rem div __un") +
+            when(col("i") - col("__k") <= expr("__rem % __un"), 1L)
+              .otherwise(0L)))
+      .select(col("domain"), col("n_tokens"), col("cap_tokens"),
+        col("allocated"),
+        when(col("n_tokens") > 0,
+          expr("(allocated * 1000000) div n_tokens")).otherwise(lit(0L))
+          .as("epochs_q"),
+        col("capped").cast("int").as("capped"))
+  }
+
   /** Per-domain token accounting + sampling weights toward a uniform token
     * mixture: `weight = (T/S) / tokens(domain)` — domains under-represented
     * in tokens get weight > 1, over-represented < 1 (the rebalancing step of

@@ -73,9 +73,11 @@ import org.apache.spark.sql.functions._
   *
   * Output: `stage_idx:int, stage, docs_in, docs_out, tokens_in,
   * tokens_out, detail` — ordered by stage_idx; docs_in(k) = docs_out(k−1)
-  * for every k ≥ 1 by construction (PropertySpec pins the ledger, the
-  * repair idempotence across the chain, and the stage-equivalence against
-  * the standalone operators).
+  * for every k ≥ 1 by construction (Round20Spec pins the ledger chain,
+  * repartition-stability, artifact/ledger agreement, and the
+  * stage-equivalence against the standalone operators; the repair's own
+  * idempotence-under-effective-labels pin lives with
+  * [[Dedup.splitRepair]] in PropertySpec).
   */
 object Pipeline {
 

@@ -480,5 +480,73 @@ object GroupH16 {
       .orderBy("stage_idx")
   }
 
-  val all: Seq[Q] = Seq(h122, h123, h124, h125)
+  // ---------------------------------------------------------------- h126
+  /** Epoch-capped token-budget allocation
+    * ([[graft.extensions.Mixing.epochCappedBudget]]): the mixture SOLVE
+    * after h57's measurement — budget = ONE corpus epoch of tokens, cap =
+    * 1.1 epochs per domain, split uniformly with capped domains' shortfall
+    * water-filled to the rest in closed form (sorted-prefix predicate +
+    * exact integer remainder rule — no doubles anywhere). With the
+    * fixture's ±15% domain sizes, both branches populate: small domains
+    * cap at 1.1× their own tokens, large ones absorb the shortfall. The
+    * oracle replays the sort, the prefix predicate, and the remainder
+    * distribution integer-for-integer.
+    */
+  val h126 = Q(
+    "h126_epoch_capped_mix",
+    s"""WITH toks AS (SELECT source AS domain,
+      |    coalesce(len($dTok), 0) AS n FROM documents),
+      |pd AS (SELECT domain, CAST(sum(n) AS BIGINT) AS n_tokens
+      |  FROM toks GROUP BY domain),
+      |b AS (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS b FROM pd),
+      |capd AS (SELECT domain, n_tokens,
+      |    CAST((n_tokens * 1100000) // 1000000 AS BIGINT) AS cap_tokens
+      |  FROM pd),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS d FROM capd),
+      |rk AS (SELECT domain, n_tokens, cap_tokens,
+      |    CAST(row_number() OVER (ORDER BY cap_tokens, domain) AS BIGINT) AS i,
+      |    CAST(coalesce(sum(cap_tokens) OVER (ORDER BY cap_tokens, domain
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS prefix
+      |  FROM capd),
+      |cp AS (SELECT rk.*,
+      |    (cap_tokens * (nd.d - i + 1) < b.b - prefix) AS capped
+      |  FROM rk CROSS JOIN nd CROSS JOIN b),
+      |tot AS (SELECT
+      |    CAST(coalesce(sum(CASE WHEN capped THEN cap_tokens END), 0)
+      |      AS BIGINT) AS capped_sum,
+      |    CAST(coalesce(sum(CASE WHEN capped THEN 1 ELSE 0 END), 0)
+      |      AS BIGINT) AS k
+      |  FROM cp),
+      |alloc AS (
+      |  SELECT cp.domain, cp.n_tokens, cp.cap_tokens,
+      |    CASE WHEN cp.capped THEN cp.cap_tokens
+      |         ELSE (b.b - t.capped_sum) // (nd.d - t.k) +
+      |           (CASE WHEN cp.i - t.k <= (b.b - t.capped_sum) % (nd.d - t.k)
+      |            THEN 1 ELSE 0 END)
+      |    END AS allocated,
+      |    CAST(cp.capped AS INT) AS capped
+      |  FROM cp CROSS JOIN tot t CROSS JOIN nd CROSS JOIN b)
+      |SELECT domain, n_tokens, cap_tokens,
+      |  CAST(allocated AS BIGINT) AS allocated,
+      |  CAST(CASE WHEN n_tokens > 0 THEN (allocated * 1000000) // n_tokens
+      |       ELSE 0 END AS BIGINT) AS epochs_q,
+      |  capped
+      |FROM alloc ORDER BY domain""".stripMargin) { (s, d) =>
+    val perDomain = Tables.documents(s, d)
+      .select(col("source").as("domain"),
+        coalesce(size(graft.extensions.TextOps.tokens(col("text")))
+          .cast("long"), lit(0L)).as("n"))
+      .groupBy("domain").agg(sum(col("n")).as("n_tokens"))
+    // the budget is an external business input ("train for B tokens") —
+    // here ONE corpus epoch, read driver-side (a 1-value aggregate; the
+    // oracle recomputes the same exact integer in-SQL)
+    val budget = perDomain
+      .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
+    graft.extensions.Mixing.epochCappedBudget(perDomain, "domain",
+        "n_tokens", budget, maxEpochsQ = 1100000L)
+      .orderBy("domain")
+  }
+
+  val all: Seq[Q] = Seq(h122, h123, h124, h125, h126)
 }

@@ -196,7 +196,13 @@ class Round11Spec extends SparkSpec {
     // diff join — everything past the two doc scans is sequence- or
     // shard-sized (the h120 law, twice)
     ("h125_incremental_export", "/root/testdata/sf0.001", 4600L),
-    ("h125_incremental_export", "/root/testdata/sf0.1", 44000L))
+    ("h125_incremental_export", "/root/testdata/sf0.1", 44000L),
+    // h126 (round 20): the solve runs over the DOMAIN relation — one
+    // partial-aggregated groupBy(domain) collapses the corpus scan to
+    // domains×partitions rows, then windows/broadcasts over ≤ |domains|
+    // rows; corpus-size-independent past the first aggregate
+    ("h126_epoch_capped_mix", "/root/testdata/sf0.001", 150L),
+    ("h126_epoch_capped_mix", "/root/testdata/sf0.1", 150L))
 
   for ((name, dir, ceiling) <- pins) {
     val sfLabel = dir.split('/').last

@@ -116,6 +116,33 @@ class Round20Spec extends SparkSpec {
     }
   }
 
+  // --- h126 epochCappedBudget -------------------------------------------------
+
+  test("epochCappedBudget: hand-solved fixture, exact conservation, cap-respect") {
+    import graft.extensions.Mixing
+    val doms = Seq(("a", 100L), ("b", 500L), ("c", 500L), ("d", 1000L))
+      .toDF("domain", "n_tokens")
+    // caps at 2.0 epochs: a=200 b=1000 c=1000 d=2000; budget 1500.
+    // Sorted (cap, name): a,b,c,d. i=1: 200*4 < 1500 -> capped;
+    // i=2: 1000*3 < 1300 fails -> uncapped prefix ends. k=1, rem=1300,
+    // base=433, extra=1 -> b 434 (first uncapped), c 433, d 433.
+    val out = Mixing.epochCappedBudget(doms, "domain", "n_tokens",
+      budget = 1500L, maxEpochsQ = 2000000L).orderBy("domain").collect()
+    assert(out.map(r => r.getString(0) -> r.getLong(3)).toMap ===
+      Map("a" -> 200L, "b" -> 434L, "c" -> 433L, "d" -> 433L))
+    assert(out.map(_.getLong(3)).sum === 1500L, "budget must conserve exactly")
+    out.foreach(r => assert(r.getLong(3) <= r.getLong(2),
+      s"${r.getString(0)} allocated over its cap"))
+    assert(out.map(r => r.getString(0) -> r.getInt(5)).toMap ===
+      Map("a" -> 1, "b" -> 0, "c" -> 0, "d" -> 0))
+    // budget above the total ceiling: every domain caps, the rest of the
+    // budget is honestly unallocatable under the epoch rule
+    val out2 = Mixing.epochCappedBudget(doms, "domain", "n_tokens",
+      budget = 10000L, maxEpochsQ = 2000000L).collect()
+    assert(out2.map(_.getLong(3)).sum === 4200L)
+    assert(out2.forall(_.getInt(5) === 1))
+  }
+
   // --- h125 incrementalExport --------------------------------------------------
 
   private val mParams = (29L, 256, 4L, 16)
