@@ -593,7 +593,11 @@ object ScaleBench {
       // and the incremental re-export (two manifest chains + a
       // shard-count diff)
       "h122_curation_pipeline", "h123_gate_calibration",
-      "h124_lsh_planner", "h125_incremental_export")
+      "h124_lsh_planner", "h125_incremental_export",
+      // h126: corpus-independent past the one groupBy(domain) aggregate
+      // (81 shuffled records at every scale point) — the tail reading
+      // documents the flat law empirically
+      "h126_epoch_capped_mix")
     // dev filter (like Bench's SPARK_GRAFT_BENCH_ONLY): measure just the
     // named tail queries — a deep-decade (100x) sweep of the FULL list
     // costs an hour of wall-clock when only a few operators are new
