@@ -31,7 +31,7 @@ object Bench {
 
   /** Per-query pin medians (seconds, sf0.1, short keys) from the BASELINE.md
     * HEAD triple — the adaptive stall-retry reference: a best-of-2 above
-    * min(stallSec, 3 × pin) takes a third sample, and a best-of-3 still
+    * 3 × pin takes a third sample, and a best-of-3 still
     * above it is flagged in the JSON's `stall_suspect` list so a driver
     * artifact can never silently carry an 8× phantom regression on
     * untouched code (the BENCH_r08 failure mode — see BASELINE.md's
@@ -105,12 +105,14 @@ object Bench {
     // Absolute stall-retry cap: a best-of-2 above this is a host freeze no
     // matter which query (worst documented freeze measured ~127 s on a ~1 s
     // query; slowest pinned median ≈ 2.9 s, ×2 slow-window ×3 safety ≈ 25).
-    // Round-9 change: this is now only the FALLBACK/CAP — per query the
-    // trigger is min(this, 3 × its BASELINE pin median) via pinMedianSec
-    // below, because a fixed 25 s was useless for sub-second queries: the
-    // round-8 driver artifact shipped e10 at 4.94 s vs a 0.57 s history
-    // (8×, both best-of-2 attempts stalled) with no flag. The constant is
-    // sf0.1-specific BY CONSTRUCTION; at another SF override via env.
+    // Round-9 change: this is now only the FALLBACK for UNPINNED queries —
+    // per pinned query the trigger is 3 × its BASELINE pin median via
+    // pinMedianSec below, because a fixed 25 s was useless for sub-second
+    // queries: the round-8 driver artifact shipped e10 at 4.94 s vs a
+    // 0.57 s history (8×, both best-of-2 attempts stalled) with no flag.
+    // (Round 20 removed the min(25, 3·pin) clip — see stallThreshold.)
+    // The constant is sf0.1-specific BY CONSTRUCTION; at another SF
+    // override via env.
     val stallSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_STALL_SEC", "25").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -183,8 +185,16 @@ object Bench {
     var lateSamples = Map.empty[String, Option[Double]]
     var overBudget = false
 
-    // Adaptive per-query stall threshold: 3× the query's pin median,
-    // capped by the absolute stallSec; unpinned queries use the cap alone.
+    // Adaptive per-query stall threshold: 3× the query's pin median;
+    // unpinned queries use the absolute stallSec cap alone. Round-20
+    // change: the cap no longer CLIPS a pinned query's 3×-pin trigger —
+    // min(25, 3·pin) was calibrated when the slowest pin was ~3 s, and the
+    // first ~21 s-pin query (h122) inverted it into a 1.2× trigger that
+    // would flag ordinary window drift (documented 1.25–1.35× windows) as
+    // a regression and burn two extra ~25 s samples per run doing so. The
+    // cap's job — bounding queries with NO per-query reference — is
+    // untouched; pins are regenerated every round (Round12Spec enforces
+    // coverage), so 3×pin is always a fresh reference.
     // The pin medians are STEADY-STATE times (post-prebuild), so when the
     // materializations did not all land — a dev filter skipped the block, or
     // a mat() failed — a consumer query legitimately pays its construction
@@ -196,8 +206,7 @@ object Bench {
     def stallThreshold(name: String): Double = {
       val short = name.takeWhile(_ != '_')
       if (prebuiltAll || !consumerNames.contains(short))
-        pinMedianSec.get(short)
-          .map(p => math.min(stallSec, 3 * p)).getOrElse(stallSec)
+        pinMedianSec.get(short).map(3 * _).getOrElse(stallSec)
       else stallSec
     }
 

@@ -600,7 +600,13 @@ object Dedup {
       inter
         .join(aSizes.toDF("id_a", "na"), "id_a")
         .join(freshSizes.toDF("id_b", "nb"), "id_b")
-        .filter(Det.floorRound(col("i") / (col("na") + col("nb") - col("i")), 4) >= minJaccard)
+        // SAME integer quantization as verifiedNearDupScores — comparing
+        // floorRound(j, 4) >= minJaccard here while the batch path compares
+        // jacc_q >= round(minJaccard·10⁴) would make the two dedup paths
+        // disagree on any threshold off the 4-decimal grid (e.g. 0.84994:
+        // grid 8500 vs round 8499)
+        .filter(floor(col("i") / (col("na") + col("nb") - col("i")) * 10000
+          + 0.5).cast("long") >= math.round(minJaccard * 10000))
         .select(col("id_b").as(idCol))
     }
     val dominated = dominatedBy(candCorpus, index.shingles, index.sizes)

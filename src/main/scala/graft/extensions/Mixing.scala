@@ -245,9 +245,17 @@ object Mixing {
       s"need budget >= 0 and maxEpochsQ > 0, got $budget/$maxEpochsQ")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cap_tokens"), col("domain"))
+    // overflow-safe micro-unit product: n_tokens·maxEpochsQ overflows a
+    // long once a domain passes ~9.2e18/maxEpochsQ tokens (~8.4e12 at 1.1
+    // epochs — REACHABLE at the 100 TB posture, and ANSI mode turns the
+    // wrap into a runtime error). Split n = q·10⁶ + r: (n·E) div 10⁶ =
+    // q·E + (r·E) div 10⁶ EXACTLY (the q term is divisible by 10⁶), and
+    // each factor stays ≤ ~1.1·n resp. 10⁶·E.
     val d = domainTokens.select(col(domainCol).as("domain"),
         col(tokensCol).cast("long").as("n_tokens"))
-      .withColumn("cap_tokens", expr(s"(n_tokens * $maxEpochsQ) div 1000000"))
+      .withColumn("cap_tokens",
+        expr(s"(n_tokens div 1000000) * $maxEpochsQ + " +
+          s"((n_tokens % 1000000) * $maxEpochsQ) div 1000000"))
     val ranked = d
       .withColumn("i", row_number().over(w).cast("long"))
       .withColumn("__prefix", coalesce(sum(col("cap_tokens")).over(
@@ -271,9 +279,13 @@ object Mixing {
               .otherwise(0L)))
       .select(col("domain"), col("n_tokens"), col("cap_tokens"),
         col("allocated"),
+        // same split for epochs_q: alloc·10⁶ div n = (alloc div n)·10⁶ +
+        // ((alloc mod n)·10⁶) div n exactly; the residual term stays in
+        // range for any n ≤ ~9.2e12 tokens per domain
         when(col("n_tokens") > 0,
-          expr("(allocated * 1000000) div n_tokens")).otherwise(lit(0L))
-          .as("epochs_q"),
+          expr("(allocated div n_tokens) * 1000000 + " +
+            "((allocated % n_tokens) * 1000000) div n_tokens"))
+          .otherwise(lit(0L)).as("epochs_q"),
         col("capped").cast("int").as("capped"))
   }
 

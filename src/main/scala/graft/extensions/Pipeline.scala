@@ -119,7 +119,14 @@ object Pipeline {
       shards: Int = 16): CurationResult = {
     require(dedupJaccQ >= leakJaccQ,
       "the shared pair table is built at leakJaccQ; dedupJaccQ must not be below it")
-    val base = docs.select(col(idCol), col(textCol), col(domainCol))
+    // the ledger's token count is computed ONCE here and carried through
+    // every stage checkpoint — each stat is then a sum over a cached int
+    // column instead of a fresh regex-tokenize pass per stage (six corpus
+    // scans of the most expensive scan-side op, for numbers that cannot
+    // change after this projection)
+    val base = docs.select(col(idCol), col(textCol), col(domainCol),
+      coalesce(size(TextOps.tokens(col(textCol))), lit(0)).cast("long")
+        .as("__ntok"))
 
     // 1 — clean
     val cleanDocs = base
@@ -212,10 +219,8 @@ object Pipeline {
     // same ten 1-row aggregates sequentially and emitting a literal
     // relation produces bit-identical output with one job per cell.
     def stat(df: DataFrame): (Long, Long) = {
-      val r = df.agg(
-        count(lit(1)),
-        coalesce(sum(coalesce(size(TextOps.tokens(col(textCol))), lit(0))
-          .cast("long")), lit(0L))).head()
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(col("__ntok")), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
     val sIn = stat(base)
@@ -260,6 +265,6 @@ object Pipeline {
       (i, name, in._1, out._1, in._2, out._2, detail)
     }.toDF("stage_idx", "stage", "docs_in", "docs_out", "tokens_in",
       "tokens_out", "detail")
-    CurationResult(audit, trainDocs, effSplit, mix, manifest)
+    CurationResult(audit, trainDocs.drop("__ntok"), effSplit, mix, manifest)
   }
 }

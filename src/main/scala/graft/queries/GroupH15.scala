@@ -278,6 +278,72 @@ object GroupH15 {
       .orderBy("doc_id")
   }
 
+  /** THE export-manifest oracle chain — packing (budget 256) → epoch order
+    * (seed 29, 16 logical shards) → output shards (4 sequences each) → one
+    * manifest row per shard — emitted once here and reused by every
+    * manifest-consuming oracle (h120, h122's export stage, h125's two
+    * versioned builds), the [[lrTrainCtes]] share-don't-copy rule: this
+    * diff's pos int→long fix had to touch each hand-maintained copy
+    * separately, which is exactly the drift hazard. Every CTE is prefixed
+    * `p`; `src` must expose (doc_id, text). `withDfp` adds the per-doc
+    * content hash to the XOR fingerprint (the
+    * [[graft.extensions.Chunking.exportManifestVersioned]] form h125
+    * diffs on); the parameters themselves stay hardcoded because the
+    * three consumers deliberately share one configuration.
+    */
+  private[queries] def manifestCtes(p: String, src: String,
+      withDfp: Boolean): String = {
+    val dfpSel = if (withDfp) ", md5(text) AS dfp" else ""
+    val dfpCol = if (withDfp) "dfp, " else ""
+    val dfpHash =
+      if (withDfp) "\n      |      coalesce(dfp, chr(30))," else ""
+    s"""${p}t AS (
+      |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h$dfpSel,
+      |    CAST(len($dTok) AS INT) AS n_toks
+      |  FROM $src),
+      |${p}f AS (SELECT doc_id, substr(h, 1, 1) AS shard, h, ${dfpCol}n_toks
+      |  FROM ${p}t WHERE n_toks > 0),
+      |${p}packed AS (SELECT doc_id, shard, ${dfpCol}n_toks,
+      |    CAST(((sum(n_toks) OVER (PARTITION BY shard ORDER BY h, doc_id
+      |      ROWS UNBOUNDED PRECEDING)) - 1) // 256 AS INT) AS bin
+      |  FROM ${p}f),
+      |${p}pseq AS MATERIALIZED (SELECT doc_id, ${dfpCol}n_toks,
+      |    shard || ':' || CAST(bin AS VARCHAR) AS seq_id
+      |  FROM ${p}packed),
+      |${p}seqs AS (SELECT DISTINCT seq_id FROM ${p}pseq),
+      |${p}k AS (SELECT seq_id, md5('29:' || seq_id) AS k FROM ${p}seqs),
+      |${p}s2 AS (SELECT seq_id, k,
+      |    CAST(CAST('0x' || substr(k, 1, 4) AS BIGINT) % 16 AS INT) AS oshard
+      |  FROM ${p}k),
+      |${p}p2 AS (SELECT seq_id, oshard,
+      |    CAST(row_number() OVER (PARTITION BY oshard ORDER BY k, seq_id)
+      |      AS BIGINT) AS pos
+      |  FROM ${p}s2),
+      |${p}o2 AS (SELECT oshard, count(*) AS n FROM ${p}p2 GROUP BY oshard),
+      |${p}off AS (SELECT oshard,
+      |    coalesce(sum(n) OVER (ORDER BY oshard
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offs
+      |  FROM ${p}o2),
+      |${p}gp AS (SELECT p2.seq_id,
+      |    CAST(off.offs + p2.pos - 1 AS BIGINT) AS global_pos
+      |  FROM ${p}p2 p2 JOIN ${p}off off USING (oshard)),
+      |${p}a AS (SELECT d.doc_id, ${if (withDfp) "d.dfp, " else ""}d.n_toks,
+      |    d.seq_id, g.global_pos,
+      |    CAST(g.global_pos // 4 AS BIGINT) AS out_shard
+      |  FROM ${p}pseq d JOIN ${p}gp g USING (seq_id)),
+      |${p}m AS (
+      |  SELECT out_shard,
+      |    CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+      |    bit_xor(CAST('0x' || substr(md5(concat_ws(chr(31),
+      |      coalesce(CAST(doc_id AS VARCHAR), chr(30)),$dfpHash
+      |      coalesce(seq_id, chr(30)),
+      |      coalesce(CAST(global_pos AS VARCHAR), chr(30)))), 1, 15) AS BIGINT))
+      |      AS content_fp
+      |  FROM ${p}a GROUP BY out_shard)""".stripMargin
+  }
+
   // ---------------------------------------------------------------- h120
   /** Training-shard export manifest
     * ([[graft.extensions.Chunking.exportManifest]], budget 256, epoch seed
@@ -292,50 +358,9 @@ object GroupH15 {
     */
   val h120 = Q(
     "h120_export_manifest",
-    s"""WITH t AS (
-      |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
-      |    CAST(len($dTok) AS INT) AS n_toks
-      |  FROM documents),
-      |f AS (SELECT doc_id, substr(h, 1, 1) AS shard, h, n_toks
-      |  FROM t WHERE n_toks > 0),
-      |packed AS (SELECT doc_id, shard, n_toks,
-      |    CAST(((sum(n_toks) OVER (PARTITION BY shard ORDER BY h, doc_id
-      |      ROWS UNBOUNDED PRECEDING)) - 1) // 256 AS INT) AS bin
-      |  FROM f),
-      |pseq AS MATERIALIZED (SELECT doc_id, n_toks,
-      |    shard || ':' || CAST(bin AS VARCHAR) AS seq_id
-      |  FROM packed),
-      |seqs AS (SELECT DISTINCT seq_id FROM pseq),
-      |k AS (SELECT seq_id, md5('29:' || seq_id) AS k FROM seqs),
-      |s2 AS (SELECT seq_id, k,
-      |    CAST(CAST('0x' || substr(k, 1, 4) AS BIGINT) % 16 AS INT) AS oshard
-      |  FROM k),
-      |p2 AS (SELECT seq_id, oshard,
-      |    CAST(row_number() OVER (PARTITION BY oshard ORDER BY k, seq_id)
-      |      AS INT) AS pos
-      |  FROM s2),
-      |o2 AS (SELECT oshard, count(*) AS n FROM p2 GROUP BY oshard),
-      |off AS (SELECT oshard,
-      |    coalesce(sum(n) OVER (ORDER BY oshard
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offs
-      |  FROM o2),
-      |gp AS (SELECT p2.seq_id,
-      |    CAST(off.offs + p2.pos - 1 AS BIGINT) AS global_pos
-      |  FROM p2 JOIN off USING (oshard)),
-      |a AS (SELECT d.doc_id, d.n_toks, d.seq_id, g.global_pos,
-      |    CAST(g.global_pos // 4 AS BIGINT) AS out_shard
-      |  FROM pseq d JOIN gp g USING (seq_id))
-      |SELECT out_shard,
-      |  CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
-      |  CAST(count(*) AS BIGINT) AS n_docs,
-      |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
-      |  bit_xor(CAST('0x' || substr(md5(concat_ws(chr(31),
-      |    coalesce(CAST(doc_id AS VARCHAR), chr(30)),
-      |    coalesce(seq_id, chr(30)),
-      |    coalesce(CAST(global_pos AS VARCHAR), chr(30)))), 1, 15) AS BIGINT))
-      |    AS content_fp
-      |FROM a
-      |GROUP BY out_shard
+    s"""WITH ${manifestCtes("", "documents", withDfp = false)}
+      |SELECT out_shard, n_seqs, n_docs, n_tokens, content_fp
+      |FROM m
       |ORDER BY out_shard""".stripMargin) { (s, d) =>
     graft.extensions.Chunking.exportManifest(
         Tables.documents(s, d), "doc_id", "text",

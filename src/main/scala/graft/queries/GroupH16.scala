@@ -128,57 +128,6 @@ object GroupH16 {
   }
 
   // ---------------------------------------------------------------- h125
-  /** One VERSIONED manifest CTE chain (the h120 construction plus the
-    * per-doc content hash in the XOR fingerprint) over source CTE `src`,
-    * every relation prefixed `p` — emitted twice for the v1/v2 diff.
-    */
-  private def manifestCtes(p: String, src: String): String =
-    s"""${p}t AS (
-      |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h, md5(text) AS dfp,
-      |    CAST(len($dTok) AS INT) AS n_toks
-      |  FROM $src),
-      |${p}f AS (SELECT doc_id, substr(h, 1, 1) AS shard, h, dfp, n_toks
-      |  FROM ${p}t WHERE n_toks > 0),
-      |${p}packed AS (SELECT doc_id, shard, dfp, n_toks,
-      |    CAST(((sum(n_toks) OVER (PARTITION BY shard ORDER BY h, doc_id
-      |      ROWS UNBOUNDED PRECEDING)) - 1) // 256 AS INT) AS bin
-      |  FROM ${p}f),
-      |${p}pseq AS MATERIALIZED (SELECT doc_id, dfp, n_toks,
-      |    shard || ':' || CAST(bin AS VARCHAR) AS seq_id
-      |  FROM ${p}packed),
-      |${p}seqs AS (SELECT DISTINCT seq_id FROM ${p}pseq),
-      |${p}k AS (SELECT seq_id, md5('29:' || seq_id) AS k FROM ${p}seqs),
-      |${p}s2 AS (SELECT seq_id, k,
-      |    CAST(CAST('0x' || substr(k, 1, 4) AS BIGINT) % 16 AS INT) AS oshard
-      |  FROM ${p}k),
-      |${p}p2 AS (SELECT seq_id, oshard,
-      |    CAST(row_number() OVER (PARTITION BY oshard ORDER BY k, seq_id)
-      |      AS BIGINT) AS pos
-      |  FROM ${p}s2),
-      |${p}o2 AS (SELECT oshard, count(*) AS n FROM ${p}p2 GROUP BY oshard),
-      |${p}off AS (SELECT oshard,
-      |    coalesce(sum(n) OVER (ORDER BY oshard
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offs
-      |  FROM ${p}o2),
-      |${p}gp AS (SELECT p2.seq_id,
-      |    CAST(off.offs + p2.pos - 1 AS BIGINT) AS global_pos
-      |  FROM ${p}p2 p2 JOIN ${p}off off USING (oshard)),
-      |${p}a AS (SELECT d.doc_id, d.dfp, d.n_toks, d.seq_id, g.global_pos,
-      |    CAST(g.global_pos // 4 AS BIGINT) AS out_shard
-      |  FROM ${p}pseq d JOIN ${p}gp g USING (seq_id)),
-      |${p}m AS (
-      |  SELECT out_shard,
-      |    CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
-      |    CAST(count(*) AS BIGINT) AS n_docs,
-      |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
-      |    bit_xor(CAST('0x' || substr(md5(concat_ws(chr(31),
-      |      coalesce(CAST(doc_id AS VARCHAR), chr(30)),
-      |      coalesce(dfp, chr(30)),
-      |      coalesce(seq_id, chr(30)),
-      |      coalesce(CAST(global_pos AS VARCHAR), chr(30)))), 1, 15) AS BIGINT))
-      |      AS content_fp
-      |  FROM ${p}a GROUP BY out_shard)""".stripMargin
-
   private def manifestRowFp(p: String, as: String): String =
     s"""SELECT out_shard, CAST('0x' || substr(md5(concat_ws(chr(31),
       |    coalesce(CAST(n_seqs AS VARCHAR), chr(30)),
@@ -208,8 +157,8 @@ object GroupH16 {
       |  UNION ALL
       |  SELECT doc_id + 1000000, 'NEW ' || text
       |  FROM v1 WHERE doc_id % 29 = 0),
-      |${manifestCtes("x", "v1")},
-      |${manifestCtes("y", "v2")},
+      |${GroupH15.manifestCtes("x", "v1", withDfp = true)},
+      |${GroupH15.manifestCtes("y", "v2", withDfp = true)},
       |d1 AS (${manifestRowFp("x", "old_fp")}),
       |d2 AS (${manifestRowFp("y", "new_fp")}),
       |j AS (
@@ -379,42 +328,9 @@ object GroupH16 {
       |train AS MATERIALIZED (
       |  SELECT g.* FROM gated g JOIN eff e USING (doc_id)
       |  WHERE e.split = 'train'),
-      |mt AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
-      |    CAST(len(toks) AS INT) AS n_toks
-      |  FROM train),
-      |mf AS (SELECT doc_id, substr(h, 1, 1) AS shard, h, n_toks
-      |  FROM mt WHERE n_toks > 0),
-      |mpacked AS (SELECT doc_id, shard, n_toks,
-      |    CAST(((sum(n_toks) OVER (PARTITION BY shard ORDER BY h, doc_id
-      |      ROWS UNBOUNDED PRECEDING)) - 1) // 256 AS INT) AS bin
-      |  FROM mf),
-      |mpseq AS MATERIALIZED (SELECT doc_id, n_toks,
-      |    shard || ':' || CAST(bin AS VARCHAR) AS seq_id
-      |  FROM mpacked),
-      |mseqs AS (SELECT DISTINCT seq_id FROM mpseq),
-      |mkk AS (SELECT seq_id, md5('29:' || seq_id) AS k FROM mseqs),
-      |ms2 AS (SELECT seq_id, k,
-      |    CAST(CAST('0x' || substr(k, 1, 4) AS BIGINT) % 16 AS INT) AS oshard
-      |  FROM mkk),
-      |mp2 AS (SELECT seq_id, oshard,
-      |    CAST(row_number() OVER (PARTITION BY oshard ORDER BY k, seq_id)
-      |      AS BIGINT) AS pos
-      |  FROM ms2),
-      |mo2 AS (SELECT oshard, count(*) AS n FROM mp2 GROUP BY oshard),
-      |moff AS (SELECT oshard,
-      |    coalesce(sum(n) OVER (ORDER BY oshard
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offs
-      |  FROM mo2),
-      |mgp AS (SELECT mp2.seq_id,
-      |    CAST(moff.offs + mp2.pos - 1 AS BIGINT) AS global_pos
-      |  FROM mp2 JOIN moff USING (oshard)),
-      |ma AS (SELECT d.doc_id, d.n_toks, d.seq_id, g.global_pos,
-      |    CAST(g.global_pos // 4 AS BIGINT) AS out_shard
-      |  FROM mpseq d JOIN mgp g USING (seq_id)),
+      |${GroupH15.manifestCtes("m", "train", withDfp = false)},
       |manifest AS MATERIALIZED (
-      |  SELECT out_shard, CAST(count(*) AS BIGINT) AS n_docs,
-      |    CAST(sum(n_toks) AS BIGINT) AS n_tokens
-      |  FROM ma GROUP BY out_shard),
+      |  SELECT out_shard, n_docs, n_tokens FROM mm),
       |st0 AS (SELECT CAST(count(*) AS BIGINT) AS d,
       |  CAST(coalesce(sum(coalesce(len(toks), 0)), 0) AS BIGINT) AS t FROM tok),
       |st1 AS (SELECT CAST(count(*) AS BIGINT) AS d,
@@ -500,7 +416,9 @@ object GroupH16 {
       |  FROM toks GROUP BY domain),
       |b AS (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS b FROM pd),
       |capd AS (SELECT domain, n_tokens,
-      |    CAST((n_tokens * 1100000) // 1000000 AS BIGINT) AS cap_tokens
+      |    CAST((n_tokens // 1000000) * 1100000 +
+      |      ((n_tokens % 1000000) * 1100000) // 1000000 AS BIGINT)
+      |      AS cap_tokens
       |  FROM pd),
       |nd AS (SELECT CAST(count(*) AS BIGINT) AS d FROM capd),
       |rk AS (SELECT domain, n_tokens, cap_tokens,
@@ -529,7 +447,9 @@ object GroupH16 {
       |  FROM cp CROSS JOIN tot t CROSS JOIN nd CROSS JOIN b)
       |SELECT domain, n_tokens, cap_tokens,
       |  CAST(allocated AS BIGINT) AS allocated,
-      |  CAST(CASE WHEN n_tokens > 0 THEN (allocated * 1000000) // n_tokens
+      |  CAST(CASE WHEN n_tokens > 0
+      |       THEN (allocated // n_tokens) * 1000000 +
+      |            ((allocated % n_tokens) * 1000000) // n_tokens
       |       ELSE 0 END AS BIGINT) AS epochs_q,
       |  capped
       |FROM alloc ORDER BY domain""".stripMargin) { (s, d) =>
