@@ -114,9 +114,24 @@ object Bench {
     // The constant is sf0.1-specific BY CONSTRUCTION; at another SF
     // override via env.
     val stallSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_STALL_SEC", "25").toDouble
+    // Scan-split floor (round 21): Spark sizes splits as
+    // max(openCostInBytes, totalBytes / minPartitionNum) capped at
+    // maxPartitionBytes, so the 4 MB default open-cost floor leaves every
+    // sub-4 MB fixture table ONE split — the whole scan-side stage
+    // (tokenize, md5, percentile buffering) of most queries ran
+    // single-task at sf0.1 and could not use added cores (exactly what the
+    // driver's lower-core-count scaling run measures). 512 KB keeps the
+    // formula scale-adaptive: at production sizes bytes/core ≫ 128 MB so
+    // splits stay 128 MB regardless; the floor only matters for small
+    // files, where a modern parquet open costs ~ms, not the HDFS-era
+    // seek+NN-roundtrip the 4 MB default models. Env-overridable; set
+    // SPARK_GRAFT_OPEN_COST=4194304 to restore the stock floor.
+    val openCost = sys.env.getOrElse("SPARK_GRAFT_OPEN_COST",
+      (512 * 1024).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.openCostInBytes", openCost)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -147,8 +162,15 @@ object Bench {
     // that built per query. Verify and the test suites do NOT opt in —
     // correctness always exercises the full per-query build.
     val consumerNames = Set("h65", "h66", "h67", "h78", "h16", "h23", "h61",
-      "h5", "h6", "h41", "h62", "h28", "h111", "h112", "h109")
+      "h5", "h6", "h41", "h62", "h28", "h111", "h112", "h109", "h124")
     var prebuild = List.empty[(String, Double)]
+    // wall-clock of the whole prebuild phase — under the concurrent build
+    // below the per-label seconds OVERLAP (they sum to more than the phase
+    // takes), so the JSON's prebuild_sec reports this wall time: "value +
+    // prebuild_sec = cold total" stays true, which is the number the
+    // per-label sum no longer is. Per-label timings remain in the breakdown
+    // as contention-inclusive build times.
+    var prebuildWallSec = 0.0
     if (only.forall(f => f.exists(n => consumerNames.contains(n.takeWhile(_ != '_'))))) {
       graft.queries.DupGraph.enableMaterialization()
       def mat(label: String)(dfs: => Seq[org.apache.spark.sql.DataFrame]): Unit =
@@ -156,7 +178,7 @@ object Bench {
           val t0 = System.nanoTime()
           dfs.foreach(_.write.mode("overwrite").format("noop").save())
           val sec = (System.nanoTime() - t0) / 1e9
-          prebuild ::= (label, sec)
+          prebuild.synchronized { prebuild ::= (label, sec) }
           System.err.println(f"[bench] ${now()} prebuild $label materialized in $sec%.2f s")
         } catch { case e: Throwable =>
           // never let a materialization failure kill the bench — queries
@@ -165,9 +187,26 @@ object Bench {
         }
       // the label→builder enumeration lives in DupGraph.constructionBuilders
       // (one place with the label list and Round12Spec's volume pins) so a
-      // construction added there is prebuilt here without a second edit
-      for ((label, build) <- graft.queries.DupGraph.constructionBuilders(spark, sfDir))
-        mat(label)(build())
+      // construction added there is prebuilt here without a second edit.
+      // The constructions are INDEPENDENT, so they build CONCURRENTLY
+      // (guide §2.6: actions are only sequential because the driver calls
+      // them sequentially — each job's tasks back-fill the others'
+      // straggler tails and stage-scheduling gaps, which dominate these
+      // sf0.1 builds). Measured round 21: 87 s sequential → ~35 s at
+      // 3-way in the same window. Builds are exact and memoized per label
+      // (DupGraph's ConcurrentHashMap), so concurrency affects wall time
+      // only, never a row.
+      val t0Pre = System.nanoTime()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      val tasks = graft.queries.DupGraph.constructionBuilders(spark, sfDir)
+        .map { case (label, build) =>
+          pool.submit(new Runnable { def run(): Unit = mat(label)(build()) })
+        }
+      tasks.foreach(_.get())
+      pool.shutdown()
+      prebuildWallSec = (System.nanoTime() - t0Pre) / 1e9
+      System.err.println(
+        f"[bench] ${now()} prebuild phase wall-clock $prebuildWallSec%.2f s")
     }
 
     val benchT0 = System.nanoTime()
@@ -341,9 +380,13 @@ object Bench {
     // read as a performance win
     def names(l: List[String]) = l.reverse.map("\"" + _.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
     // one-time shared-construction cost, so the artifact is self-describing:
-    // "value" = steady-state per-query sum; value + prebuild_sec = cold total
-    val prebuildSec = prebuild.map(_._2).sum
-    val prebuildJson = prebuild.reverse
+    // "value" = steady-state per-query sum; value + prebuild_sec = cold
+    // total. prebuild_sec = the phase WALL-CLOCK (round 21 — the labels
+    // build concurrently, so their contention-inclusive per-label times in
+    // the breakdown overlap and sum to more than the phase took).
+    val prebuildSec = prebuildWallSec
+    val prebuildJson = graft.queries.DupGraph.constructionLabels
+      .flatMap(l => prebuild.find(_._1 == l))
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     // Self-adjudicating stall evidence (round 20): per SURVIVING suspect,
     // the full main-loop sample list, the late-rerun sample (null when

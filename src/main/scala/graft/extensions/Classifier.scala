@@ -69,13 +69,20 @@ object Classifier {
       .filter(size(col("__toks")) >= 2)
       .select(col(idCol),
         seedRule(col("__toks")).cast("int").as("y"),
-        concat(
-          array_sort(array_distinct(transform(
-            TextOps.shingles2(col("__toks")),
-            bg => (conv(substring(md5(bg), 1, 4), 16, 10).cast("long")
-              % nBuckets).cast("int")))),
-          array(lit(nBuckets))).as("js"))
+        bigramBuckets(col("__toks"), nBuckets).as("js"))
   }
+
+  /** The featurizer's bucket-set column — the native codegen'd
+    * [[graft.functions.HashedBigramBuckets]] (one md5-per-bigram pass,
+    * sort, dedupe, bias append, all inside the row), replacing the
+    * interpreted `concat(array_sort(array_distinct(transform(shingles2,
+    * md5-hash))), bias)` HOF chain. ONE definition for the single- and
+    * multi-head featurizers.
+    */
+  private def bigramBuckets(toks: Column, nBuckets: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.HashedBigramBuckets(
+        org.apache.spark.sql.GraftColumnBridge.expression(toks), nBuckets))
 
   /** Train `steps` full-batch gradient steps from zero weights and return
     * (final weights in micro-units, the featurized doc relation, N). The
@@ -103,10 +110,13 @@ object Classifier {
     val rows = hashedBigramRows(src, idCol, textCol, seedRule, nBuckets)
       .localCheckpoint(eager = false)
     val n = rows.count()
+    // the physical scan over the checkpointed rows, built ONCE and reused
+    // by every gradient step (schema ordinals: 0 = id, 1 = y, 2 = js)
+    val rdd = rows.queryExecution.toRdd
     val w = Array.fill(nBuckets + 1)(0L)
     if (n > 0) {
       for (_ <- 1 to steps) {
-        val g = gradient(rows, w)
+        val g = gradient(rdd, w)
         val d = 2L * n
         var j = 0
         while (j < w.length) {
@@ -121,40 +131,69 @@ object Classifier {
     (w, rows, n)
   }
 
-  /** One step's gradient vector: scan-side z/error against the broadcast
-    * literal weights, explode the bucket set, one partial-aggregated
-    * (nBuckets+1)-row sum, collected to the driver.
+  /** One step's gradient vector in ONE STAGE: a per-partition partial
+    * gradient array via `RDD.aggregate` over the checkpointed featurized
+    * rows, partials merged as task results stream to the driver. The
+    * round-20 formulation ran each step as a two-stage SQL job (project →
+    * explode → partial agg → (nBuckets+1)-row exchange → final agg →
+    * collect) — correct, but a gradient step's output is model-sized BY
+    * CONSTRUCTION, so the exchange and the second stage bought nothing at
+    * any scale: per step this pays exactly one task wave and moves
+    * (nBuckets+1) longs per task to the driver (the
+    * h114/bpeLearn model-sized-driver-traffic posture; at extreme executor
+    * counts swap in `treeAggregate(depth = 2)` — one line — to cap
+    * simultaneous driver fan-in). The arithmetic is the SAME exact
+    * integer math (hard sigmoid = clamped floorDiv, error sums are
+    * order-independent longs), so the trained weights are bit-identical —
+    * pinned by ClassifierSpec's driver replay and the h116/h121/h122/h123
+    * oracles.
     */
-  private def gradient(rows: DataFrame, w: Array[Long]): Array[Long] = {
-    val g = Array.fill(w.length)(0L)
-    rows
-      // the error term is computed in its OWN projection below the explode:
-      // fused into the Generate's select it is re-evaluated per EXPLODED
-      // row — |js| interpreted HOF folds per document instead of one
-      // (measured ~5x on the step)
-      .select((hardSigmoidQ(zQ(w)) - col("y").cast("long") * Micro).as("__err"),
-        col("js"))
-      .select(col("__err"), explode(col("js")).as("j"))
-      .groupBy("j").agg(sum(col("__err")).as("g"))
-      .collect()
-      .foreach(r => g(r.getInt(0)) = r.getLong(1))
-    g
+  private def gradient(rdd: org.apache.spark.rdd.RDD[
+      org.apache.spark.sql.catalyst.InternalRow],
+      w: Array[Long]): Array[Long] = {
+    val wCur = w.clone() // pin this step's model state for the closure
+    val len = wCur.length
+    val micro = Micro
+    rdd.aggregate(new Array[Long](len))(
+      (g, row) => {
+        val js = row.getArray(2)
+        val m = js.numElements()
+        var z = 0L
+        var i = 0
+        while (i < m) { z += wCur(js.getInt(i)); i += 1 }
+        // hard sigmoid: clamp((z + 2·10⁶) div 4, 0, 10⁶) — floorDiv equals
+        // the SQL floor-of-double-division everywhere the clamps don't
+        // already decide (|z + 2·10⁶| < 4·10⁶ is exactly representable)
+        val p = math.min(micro,
+          math.max(0L, Math.floorDiv(z + 2L * micro, 4L)))
+        val err = p - row.getInt(1).toLong * micro
+        i = 0
+        while (i < m) { g(js.getInt(i)) += err; i += 1 }
+        g
+      },
+      (a, b) => {
+        var j = 0
+        while (j < len) { a(j) += b(j); j += 1 }
+        a
+      })
   }
 
-  /** `z_q = Σ_{j ∈ js} w_q[j]` — a scan-side fold over the bucket set
-    * against the literal weight array (binary features, so no multiply).
-    * The weights are ONE array-typed literal (`typedlit`), not a
-    * CreateArray of nBuckets+1 scalar literals: higher-order functions
-    * evaluate their lambda per element, and a CreateArray inside the fold
-    * would re-materialize the whole weight array for every bucket of every
-    * document every step (measured ~10× on the h116 training loop), while
-    * an ArrayType literal is held by reference and indexed in place.
+  /** `z_q = Σ_{j ∈ js} w_q[j]` — a scan-side loop over the bucket set
+    * against the weight array (binary features, so no multiply), as the
+    * native codegen'd [[graft.functions.DotWeights]]. The weights ride the
+    * plan as a reference object (like the ArrayType literal of the retired
+    * `aggregate(js, 0L, acc + element_at(w, j+1))` fold — but that fold
+    * was an interpreted HOF, a per-element lambda dispatch per document
+    * per gradient step), so the generated source is identical across steps
+    * and the codegen cache hits from step 2 on. `w.clone()` decouples the
+    * plan from [[trainState]]'s in-place weight updates — each step's
+    * expression must pin that step's model state.
     */
-  private def zQ(w: Array[Long]): Column = {
-    val warr = typedlit(w.toIndexedSeq)
-    aggregate(col("js"), lit(0L),
-      (acc, j) => acc + element_at(warr, j + 1))
-  }
+  private def zQ(w: Array[Long]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.DotWeights(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("js")),
+        w.clone()))
 
   /** The h116 operator: train a hashed-bigram logistic (hard-sigmoid)
     * quality classifier with `steps` full-batch gradient steps against the
@@ -284,12 +323,7 @@ object Classifier {
       .filter(size(col("__toks")) >= 2)
       .select(col(idCol),
         array(seedRules.map(r => r(col("__toks")).cast("int")): _*).as("ys"),
-        concat(
-          array_sort(array_distinct(transform(
-            TextOps.shingles2(col("__toks")),
-            bg => (conv(substring(md5(bg), 1, 4), 16, 10).cast("long")
-              % nBuckets).cast("int")))),
-          array(lit(nBuckets))).as("js"))
+        bigramBuckets(col("__toks"), nBuckets).as("js"))
   }
 
   /** Train K heads in the [[trainState]] loop structure, ONE corpus scan
@@ -317,11 +351,13 @@ object Classifier {
     val rows = hashedBigramRowsMulti(src, idCol, textCol, seedRules, nBuckets)
       .localCheckpoint(eager = false)
     val n = rows.count()
+    // ordinals: 0 = id, 1 = ys (array<int>, one label per head), 2 = js
+    val rdd = rows.queryExecution.toRdd
     val k = seedRules.size
     val w = Array.fill(k)(Array.fill(nBuckets + 1)(0L))
     if (n > 0) {
       for (_ <- 1 to steps) {
-        val g = gradientMulti(rows, w)
+        val g = gradientMulti(rdd, w)
         val d = 2L * n
         var h = 0
         while (h < k) {
@@ -338,32 +374,51 @@ object Classifier {
     (w, rows, n)
   }
 
-  /** One step's K gradient vectors in one pass: K error terms in their OWN
-    * projection below the explode (the [[gradient]] doctrine — fused into
-    * the Generate they would re-evaluate per exploded row), one explode,
-    * one groupBy(j) with K sums, one (nBuckets+1)-row collect.
+  /** One step's K gradient vectors in ONE STAGE — [[gradient]]'s
+    * RDD.aggregate shape with K partial arrays per partition (the bucket
+    * set is walked once per head against that head's pinned weights; K
+    * error terms accumulate into K arrays). Task results are K·(nBuckets+1)
+    * longs — still model-sized driver traffic. Bit-identical to K
+    * independent single-head steps (ClassifierSpec pins it).
     */
-  private def gradientMulti(rows: DataFrame,
+  private def gradientMulti(rdd: org.apache.spark.rdd.RDD[
+      org.apache.spark.sql.catalyst.InternalRow],
       w: Array[Array[Long]]): Array[Array[Long]] = {
     val k = w.length
-    val g = Array.fill(k)(Array.fill(w(0).length)(0L))
-    val errCols = (0 until k).map(h =>
-      (hardSigmoidQ(zQ(w(h))) -
-        element_at(col("ys"), h + 1).cast("long") * Micro).as(s"__e$h"))
-    rows
-      .select(errCols :+ col("js"): _*)
-      .select(explode(col("js")).as("j") +:
-        (0 until k).map(h => col(s"__e$h")): _*)
-      .groupBy("j")
-      .agg(sum(col("__e0")).as("g0"),
-        (1 until k).map(h => sum(col(s"__e$h")).as(s"g$h")): _*)
-      .collect()
-      .foreach { r =>
-        val j = r.getInt(0)
+    val len = w(0).length
+    val wCur = w.map(_.clone())
+    val micro = Micro
+    rdd.aggregate(Array.fill(k)(new Array[Long](len)))(
+      (g, row) => {
+        val ys = row.getArray(1)
+        val js = row.getArray(2)
+        val m = js.numElements()
         var h = 0
-        while (h < k) { g(h)(j) = r.getLong(h + 1); h += 1 }
-      }
-    g
+        while (h < k) {
+          val wh = wCur(h)
+          var z = 0L
+          var i = 0
+          while (i < m) { z += wh(js.getInt(i)); i += 1 }
+          val p = math.min(micro,
+            math.max(0L, Math.floorDiv(z + 2L * micro, 4L)))
+          val err = p - ys.getInt(h).toLong * micro
+          val gh = g(h)
+          i = 0
+          while (i < m) { gh(js.getInt(i)) += err; i += 1 }
+          h += 1
+        }
+        g
+      },
+      (a, b) => {
+        var h = 0
+        while (h < k) {
+          val ah = a(h); val bh = b(h)
+          var j = 0
+          while (j < len) { ah(j) += bh(j); j += 1 }
+          h += 1
+        }
+        a
+      })
   }
 
   /** The h121 operator — a ONE-VS-REST policy filter bank from the same

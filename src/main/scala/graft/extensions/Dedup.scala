@@ -657,11 +657,17 @@ object Dedup {
   def verifiedNearDupScores(reps: DataFrame, idCol: String, textCol: String,
       minJaccardQ: Long, numHashes: Int = 16, bands: Int = 4,
       persistShingles: Boolean = false): DataFrame = {
-    val cand = lshCandidatePairs(reps, idCol, textCol, numHashes, bands)
-    val ds0 = reps
-      .select(col(idCol).as("doc"),
-        explode(TextOps.shingles3(TextOps.tokens(col(textCol)))).as("sh"))
-      .select(col("doc"), xxhash64(col("sh")).as("sh"))
+    // ONE tokenize+shingle pass feeds BOTH consumers (the MinHash signature
+    // scan and the exact-Jaccard verify's distinct shingle set) via a
+    // lazily-materialized shingle relation — the pre-round-21 form re-ran
+    // the regex tokenizer + shingle zip over the corpus once per consumer
+    // (guide §1.2 step 1: don't compute things twice). At 100 TB this
+    // relation is the materialized shingle table the scaladoc posture
+    // names ([[shingleRows]]); localCheckpoint is its single-job analog.
+    val rows = shingleRows(reps, idCol, textCol).localCheckpoint(eager = false)
+    val cand = lshCandidatePairsFromShingles(rows, idCol, numHashes, bands)
+    val ds0 = rows
+      .select(col(idCol).as("doc"), xxhash64(col("shingle")).as("sh"))
       .distinct()
     val ds = if (persistShingles) ds0.persist() else ds0
     val sizes = ds.groupBy("doc").agg(count(lit(1)).as("n"))

@@ -86,6 +86,20 @@ case class MediaMjpegVerify(media_id: Long, width: Long, height: Long,
   */
 object Multimodal {
 
+  /** Repartition a narrower-than-cluster relation before a per-row codec
+    * pass (round 21, the Classifier.trainState guard applied to the media
+    * path): the fixture corpus is a single parquet file, so every
+    * encode/decode mapPartitions otherwise serializes through ONE task —
+    * measured 2.4 s single-core vs ~0.3 s wide on h102's JPEG verify.
+    * Conditional, so an already-wide media table pays no exchange; row
+    * placement cannot affect results (all codec passes are per-row, all
+    * declared outputs totally ordered).
+    */
+  private def widen(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** Codec contract: one instance is created per partition (cheap here; a
     * real codec would hold native handles — hence per-partition, not per-row).
     */
@@ -612,7 +626,8 @@ object Multimodal {
     */
   def toAviMedia(docs: DataFrame, idCol: String): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
-    docs.select(col(idCol).cast("long").as("media_id")).as[Long](Encoders.scalaLong)
+    widen(docs.select(col(idCol).cast("long").as("media_id")))
+      .as[Long](Encoders.scalaLong)
       .mapPartitions(it => it.map { id =>
         val w = (4 + id % 5).toInt; val h = (3 + id % 4).toInt
         val nf = (2 + id % 3).toInt
@@ -682,7 +697,8 @@ object Multimodal {
     */
   def toMjpegMedia(docs: DataFrame, idCol: String): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
-    docs.select(col(idCol).cast("long").as("media_id")).as[Long](Encoders.scalaLong)
+    widen(docs.select(col(idCol).cast("long").as("media_id")))
+      .as[Long](Encoders.scalaLong)
       .mapPartitions(it => it.map { id =>
         val w = (8 + id % 5).toInt; val h = (6 + id % 4).toInt
         val nf = (2 + id % 3).toInt
@@ -751,7 +767,12 @@ object Multimodal {
     require(targetW > 0 && targetH > 0)
     implicit val enc = Encoders.product[MediaRow]
     media.mapPartitions(it => it.map { m =>
-      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+      // memory-cached stream like ImageIoCodec.read: ImageIO.read over a
+      // raw InputStream defaults to a FileCacheImageInputStream — one temp
+      // FILE per decode, a filesystem bottleneck once the pass runs wide
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(m.payload))
+      val src = javax.imageio.ImageIO.read(in)
       require(src != null, "no ImageIO reader recognized the payload")
       val w = src.getWidth; val h = src.getHeight
       val dst = new java.awt.image.BufferedImage(
@@ -818,7 +839,8 @@ object Multimodal {
     */
   def toWavMedia(docs: DataFrame, idCol: String): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
-    docs.select(col(idCol).cast("long").as("media_id")).as[Long](Encoders.scalaLong)
+    widen(docs.select(col(idCol).cast("long").as("media_id")))
+      .as[Long](Encoders.scalaLong)
       .mapPartitions(it => it.map { id =>
         val n = (50 + id % 50).toInt
         val out = new Array[Byte](44 + 2 * n)
@@ -898,7 +920,8 @@ object Multimodal {
     */
   def toPngMedia(docs: DataFrame, idCol: String): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
-    docs.select(col(idCol).cast("long").as("media_id")).as[Long](Encoders.scalaLong)
+    widen(docs.select(col(idCol).cast("long").as("media_id")))
+      .as[Long](Encoders.scalaLong)
       .mapPartitions(it => it.map { id =>
         val w = (4 + id % 5).toInt; val h = (3 + id % 4).toInt
         val img = new java.awt.image.BufferedImage(
@@ -948,7 +971,8 @@ object Multimodal {
     */
   def toBmpMedia(docs: DataFrame, idCol: String): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
-    docs.select(col(idCol).cast("long").as("media_id")).as[Long](Encoders.scalaLong)
+    widen(docs.select(col(idCol).cast("long").as("media_id")))
+      .as[Long](Encoders.scalaLong)
       .mapPartitions(it => it.map { id =>
         val w = (4 + id % 5).toInt; val h = (3 + id % 4).toInt
         MediaRow(id, "image",
@@ -979,12 +1003,12 @@ object Multimodal {
     */
   def toMedia(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
-    docs.select(
+    widen(docs.select(
       col(idCol).cast("long").as("media_id"),
       when(col(idCol) % 3 === 0, "image")
         .when(col(idCol) % 3 === 1, "audio")
         .otherwise("video").as("kind"),
-      encode(col(textCol), "UTF-8").as("payload")).as[MediaRow]
+      encode(col(textCol), "UTF-8").as("payload"))).as[MediaRow]
   }
 
   /** Materialize a media table as real `(media_id, kind, payload binary)`
@@ -996,7 +1020,11 @@ object Multimodal {
   def roundTripParquet(media: Dataset[MediaRow], path: String): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
     media.toDF().write.mode("overwrite").parquet(path)
-    media.sparkSession.read.parquet(path).as[MediaRow]
+    // the read-back is widened like the constructors: small fixture files
+    // pack into one or two splits (openCostInBytes batching), which would
+    // serialize every downstream decode pass through one task — a real
+    // media table's splits already exceed the cluster and skip this
+    widen(media.sparkSession.read.parquet(path)).as[MediaRow]
   }
 
   /** Decode pass: binary → typed metadata. Iterator-to-iterator (no partition

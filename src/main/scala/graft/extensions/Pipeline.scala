@@ -124,15 +124,32 @@ object Pipeline {
     // column instead of a fresh regex-tokenize pass per stage (six corpus
     // scans of the most expensive scan-side op, for numbers that cannot
     // change after this projection)
-    val base = docs.select(col(idCol), col(textCol), col(domainCol),
-      coalesce(size(TextOps.tokens(col(textCol))), lit(0)).cast("long")
-        .as("__ntok"))
+    // Stage-0 relation (round 21): repartition a narrower-than-cluster
+    // input FIRST (the Classifier.trainState lesson — a single-file corpus
+    // otherwise serializes every scan-side signal through one task), then
+    // compute the carried token count AND the stage-1 keep verdict in one
+    // layered projection pass ([[TextAnalysis.withCleanKeep]] — the same
+    // signal builders as the h22 audit relation, so the gate cannot
+    // drift), and checkpoint it. The checkpoint is load-bearing twice:
+    // it stops Catalyst from pushing the keep filter back below the
+    // repartition onto the single-partition scan, and stage 1 plus the
+    // sIn ledger cell read the materialized rows instead of re-running
+    // the tokenizer. The pre-round-21 form paid a corpus-token aggregate
+    // exchange (the old langId), a corpus self-join (langId ⋈ quality),
+    // and a third corpus join (base ⋈ keep-ids) — three exchanges for a
+    // per-row predicate (guide §2.4).
+    val par = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val src = if (docs.rdd.getNumPartitions < par) docs.repartition(par)
+              else docs
+    val base = TextAnalysis.withCleanKeep(
+      src.select(col(idCol), col(textCol), col(domainCol),
+        coalesce(size(TextOps.tokens(col(textCol))), lit(0)).cast("long")
+          .as("__ntok")),
+      textCol, "__keep").localCheckpoint(eager = false)
 
-    // 1 — clean
-    val cleanDocs = base
-      .join(TextAnalysis.cleanCorpus(docs, idCol, textCol)
-        .filter(col("keep")).select(col(idCol)), idCol)
-      .persist()
+    // 1 — clean: a cheap filter over the checkpointed stage-0 rows (every
+    // signal was computed there, once per document)
+    val cleanDocs = base.filter(col("__keep")).drop("__keep")
 
     // 2 — exact collapse among clean docs (Dedup.exactReps' plan, carrying
     // the domain column through)
@@ -223,48 +240,73 @@ object Pipeline {
         coalesce(sum(col("__ntok")), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
-    val sIn = stat(base)
-    val sClean = stat(cleanDocs)
-    val sReps = stat(repDocs)
-    val sKept = stat(keptDocs)
-    val sGated = stat(gatedDocs)
-    val sTrain = stat(trainDocs)
+    // The manifest aggregate runs FIRST and alone: it is the deepest chain,
+    // and its one action pins every still-lazy stage checkpoint (trainDocs
+    // ← gatedDocs ← effSplit ← moves) so the ledger cells that follow read
+    // pinned blocks instead of racing to materialize shared lineage.
     val mRow = manifest.agg(
       coalesce(sum(col("n_docs")), lit(0L)),
       coalesce(sum(col("n_tokens")), lit(0L)),
       count(lit(1))).head()
     val sManifest = (mRow.getLong(0), mRow.getLong(1))
     val dShards = mRow.getLong(2)
-    val dPairs = pairs.filter(col("jacc_q") >= dedupJaccQ).count()
-    val dTrainRaw = rawSplit.filter(col("split") === "train").count()
-    val dMoves = moves.count()
-    val dDomains = mix.count()
+    // The remaining ten cells are INDEPENDENT tiny aggregates over pinned
+    // relations — submitted concurrently from a bounded pool (guide §2.6:
+    // actions are only sequential because the driver calls them
+    // sequentially; each next job's tasks back-fill the previous job's
+    // straggler tail). Results are exact integer aggregates, so submission
+    // order cannot change a single bit of the ledger.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    try {
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val fIn = Future(stat(base))
+      val fClean = Future(stat(cleanDocs))
+      val fReps = Future(stat(repDocs))
+      val fKept = Future(stat(keptDocs))
+      val fGated = Future(stat(gatedDocs))
+      val fTrain = Future(stat(trainDocs))
+      val fPairs = Future(pairs.filter(col("jacc_q") >= dedupJaccQ).count())
+      val fTrainRaw = Future(rawSplit.filter(col("split") === "train").count())
+      val fMoves = Future(moves.count())
+      val fDomains = Future(mix.count())
+      val sIn = Await.result(fIn, Duration.Inf)
+      val sClean = Await.result(fClean, Duration.Inf)
+      val sReps = Await.result(fReps, Duration.Inf)
+      val sKept = Await.result(fKept, Duration.Inf)
+      val sGated = Await.result(fGated, Duration.Inf)
+      val sTrain = Await.result(fTrain, Duration.Inf)
+      val dPairs = Await.result(fPairs, Duration.Inf)
+      val dTrainRaw = Await.result(fTrainRaw, Duration.Inf)
+      val dMoves = Await.result(fMoves, Duration.Inf)
+      val dDomains = Await.result(fDomains, Duration.Inf)
 
-    // every ledger cell is now collected — release the persisted stage
-    // relations so a long-lived session (Bench runs 178 queries in one
-    // JVM) does not carry this pipeline's caches forward; the checkpointed
-    // stage RDDs are reclaimed by the ContextCleaner once this method's
-    // references drop
-    cleanDocs.unpersist(blocking = false)
-    repDocs.unpersist(blocking = false)
+      // every ledger cell is now collected — release the persisted stage
+      // relation so a long-lived session (Bench runs 179 queries in one
+      // JVM) does not carry this pipeline's caches forward; the checkpointed
+      // stage RDDs (base included) are reclaimed by the ContextCleaner once
+      // this method's references drop
+      repDocs.unpersist(blocking = false)
 
-    val rows = Seq(
-      (0, "input", sIn, sIn, 0L),
-      (1, "clean", sIn, sClean, 0L),
-      (2, "exact_dedup", sClean, sReps, 0L),
-      (3, "near_dedup", sReps, sKept, dPairs),
-      (4, "split", sKept, sKept, dTrainRaw),
-      (5, "leak_repair", sKept, sKept, dMoves),
-      (6, "quality_gate", sKept, sGated, 0L),
-      (7, "mix_weights", sGated, sGated, dDomains),
-      (8, "train_select", sGated, sTrain, 0L),
-      (9, "export", sTrain, sManifest, dShards))
-    val sp = docs.sparkSession
-    import sp.implicits._
-    val audit = rows.map { case (i, name, in, out, detail) =>
-      (i, name, in._1, out._1, in._2, out._2, detail)
-    }.toDF("stage_idx", "stage", "docs_in", "docs_out", "tokens_in",
-      "tokens_out", "detail")
-    CurationResult(audit, trainDocs.drop("__ntok"), effSplit, mix, manifest)
+      val rows = Seq(
+        (0, "input", sIn, sIn, 0L),
+        (1, "clean", sIn, sClean, 0L),
+        (2, "exact_dedup", sClean, sReps, 0L),
+        (3, "near_dedup", sReps, sKept, dPairs),
+        (4, "split", sKept, sKept, dTrainRaw),
+        (5, "leak_repair", sKept, sKept, dMoves),
+        (6, "quality_gate", sKept, sGated, 0L),
+        (7, "mix_weights", sGated, sGated, dDomains),
+        (8, "train_select", sGated, sTrain, 0L),
+        (9, "export", sTrain, sManifest, dShards))
+      val sp = docs.sparkSession
+      import sp.implicits._
+      val audit = rows.map { case (i, name, in, out, detail) =>
+        (i, name, in._1, out._1, in._2, out._2, detail)
+      }.toDF("stage_idx", "stage", "docs_in", "docs_out", "tokens_in",
+        "tokens_out", "detail")
+      CurationResult(audit, trainDocs.drop("__ntok"), effSplit, mix, manifest)
+    } finally pool.shutdown()
   }
 }

@@ -12,31 +12,47 @@ object TextAnalysis {
 
   /** Language-ID heuristic: count per-language marker-word hits and pick the
     * argmax (ties broken by language code; all-zero → "und"). Deliberately
-    * simple and deterministic — the point is the distributed shape (a wide
-    * scored projection + greatest-of), not linguistic accuracy.
+    * simple and deterministic — the point is the distributed shape (a pure
+    * per-row projection), not linguistic accuracy.
+    *
+    * Round-21 shape: language ID is a strictly PER-DOCUMENT statistic, so
+    * it runs inside the row via the native codegen'd
+    * [[graft.functions.MarkerHits]] — ZERO exchanges at any corpus size.
+    * (The previous formulation exploded (doc, token) rows and summed five
+    * conditional CASE columns through a two-level hash aggregate — a
+    * corpus-token-sized shuffle for a per-doc function, the exact shape
+    * [[graft.functions.SimHashLong]] already retired for SimHash. The h10
+    * oracle pins hit counts, argmax, tie-break, and the zero-token "und"
+    * row-for-row.)
     */
-  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // explode_outer keeps zero-token docs (one null-token row → 0 hits →
-    // "und"); marker hits for all languages come from ONE pass over token
-    // rows with codegen'd conditional sums, instead of one interpreted HOF
-    // filter per language over the token array.
-    val tokRows = docs.select(col(idCol),
-      explode_outer(TextOps.tokens(col(textCol))).as("__tok"))
-    val hitCols = TextOps.langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
-      sum(when(col("__tok").isin(words: _*), 1).otherwise(0)).as(s"hits_$lang")
-    }
-    val scored = tokRows.groupBy(col(idCol)).agg(hitCols.head, hitCols.tail: _*)
-    val langs = TextOps.langMarkers.keys.toSeq.sorted
-    // argmax via a packed (hits, -ord) struct comparison: greatest hit count,
-    // ties to the alphabetically-first language.
-    val packed = array(langs.zipWithIndex.map { case (l, i) =>
-      struct(col(s"hits_$l").as("h"), lit(-i).as("nord"), lit(l).as("lang"))
-    }: _*)
-    scored
-      .withColumn("best", array_max(packed))
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        langBest(TextOps.tokens(col(textCol))).as("__best"))
       .select(col(idCol),
-        when(col("best.h") > 0, col("best.lang")).otherwise("und").as("lang_guess"),
-        col("best.h").as("marker_hits"))
+        when(col("__best").getField("h") > 0, col("__best").getField("lang"))
+          .otherwise("und").as("lang_guess"),
+        col("__best").getField("h").as("marker_hits"))
+
+  /** Per-row language argmax as a (h:long, nord, lang) struct over the
+    * marker-hit counts of the token array — the ONE definition [[langId]]
+    * and [[cleanCorpus]] both select from, so the operator and the
+    * composed gate cannot drift. Null/zero-token docs yield h = 0 (the
+    * caller maps h = 0 → "und"), mirroring the retired explode_outer row.
+    * Argmax via array_max over packed (hits, -ord, lang) structs: greatest
+    * hit count, ties to the alphabetically-first language.
+    */
+  private def langBest(toks: Column): Column = {
+    val langs = TextOps.langMarkers.keys.toSeq.sorted
+    val hits = coalesce(
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.MarkerHits(
+          org.apache.spark.sql.GraftColumnBridge.expression(toks),
+          langs.map(TextOps.langMarkers))),
+      typedlit(Seq.fill(langs.size)(0)))
+    array_max(array(langs.zipWithIndex.map { case (l, i) =>
+      struct(hits.getItem(i).cast("long").as("h"), lit(-i).as("nord"),
+        lit(l).as("lang"))
+    }: _*))
   }
 
   /** Quality signals: token count, mean token length, stopword ratio,
@@ -57,23 +73,37 @@ object TextAnalysis {
           when(col("n_tokens") === 0, lit(0.0)).otherwise(
             (length(TextOps.normalized(col("__text"))) - (col("n_tokens") - 1)) /
               col("n_tokens").cast("double")), 4))
-      .withColumn("stopword_ratio",
-        Det.floorRound(TextOps.markerHits(col("__toks"), TextOps.enStopwords) /
-          greatest(col("n_tokens"), lit(1L)).cast("double"), 4))
-      .withColumn("alpha_ratio",
-        Det.floorRound(length(regexp_replace(lower(col("__text")), "[^a-z]", "")) /
-          greatest(col("n_chars"), lit(1L)).cast("double"), 4))
-      // floor(x*1e4+0.5)/1e4 instead of round(): the composite's inputs are
-      // already-rounded values, so it lands exactly on .xxxx5 often — where
-      // Spark's decimal-string rounding and DuckDB's binary rounding diverge.
-      // The floor formula is the same double ops in both engines.
+      .withColumn("stopword_ratio", stopwordRatioC(col("__toks"), col("n_tokens")))
+      .withColumn("alpha_ratio", alphaRatioC(col("__text"), col("n_chars")))
       .withColumn("quality_score",
-        Det.floorRound(least(col("n_tokens") / lit(64.0), lit(1.0)) * 0.5 +
-          col("alpha_ratio") * 0.3 +
-          least(col("stopword_ratio") * lit(4.0), lit(1.0)) * 0.2, 4))
+        qualityCompositeC(col("n_tokens"), col("alpha_ratio"),
+          col("stopword_ratio")))
       .select(idCol, "n_tokens", "mean_tok_len", "stopword_ratio",
         "alpha_ratio", "quality_score")
   }
+
+  /** The quality-signal column builders — ONE definition each, selected by
+    * [[qualityScore]], [[cleanCorpus]], and [[cleanKeep]] so the operator,
+    * the composed gate, and the pipeline predicate compute bit-identical
+    * signals.
+    */
+  private def stopwordRatioC(toks: Column, nTokens: Column): Column =
+    Det.floorRound(TextOps.markerHits(toks, TextOps.enStopwords) /
+      greatest(nTokens, lit(1L)).cast("double"), 4)
+
+  private def alphaRatioC(text: Column, nChars: Column): Column =
+    Det.floorRound(length(regexp_replace(lower(text), "[^a-z]", "")) /
+      greatest(nChars, lit(1L)).cast("double"), 4)
+
+  // floor(x*1e4+0.5)/1e4 instead of round(): the composite's inputs are
+  // already-rounded values, so it lands exactly on .xxxx5 often — where
+  // Spark's decimal-string rounding and DuckDB's binary rounding diverge.
+  // The floor formula is the same double ops in both engines.
+  private def qualityCompositeC(nTokens: Column, alphaRatio: Column,
+      stopwordRatio: Column): Column =
+    Det.floorRound(least(nTokens / lit(64.0), lit(1.0)) * 0.5 +
+      alphaRatio * 0.3 +
+      least(stopwordRatio * lit(4.0), lit(1.0)) * 0.2, 4)
 
   /** Token counting three ways: whitespace tokens, regex word tokens
     * (BPE-ish `[a-z0-9]+` pieces), and the chars/4 BPE approximation.
@@ -104,23 +134,70 @@ object TextAnalysis {
     * verdict, so the caller can audit rejections — filtering to `keep` is
     * one more predicate.
     *
-    * One scan composes the langId and qualityScore shapes (two aggregates
-    * over the same token rows joined on the doc id); at 100 TB both are
-    * partial-aggregated map-side and the join is co-partitioned on the id.
+    * Round-21 shape: ONE projection over ONE scan — every signal (language
+    * argmax, token count, quality composite) is a per-row function, so the
+    * previous langId ⋈ qualityScore formulation paid a corpus-token
+    * aggregate exchange plus a corpus-sized self-join exchange pair for
+    * per-row work (guide §2.4: remove shuffles outright). Signals come
+    * from the SAME private builders [[langId]] and [[qualityScore]] select
+    * ([[langBest]], [[stopwordRatioC]]/[[alphaRatioC]]/[[qualityCompositeC]]),
+    * so the fused gate cannot drift from the standalone operators; the h22
+    * oracle pins every column row-for-row.
     */
   def cleanCorpus(docs: DataFrame, idCol: String, textCol: String,
       allowedLangs: Seq[String] = Seq("en"), minQuality: Double = 0.5,
-      minTokens: Long = 10L, maxTokens: Long = 100000L): DataFrame = {
-    val lang = langId(docs, idCol, textCol)
-    val quality = qualityScore(docs, idCol, textCol)
-    lang.join(quality, idCol)
+      minTokens: Long = 10L, maxTokens: Long = 100000L): DataFrame =
+    docs
+      .select(col(idCol), col(textCol).as("__text"),
+        TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), langBest(col("__toks")).as("__best"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        col("__text"), col("__toks"))
+      .select(col(idCol),
+        when(col("__best").getField("h") > 0, col("__best").getField("lang"))
+          .otherwise("und").as("lang_guess"),
+        col("n_tokens"),
+        qualityCompositeC(col("n_tokens"),
+          alphaRatioC(col("__text"), length(col("__text")).cast("long")),
+          stopwordRatioC(col("__toks"), col("n_tokens"))).as("quality_score"))
       .withColumn("keep",
         col("lang_guess").isin(allowedLangs: _*) &&
           col("quality_score") >= minQuality &&
           col("n_tokens").between(minTokens, maxTokens))
-      .select(col(idCol), col("lang_guess"), col("n_tokens"),
-        col("quality_score"), col("keep"))
-  }
+
+  /** Append [[cleanCorpus]]' keep verdict to `df` as boolean column
+    * `keepName` — the scan-side form a composed pipeline (h122 stage 1)
+    * filters with directly, instead of joining the corpus against the
+    * audit relation. Built from the same private signal builders as the
+    * audit column, so the two cannot disagree.
+    *
+    * LAYERED projections, deliberately not one fused boolean expression: a
+    * single expression tree repeats the token array once per reference
+    * (the regex tokenizer ~10×/row — measured 3.0 s vs 0.35 s for the
+    * projection form at sf0.1, single partition), because codegen
+    * subexpression elimination does not reach across the nested
+    * conditional branches, while CollapseProject leaves a multi-referenced
+    * non-cheap ALIAS in its own projection where it evaluates once.
+    */
+  private[graft] def withCleanKeep(df: DataFrame, textCol: String,
+      keepName: String, allowedLangs: Seq[String] = Seq("en"),
+      minQuality: Double = 0.5, minTokens: Long = 10L,
+      maxTokens: Long = 100000L): DataFrame =
+    df
+      .withColumn("__ck_toks", TextOps.tokens(col(textCol)))
+      .withColumn("__ck_nt", size(col("__ck_toks")).cast("long"))
+      .withColumn("__ck_best", langBest(col("__ck_toks")))
+      .withColumn("__ck_q",
+        qualityCompositeC(col("__ck_nt"),
+          alphaRatioC(col(textCol), length(col(textCol)).cast("long")),
+          stopwordRatioC(col("__ck_toks"), col("__ck_nt"))))
+      .withColumn(keepName,
+        when(col("__ck_best").getField("h") > 0,
+          col("__ck_best").getField("lang")).otherwise("und")
+          .isin(allowedLangs: _*) &&
+          col("__ck_q") >= minQuality &&
+          col("__ck_nt").between(minTokens, maxTokens))
+      .drop("__ck_toks", "__ck_nt", "__ck_best", "__ck_q")
 
   /** TF-IDF top-k terms per document — the keyword-extraction pass a
     * training-data pipeline uses for topic tagging and boilerplate
@@ -779,15 +856,20 @@ object TextAnalysis {
       .select(col(idCol), col(langCol).as("lang_true"),
         TextOps.normalized(col(textCol)).as("__t"))
       .filter(length(col("__t")) >= 3)
-    // the lambda reads only the projected __t ATTRIBUTE (no captured
-    // expression recompute — the bpePairStats doctrine); the md5-bucket
-    // runs INSIDE the explode projection, so raw trigram strings never
-    // leave the scan stage
+    // the per-document histogram is computed INSIDE the row by the native
+    // codegen'd TrigramBuckets (md5 over byte slices, sort + RLE — no
+    // per-trigram string, no hex detour), then exploded to (b, cnt) rows:
+    // the retired form exploded one row per TRIGRAM through an interpreted
+    // transform(sequence) lambda and paid a corpus-trigram-sized exchange
+    // for groupBy(doc, b).count() — a strictly per-row statistic (the
+    // SimHashLong doctrine; bit-identical rows, pinned by the h117 oracle)
     base.select(col(idCol), col("lang_true"),
-        explode(transform(sequence(lit(1), length(col("__t")) - 2),
-          i => (conv(substring(md5(col("__t").substr(i, lit(3))), 1, 4),
-            16, 10).cast("long") % nBuckets).cast("int"))).as("b"))
-      .groupBy(col(idCol), col("lang_true"), col("b"))
-      .agg(count(lit(1)).as("cnt"))
+        explode(org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.TrigramBuckets(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("__t")),
+            nBuckets))).as("__e"))
+      .select(col(idCol), col("lang_true"),
+        col("__e").getField("b").as("b"),
+        col("__e").getField("cnt").as("cnt"))
   }
 }

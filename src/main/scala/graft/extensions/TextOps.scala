@@ -87,7 +87,15 @@ object TextOps {
   /** English stopwords used by the quality score. */
   val enStopwords: Seq[String] = langMarkers("en")
 
-  /** Count of tokens that appear in `words`. */
+  /** Count of tokens that appear in `words` — the native codegen'd
+    * [[graft.functions.MarkerHits]] with one set (the HOF form
+    * `size(filter(toks, isin(words)))` it replaces is CodegenFallback —
+    * interpreted per element; identical semantics including null array →
+    * null and null elements counting as no-hit).
+    */
   def markerHits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words: _*)))
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.MarkerHits(
+        org.apache.spark.sql.GraftColumnBridge.expression(toks),
+        Seq(words))).getItem(0)
 }

@@ -123,7 +123,12 @@ object GroupH16 {
       |  s.n_hot_buckets, s.cand_pairs, rec.recall_q
       |FROM stats s JOIN rec ON rec.r = s.r
       |ORDER BY rows_per_band""".stripMargin) { (s, d) =>
-    graft.extensions.Dedup.lshPlan(Tables.documents(s, d), "doc_id", "text")
+    // rides the shared shingle relation (DupGraph memoizes it under Bench's
+    // materialize opt-in; Verify builds it fresh) — the planner's whole
+    // point is to profile BEFORE the dedup run, over the same shingle
+    // table that run will consume
+    graft.extensions.Dedup.lshPlanFromShingles(
+        DupGraph.shingleRows(s, d), "doc_id")
       .orderBy("rows_per_band")
   }
 
