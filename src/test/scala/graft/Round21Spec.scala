@@ -105,7 +105,13 @@ class Round21Spec extends SparkSpec {
       explode(GraftColumnBridge.column(TrigramBuckets(
         GraftColumnBridge.expression(col("t")), nBuckets))).as("e"))
       .select(col("id"), col("e.b"), col("e.cnt"))
-    val retired = data.select(col("id"),
+    // Equivalence domain is length >= 3 — the declared query path (h117's
+    // nbLangId) filters `length(__t) >= 3` BEFORE this expression. Below 3
+    // chars the retired SQL form is junk, not a reference: sequence(1, 0)
+    // DESCENDS ([1,0]) and emits two bogus whole-string trigram rows, while
+    // the native form correctly returns an empty histogram (asserted
+    // separately below).
+    val retired = data.filter(length(col("t")) >= 3).select(col("id"),
       explode(transform(sequence(lit(1), length(col("t")) - 2),
         i => (conv(substring(md5(col("t").substr(i, lit(3))), 1, 4),
           16, 10).cast("long") % nBuckets).cast("int"))).as("b"))
