@@ -114,20 +114,20 @@ object Bench {
     // The constant is sf0.1-specific BY CONSTRUCTION; at another SF
     // override via env.
     val stallSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_STALL_SEC", "25").toDouble
-    // Scan-split floor (round 21): Spark sizes splits as
-    // max(openCostInBytes, totalBytes / minPartitionNum) capped at
-    // maxPartitionBytes, so the 4 MB default open-cost floor leaves every
-    // sub-4 MB fixture table ONE split — the whole scan-side stage
-    // (tokenize, md5, percentile buffering) of most queries ran
-    // single-task at sf0.1 and could not use added cores (exactly what the
-    // driver's lower-core-count scaling run measures). 512 KB keeps the
-    // formula scale-adaptive: at production sizes bytes/core ≫ 128 MB so
-    // splits stay 128 MB regardless; the floor only matters for small
-    // files, where a modern parquet open costs ~ms, not the HDFS-era
-    // seek+NN-roundtrip the 4 MB default models. Env-overridable; set
-    // SPARK_GRAFT_OPEN_COST=4194304 to restore the stock floor.
+    // Scan-split floor. Round 21 lowered the default to 512 KB on a
+    // plausible scale argument (sub-4 MB fixture tables scan single-task)
+    // but shipped it without an A/B; round 22 ran the control — two full
+    // 32-core benches in one window: 4 MB total 160.7 s vs 512 KB 169.2 s,
+    // geomean speedup of 4 MB over 512 KB 1.045× across all 179 queries
+    // (and r21's 8-core run already beat its 32-core run, the signature of
+    // task-overhead domination). At sf0.1 the per-task overhead of many
+    // sub-MB splits exceeds the parallelism gain, so the STOCK 4 MB floor
+    // is restored as the measured default; at production sizes the floor
+    // is a no-op either way (bytes/core ≫ maxPartitionBytes). Still
+    // env-overridable for scaling probes: SPARK_GRAFT_OPEN_COST=524288
+    // reproduces the round-21 config.
     val openCost = sys.env.getOrElse("SPARK_GRAFT_OPEN_COST",
-      (512 * 1024).toString)
+      (4 * 1024 * 1024).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -371,8 +371,15 @@ object Bench {
     val prefixes = results2.keys.toSeq.map(_.takeWhile(_ != '_'))
     require(prefixes.distinct.size == prefixes.size,
       s"duplicate bench key prefixes: ${prefixes.diff(prefixes.distinct).distinct.mkString(",")}")
+    // Per-query values print at 2 decimals (10 ms) — the driver's stored
+    // artifact keeps only a ~4 KB stdout tail, and the 3-decimal detail
+    // line outgrew it at 179 queries (BENCH_r20's per-query dict survived
+    // only head-truncated, killing PERF_r21's round-over-round geomean).
+    // 10 ms granularity on measurements that are 0.1 s+ with a documented
+    // 22-29% cold-run spread loses nothing the comparison could use; the
+    // headline totals keep 3 decimals.
     val qs = results2.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f3(v)
+      "\"" + k.takeWhile(_ != '_') + "\":" + "%.2f".formatLocal(java.util.Locale.ROOT, v)
     }.mkString("{", ",", "}")
     val total = if (results2.nonEmpty) results2.values.sum else 0.0
     // a crashed/timed-out query records ~0s, and budget-skipped queries are
