@@ -33,12 +33,20 @@ object Mixing {
     * (identical in DuckDB), quantized to micro-units; a document's weight is
     * the exact integer sum Σ m(b)·q(b) over its bucket counts.
     *
-    * 100 TB posture: the (doc, bucket) aggregate is partial-aggregated
-    * scan-side (shuffle volume bounded by per-doc DISTINCT buckets, ≤4096,
-    * not token count); the two LMs derive from ONE pass over that relation
-    * with a conditional sum (no second scan for the target subset); the
-    * per-bucket ratio table is ≤4096 rows and broadcasts back — bounded by
-    * construction, independent of corpus size.
+    * 100 TB posture (round 22): the per-document bucket histogram is a
+    * strictly per-row statistic, so it is computed IN the scan by the
+    * native codegen'd [[graft.functions.TokenBucketCounts]] (bucket = the
+    * md5 first-12-bit integer, the bijective image of the 3-hex-char
+    * prefix — every grouping keyed on it is isomorphic to the hex form the
+    * oracle replays) — no corpus-token explode, no (doc, bucket) aggregate
+    * exchange at all. The exploded histogram relation (rows bounded by
+    * per-doc DISTINCT buckets, ≤4096/doc, not token count) is
+    * localCheckpoint'd once and feeds BOTH consumers — the round-21 form
+    * re-ran tokenize+explode+aggregate per consumer: three scans, six
+    * exchanges for one statistic (guide §1.2 "don't compute twice",
+    * §2.4 remove shuffles). The two LMs derive from one conditional-sum
+    * pass over it; the per-bucket ratio table is ≤4096 rows and broadcasts
+    * back — bounded by construction, independent of corpus size.
     *
     * Output: (doc_id, n_tokens, weight_q, avg_logratio) — `weight_q` the
     * exact micro-unit integer log-weight, `avg_logratio` the per-token
@@ -49,11 +57,13 @@ object Mixing {
     val b = lit(NBuckets.toDouble)
     val docTok = docs
       .select(col(idCol).as("doc_id"), targetPred.as("in_target"),
-        explode(TextOps.tokens(col(textCol))).as("tok"))
+        explode(org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.TokenBucketCounts(
+            org.apache.spark.sql.GraftColumnBridge.expression(
+              TextOps.tokens(col(textCol)))))).as("__e"))
       .select(col("doc_id"), col("in_target"),
-        substring(md5(col("tok")), 1, 3).as("bucket"))
-      .groupBy("doc_id", "in_target", "bucket")
-      .agg(count(lit(1)).as("m"))
+        col("__e.b").as("bucket"), col("__e.cnt").as("m"))
+      .localCheckpoint(eager = false)
     val lm = docTok
       .groupBy("bucket")
       .agg(sum(col("m")).as("cr"),
