@@ -86,14 +86,20 @@ case class MediaMjpegVerify(media_id: Long, width: Long, height: Long,
   */
 object Multimodal {
 
-  /** Repartition a narrower-than-cluster relation before a per-row codec
-    * pass (round 21, the Classifier.trainState guard applied to the media
-    * path): the fixture corpus is a single parquet file, so every
-    * encode/decode mapPartitions otherwise serializes through ONE task —
-    * measured 2.4 s single-core vs ~0.3 s wide on h102's JPEG verify.
-    * Conditional, so an already-wide media table pays no exchange; row
-    * placement cannot affect results (all codec passes are per-row, all
-    * declared outputs totally ordered).
+  /** Repartition a narrower-than-cluster relation before a HEAVY per-row
+    * codec pass: a single-file media table otherwise serializes every
+    * decode through ONE task — measured 2.4 s single-core vs ~0.3 s wide
+    * on h102's per-frame ImageIO JPEG verify. Round-22 scope-tightening
+    * (VERDICT item 3): round 21 applied this to EVERY media constructor
+    * and read-back, which regressed the cheap paths ~2× (h14 0.38→0.80 s,
+    * h100 0.59→1.09 s) — their per-row work is a few-hundred-byte integer
+    * loop, far below the exchange it bought. Now only the ImageIO-bound
+    * passes widen (toMjpegMedia's per-frame JPEG encode; h102's read-back
+    * feeding mjpegVerifyStats' decode+re-encode+decode per frame). At
+    * production scale a real media table's splits already exceed the
+    * cluster and the conditional is a no-op; row placement cannot affect
+    * results (all codec passes are per-row, all declared outputs totally
+    * ordered).
     */
   private def widen(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sessionState.conf.numShufflePartitions
@@ -626,7 +632,7 @@ object Multimodal {
     */
   def toAviMedia(docs: DataFrame, idCol: String): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
-    widen(docs.select(col(idCol).cast("long").as("media_id")))
+    docs.select(col(idCol).cast("long").as("media_id"))
       .as[Long](Encoders.scalaLong)
       .mapPartitions(it => it.map { id =>
         val w = (4 + id % 5).toInt; val h = (3 + id % 4).toInt
@@ -697,6 +703,8 @@ object Multimodal {
     */
   def toMjpegMedia(docs: DataFrame, idCol: String): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
+    // ImageIO-bound constructor (a real JPEG encode per frame) — the one
+    // media fixture builder that keeps the widen() pre-pass (see widen)
     widen(docs.select(col(idCol).cast("long").as("media_id")))
       .as[Long](Encoders.scalaLong)
       .mapPartitions(it => it.map { id =>
@@ -839,7 +847,7 @@ object Multimodal {
     */
   def toWavMedia(docs: DataFrame, idCol: String): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
-    widen(docs.select(col(idCol).cast("long").as("media_id")))
+    docs.select(col(idCol).cast("long").as("media_id"))
       .as[Long](Encoders.scalaLong)
       .mapPartitions(it => it.map { id =>
         val n = (50 + id % 50).toInt
@@ -920,7 +928,7 @@ object Multimodal {
     */
   def toPngMedia(docs: DataFrame, idCol: String): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
-    widen(docs.select(col(idCol).cast("long").as("media_id")))
+    docs.select(col(idCol).cast("long").as("media_id"))
       .as[Long](Encoders.scalaLong)
       .mapPartitions(it => it.map { id =>
         val w = (4 + id % 5).toInt; val h = (3 + id % 4).toInt
@@ -971,7 +979,7 @@ object Multimodal {
     */
   def toBmpMedia(docs: DataFrame, idCol: String): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
-    widen(docs.select(col(idCol).cast("long").as("media_id")))
+    docs.select(col(idCol).cast("long").as("media_id"))
       .as[Long](Encoders.scalaLong)
       .mapPartitions(it => it.map { id =>
         val w = (4 + id % 5).toInt; val h = (3 + id % 4).toInt
@@ -1003,12 +1011,12 @@ object Multimodal {
     */
   def toMedia(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
-    widen(docs.select(
+    docs.select(
       col(idCol).cast("long").as("media_id"),
       when(col(idCol) % 3 === 0, "image")
         .when(col(idCol) % 3 === 1, "audio")
         .otherwise("video").as("kind"),
-      encode(col(textCol), "UTF-8").as("payload"))).as[MediaRow]
+      encode(col(textCol), "UTF-8").as("payload")).as[MediaRow]
   }
 
   /** Materialize a media table as real `(media_id, kind, payload binary)`
@@ -1016,15 +1024,20 @@ object Multimodal {
     * performs between acquisition and processing (parquet stores the payload
     * as BYTE_ARRAY; the read-back is the fixture every downstream operator
     * sees). Write + scan both stream; nothing driver-side.
+    *
+    * `wide = true` widens the read-back before a HEAVY downstream decode
+    * pass (small fixture files pack into one or two splits under
+    * openCostInBytes batching, serializing the decode through one task) —
+    * opt-in per call site because the exchange only pays for itself when
+    * the per-row work is ImageIO-sized, not an integer byte loop (see
+    * [[widen]]).
     */
-  def roundTripParquet(media: Dataset[MediaRow], path: String): Dataset[MediaRow] = {
+  def roundTripParquet(media: Dataset[MediaRow], path: String,
+      wide: Boolean = false): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
     media.toDF().write.mode("overwrite").parquet(path)
-    // the read-back is widened like the constructors: small fixture files
-    // pack into one or two splits (openCostInBytes batching), which would
-    // serialize every downstream decode pass through one task — a real
-    // media table's splits already exceed the cluster and skip this
-    widen(media.sparkSession.read.parquet(path)).as[MediaRow]
+    val back = media.sparkSession.read.parquet(path)
+    (if (wide) widen(back) else back).as[MediaRow]
   }
 
   /** Decode pass: binary → typed metadata. Iterator-to-iterator (no partition

@@ -546,7 +546,11 @@ object GroupH12 {
     val fixture = s"${System.getProperty("java.io.tmpdir")}/graft_mjpeg_fixture_" +
       s"${sfTag}_pid${ProcessHandle.current().pid()}"
     Multimodal.mjpegVerifyStats(
-        Multimodal.roundTripParquet(media, fixture), frameStride = 2)
+        // wide: the verify pass decodes + re-encodes + decodes a JPEG per
+        // sampled frame through ImageIO — the one read-back whose per-row
+        // work repays the widen exchange (measured 2.4 s single-task)
+        Multimodal.roundTripParquet(media, fixture, wide = true),
+        frameStride = 2)
       .toDF()
       .orderBy("media_id")
   }
