@@ -419,9 +419,17 @@ object Chunking {
       .select(col(idCol), col("__w"),
         md5(array_join(slice(col("__toks"), col("__w").cast("int"), lit(k)),
           " ")).as("__g"))
-    val winners = anchors.groupBy("__g")
-      .agg(min(struct(col(idCol), col("__w"))).as("__win"))
-    val losers = anchors.join(winners, "__g")
+    // Losers = every anchor in its group except the (doc, w)-min: ONE
+    // window over the anchor hash instead of the round-21 aggregate+join
+    // (which computed the anchor scan TWICE — two Generate+md5 passes — and
+    // broadcast the winner relation, a table with one row per DISTINCT
+    // anchor group, i.e. corpus-sized: a guaranteed broadcast OOM at real
+    // scale). Plan: 2 scans + SortAggregate exchange + broadcast → 1 scan +
+    // one hash exchange (guide §2.4; the unordered whole-partition min
+    // needs no window sort beyond the partitioning).
+    val losers = anchors
+      .withColumn("__win",
+        min(struct(col(idCol), col("__w"))).over(Window.partitionBy("__g")))
       .filter(struct(col(idCol), col("__w")) =!= col("__win"))
       .select(col(idCol), col("__w"))
     val byDoc = Window.partitionBy(idCol).orderBy("__w")
