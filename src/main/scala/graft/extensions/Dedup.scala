@@ -480,23 +480,35 @@ object Dedup {
     * hashing); each output is ∝ corpus size with bounded row width.
     */
   def corpusIndex(existing: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4): CorpusIndex =
+    corpusIndexFromShingles(existing,
+      shingleRows(existing, idCol, textCol), idCol, textCol, numHashes, bands)
+
+  /** [[corpusIndex]] over an ALREADY-BUILT shingle relation (`idCol`,
+    * `shingle` [, others — ignored], the [[shingleRows]] contract) — the
+    * tokenize+shingle explode is the shared prefix of the MinHash banding
+    * AND the verify shingle table, so a caller holding a materialized
+    * shingle table (see [[graft.queries.DupGraph.h61CorpusIndex]]) builds
+    * both index sides from it without re-tokenizing the corpus per table.
+    * The convenience form above delegates here, so the two cannot drift.
+    */
+  def corpusIndexFromShingles(existing: DataFrame, rows: DataFrame,
+      idCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 4): CorpusIndex = {
     require(bands > 0 && numHashes % bands == 0,
       s"bands ($bands) must evenly divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
     val fp = existing
       .select(md5(TextOps.normalized(col(textCol))).as("__fp")).distinct()
-    val sig = minhashSignatures(existing, idCol, textCol, numHashes)
+    val sig = minhashSignaturesFromShingles(rows, idCol, numHashes)
     val bucketCols = (0 until bands).map { b =>
       md5(concat((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
     }
     val bandRows = sig
       .select(col(idCol).as("id"), posexplode(array(bucketCols: _*)))
       .toDF("id", "band", "bucket")
-    val sh = existing
-      .select(col(idCol).as("doc"),
-        explode(TextOps.shingles3(TextOps.tokens(col(textCol)))).as("sh"))
-      .select(col("doc"), xxhash64(col("sh")).as("sh"))
+    val sh = rows
+      .select(col(idCol).as("doc"), xxhash64(col("shingle")).as("sh"))
       .distinct()
     CorpusIndex(fp, bandRows, sh, sh.groupBy("doc").agg(count(lit(1)).as("n")))
   }
@@ -538,7 +550,12 @@ object Dedup {
     // with ord_a=0 is a corpus⋈batch pair, every (1,id_a)<(1,id_b) pair is
     // a batch pair with id_a<id_b.
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignatures(fresh, idCol, textCol, numHashes)
+    // ONE tokenize+shingle pass over the batch feeds BOTH the MinHash
+    // banding and the verify shingle set (round 22, the
+    // verifiedNearDupScores posture): the pre-round-22 form re-ran the
+    // regex tokenizer + shingle zip once per consumer. Batch-sized rows.
+    val freshRows = shingleRows(fresh, idCol, textCol).localCheckpoint(false)
+    val sig = minhashSignaturesFromShingles(freshRows, idCol, numHashes)
     val bucketCols = (0 until bands).map { b =>
       md5(concat((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
     }
@@ -582,10 +599,8 @@ object Dedup {
     // branches (round 9). freshSh has four consumers (both branches' id_b
     // joins, the batch branch's id_a join, freshSizes) — checkpoint so the
     // batch shingle explode + distinct runs once.
-    val freshSh = fresh
-      .select(col(idCol).as("doc"),
-        explode(TextOps.shingles3(TextOps.tokens(col(textCol)))).as("sh"))
-      .select(col("doc"), xxhash64(col("sh")).as("sh"))
+    val freshSh = freshRows
+      .select(col(idCol).as("doc"), xxhash64(col("shingle")).as("sh"))
       .distinct()
       .localCheckpoint(false)
     val freshSizes = freshSh.groupBy("doc").agg(count(lit(1)).as("n"))
