@@ -80,24 +80,48 @@ object Dedup {
   /** MinHash signatures: `numHashes` min-hash values per doc from 3-gram
     * word shingles. Docs with <3 tokens have no shingles and are excluded
     * (no signature is defined for them). Delegates to
-    * [[minhashSignaturesFromShingles]] over [[shingleRows]], so the
-    * monolithic and materialized-shingle paths cannot drift.
+    * [[minhashSignaturesFromTokens]] (the per-row native form), so the
+    * monolithic and tokenized-relation paths cannot drift.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16): DataFrame =
-    minhashSignaturesFromShingles(shingleRows(docs, idCol, textCol), idCol,
-      numHashes)
+    minhashSignaturesFromTokens(
+      docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks")),
+      idCol, "__toks", numHashes)
+
+  /** [[minhashSignatures]] from an already-TOKENIZED relation (`idCol`,
+    * `toksCol` [, others — ignored]) — the round-22 hot path: the whole
+    * signature is ONE per-row call of the native codegen
+    * [[graft.functions.MinHashSignature]] in the scan, split into the
+    * `mh0..mhN` columns consumers band over. No exchange, no sort — the
+    * aggregate form below is a SortAggregate (min over strings has no
+    * fixed-width mutable buffer, so Spark cannot hash-aggregate it): it
+    * sorted the corpus-shingle relation on both sides of a full exchange
+    * per consumer. Docs with <3 tokens (no shingle defined) return a null
+    * signature and are filtered — exactly the rows the aggregate form
+    * never produced. Round22Spec pins the equality.
+    */
+  def minhashSignaturesFromTokens(tokens: DataFrame, idCol: String,
+      toksCol: String, numHashes: Int = 16): DataFrame = {
+    val sig = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.MinHashSignature(
+        org.apache.spark.sql.GraftColumnBridge.expression(col(toksCol)),
+        numHashes))
+    tokens
+      .select(col(idCol), sig.as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col(idCol) +:
+        (0 until numHashes).map(k =>
+          element_at(col("__sig"), k + 1).as(s"mh$k")): _*)
+  }
 
   /** [[minhashSignatures]] from an ALREADY-BUILT shingle relation
-    * (`idCol`, `shingle` [, others — ignored]).
-    *
-    * Shape: hash each shingle `numHashes` ways in ONE projection, then
-    * `groupBy(doc).agg(min...)`. Tokenize+shingle runs exactly once per
-    * document (a column-per-hash formulation would let CollapseProject
-    * inline the shingle expression into every minhash column — numHashes×
-    * recomputation of the regex tokenizer). The aggregate is map-side
-    * partial, so only 16 values per doc per partition shuffle — linear
-    * scan cost at 100 TB.
+    * (`idCol`, `shingle` [, others — ignored]) — the aggregate
+    * formulation, kept as the reference the per-row native form is pinned
+    * against (Round8/Round22Spec) and for callers that hold ONLY a shingle
+    * relation: hash each shingle `numHashes` ways in one projection, then
+    * `groupBy(doc).agg(min...)` (map-side partial, 16 values per doc per
+    * partition — but a SortAggregate, see [[minhashSignaturesFromTokens]]).
     */
   def minhashSignaturesFromShingles(rows: DataFrame, idCol: String,
       numHashes: Int = 16): DataFrame = {
@@ -114,25 +138,28 @@ object Dedup {
     */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 4): DataFrame =
-    lshCandidatePairsFromShingles(shingleRows(docs, idCol, textCol), idCol,
-      numHashes, bands)
+    lshCandidatePairsFromTokens(
+      docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks")),
+      idCol, "__toks", numHashes, bands)
 
-  /** [[lshCandidatePairs]] from an already-built shingle relation — the
-    * h5 surface over a materialized shingle table (see [[shingleRows]]).
-    */
-  def lshCandidatePairsFromShingles(rows: DataFrame, idCol: String,
-      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+  /** The LSH band rows `(id, band, bucket)` of a signature relation — the
+    * shared banding projection of every candidate-pair construction. */
+  private def bandRowsOf(sig: DataFrame, idCol: String, numHashes: Int,
+      bands: Int): DataFrame = {
     require(bands > 0 && numHashes % bands == 0,
       s"bands ($bands) must evenly divide numHashes ($numHashes); " +
         "otherwise trailing signature values are silently ignored")
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignaturesFromShingles(rows, idCol, numHashes)
     val bucketCols = (0 until bands).map { b =>
       md5(concat((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
     }
-    val bandRows = sig
-      .select(col(idCol), posexplode(array(bucketCols: _*)))
+    sig.select(col(idCol), posexplode(array(bucketCols: _*)))
       .toDF("id", "band", "bucket")
+  }
+
+  /** Self-join of a band-row relation into candidate pairs (id_a < id_b,
+    * distinct across bands). */
+  private def bandSelfJoinPairs(bandRows: DataFrame): DataFrame = {
     val a = bandRows.toDF("id_a", "band", "bucket")
     val b = bandRows.toDF("id_b", "band", "bucket")
     a.join(b, Seq("band", "bucket"))
@@ -140,6 +167,31 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct()
   }
+
+  /** [[lshCandidatePairs]] from an already-TOKENIZED relation (the round-22
+    * hot path — native per-row signatures, see
+    * [[minhashSignaturesFromTokens]]). The band rows are localCheckpoint'd
+    * (4 small rows per doc) so the self-join's two sides read one
+    * materialization instead of each re-hashing every shingle numHashes
+    * ways.
+    */
+  def lshCandidatePairsFromTokens(tokens: DataFrame, idCol: String,
+      toksCol: String, numHashes: Int = 16, bands: Int = 4): DataFrame =
+    bandSelfJoinPairs(
+      bandRowsOf(minhashSignaturesFromTokens(tokens, idCol, toksCol, numHashes),
+        idCol, numHashes, bands)
+        .localCheckpoint(eager = false))
+
+  /** [[lshCandidatePairs]] from an already-built shingle relation — the
+    * aggregate-signature reference form (see
+    * [[minhashSignaturesFromShingles]]; Round8Spec pins it against the
+    * direct path).
+    */
+  def lshCandidatePairsFromShingles(rows: DataFrame, idCol: String,
+      numHashes: Int = 16, bands: Int = 4): DataFrame =
+    bandSelfJoinPairs(
+      bandRowsOf(minhashSignaturesFromShingles(rows, idCol, numHashes),
+        idCol, numHashes, bands))
 
   /** LSH PARAMETER PLANNER (h124) — the read-before-deciding profile a
     * 100 TB dedup run consults BEFORE committing to a banding: for every
@@ -176,17 +228,21 @@ object Dedup {
     */
   def lshPlan(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16): DataFrame =
-    lshPlanFromShingles(shingleRows(docs, idCol, textCol), idCol, numHashes)
+    lshPlanFromTokens(
+      docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks")),
+      idCol, "__toks", numHashes)
 
-  /** [[lshPlan]] from an already-built shingle relation (see
-    * [[shingleRows]]).
+  /** [[lshPlan]] from an already-TOKENIZED relation (the round-22 hot
+    * path — native per-row signatures, see [[minhashSignaturesFromTokens]];
+    * the aggregate-signature form this replaces paid a SortAggregate over
+    * the exploded shingle relation before the per-banding branches).
     */
-  def lshPlanFromShingles(rows: DataFrame, idCol: String,
+  def lshPlanFromTokens(tokens: DataFrame, idCol: String, toksCol: String,
       numHashes: Int = 16): DataFrame = {
     require(numHashes >= 1 && numHashes <= 30,
       s"recall math stays in long range for numHashes <= 30, got $numHashes")
     val configs = (1 to numHashes).filter(numHashes % _ == 0)
-    val sig = minhashSignaturesFromShingles(rows, idCol, numHashes)
+    val sig = minhashSignaturesFromTokens(tokens, idCol, toksCol, numHashes)
       .localCheckpoint(eager = false)
     val branches = configs.map { r =>
       val b = numHashes / r
@@ -213,7 +269,7 @@ object Dedup {
       val num = den - (BigInt(2).pow(r) - 1).pow(b)
       (b, r, ((num * 1000000 + den / 2) / den).toLong)
     }
-    val sp = rows.sparkSession
+    val sp = tokens.sparkSession
     import sp.implicits._
     stats
       .join(broadcast(rec.toDF("bands", "rows_per_band", "recall_q")),
@@ -481,34 +537,32 @@ object Dedup {
     */
   def corpusIndex(existing: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 4): CorpusIndex =
-    corpusIndexFromShingles(existing,
-      shingleRows(existing, idCol, textCol), idCol, textCol, numHashes, bands)
+    corpusIndexFromTokens(existing,
+      existing.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks")),
+      idCol, "__toks", textCol, numHashes, bands)
 
-  /** [[corpusIndex]] over an ALREADY-BUILT shingle relation (`idCol`,
-    * `shingle` [, others — ignored], the [[shingleRows]] contract) — the
-    * tokenize+shingle explode is the shared prefix of the MinHash banding
-    * AND the verify shingle table, so a caller holding a materialized
-    * shingle table (see [[graft.queries.DupGraph.h61CorpusIndex]]) builds
-    * both index sides from it without re-tokenizing the corpus per table.
-    * The convenience form above delegates here, so the two cannot drift.
+  /** [[corpusIndex]] over an ALREADY-TOKENIZED relation (`idCol`,
+    * `toksCol` [, others — ignored]) — the tokenize pass is the shared
+    * prefix of the MinHash banding AND the verify shingle table, so a
+    * caller holding a materialized token table (see
+    * [[graft.queries.DupGraph.h61CorpusIndex]]) builds both index sides
+    * from it without re-tokenizing the corpus per table; signatures are
+    * the per-row native form ([[minhashSignaturesFromTokens]]), so the
+    * band-row build pays no aggregate exchange at all. The convenience
+    * form above delegates here, so the two cannot drift.
     */
-  def corpusIndexFromShingles(existing: DataFrame, rows: DataFrame,
-      idCol: String, textCol: String,
+  def corpusIndexFromTokens(existing: DataFrame, tokens: DataFrame,
+      idCol: String, toksCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 4): CorpusIndex = {
-    require(bands > 0 && numHashes % bands == 0,
-      s"bands ($bands) must evenly divide numHashes ($numHashes)")
-    val rowsPerBand = numHashes / bands
     val fp = existing
       .select(md5(TextOps.normalized(col(textCol))).as("__fp")).distinct()
-    val sig = minhashSignaturesFromShingles(rows, idCol, numHashes)
-    val bucketCols = (0 until bands).map { b =>
-      md5(concat((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
-    }
-    val bandRows = sig
-      .select(col(idCol).as("id"), posexplode(array(bucketCols: _*)))
-      .toDF("id", "band", "bucket")
-    val sh = rows
-      .select(col(idCol).as("doc"), xxhash64(col("shingle")).as("sh"))
+    val bandRows = bandRowsOf(
+      minhashSignaturesFromTokens(tokens, idCol, toksCol, numHashes),
+      idCol, numHashes, bands)
+    val sh = tokens
+      .select(col(idCol).as("doc"),
+        explode(TextOps.shingles3(col(toksCol))).as("sh"))
+      .select(col("doc"), xxhash64(col("sh")).as("sh"))
       .distinct()
     CorpusIndex(fp, bandRows, sh, sh.groupBy("doc").agg(count(lit(1)).as("n")))
   }
@@ -549,22 +603,21 @@ object Dedup {
     // disjoint (the documented id-uniqueness contract): every union pair
     // with ord_a=0 is a corpus⋈batch pair, every (1,id_a)<(1,id_b) pair is
     // a batch pair with id_a<id_b.
-    val rowsPerBand = numHashes / bands
-    // ONE tokenize+shingle pass over the batch feeds BOTH the MinHash
-    // banding and the verify shingle set (round 22, the
-    // verifiedNearDupScores posture): the pre-round-22 form re-ran the
-    // regex tokenizer + shingle zip once per consumer. Batch-sized rows.
-    val freshRows = shingleRows(fresh, idCol, textCol).localCheckpoint(false)
-    val sig = minhashSignaturesFromShingles(freshRows, idCol, numHashes)
-    val bucketCols = (0 until bands).map { b =>
-      md5(concat((0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
-    }
+    // ONE tokenize pass over the batch feeds BOTH the MinHash banding
+    // (per-row native signatures — minhashSignaturesFromTokens) and the
+    // verify shingle set (round 22, the verifiedNearDupScores posture):
+    // the pre-round-22 form re-ran the regex tokenizer + shingle zip once
+    // per consumer and aggregated signatures through a SortAggregate.
+    // Batch-sized rows.
+    val freshToks = fresh
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .localCheckpoint(false)
     // three consumers (corpus join + both sides of the batch self-join);
     // checkpoint so the 16-hash MinHash banding runs once — (id, band,
     // bucket) rows, 4 per batch doc
-    val batchRows = sig
-      .select(col(idCol).as("id"), posexplode(array(bucketCols: _*)))
-      .toDF("id", "band", "bucket")
+    val batchRows = bandRowsOf(
+        minhashSignaturesFromTokens(freshToks, idCol, "__toks", numHashes),
+        idCol, numHashes, bands)
       .localCheckpoint(false)
     val candCorpus = index.bandRows
       .select(col("id").as("id_a"), col("band"), col("bucket"))
@@ -599,8 +652,10 @@ object Dedup {
     // branches (round 9). freshSh has four consumers (both branches' id_b
     // joins, the batch branch's id_a join, freshSizes) — checkpoint so the
     // batch shingle explode + distinct runs once.
-    val freshSh = freshRows
-      .select(col(idCol).as("doc"), xxhash64(col("shingle")).as("sh"))
+    val freshSh = freshToks
+      .select(col(idCol).as("doc"),
+        explode(TextOps.shingles3(col("__toks"))).as("sh"))
+      .select(col("doc"), xxhash64(col("sh")).as("sh"))
       .distinct()
       .localCheckpoint(false)
     val freshSizes = freshSh.groupBy("doc").agg(count(lit(1)).as("n"))
@@ -672,15 +727,21 @@ object Dedup {
   def verifiedNearDupScores(reps: DataFrame, idCol: String, textCol: String,
       minJaccardQ: Long, numHashes: Int = 16, bands: Int = 4,
       persistShingles: Boolean = false): DataFrame = {
-    // ONE tokenize+shingle pass feeds BOTH consumers (the MinHash signature
-    // scan and the exact-Jaccard verify's distinct shingle set) via a
-    // lazily-materialized shingle relation — the pre-round-21 form re-ran
-    // the regex tokenizer + shingle zip over the corpus once per consumer
-    // (guide §1.2 step 1: don't compute things twice). At 100 TB this
-    // relation is the materialized shingle table the scaladoc posture
-    // names ([[shingleRows]]); localCheckpoint is its single-job analog.
-    val rows = shingleRows(reps, idCol, textCol).localCheckpoint(eager = false)
-    val cand = lshCandidatePairsFromShingles(rows, idCol, numHashes, bands)
+    // ONE tokenize pass feeds BOTH consumers (the per-row MinHash signature
+    // scan — native, see minhashSignaturesFromTokens — and the
+    // exact-Jaccard verify's distinct shingle set) via a lazily-
+    // materialized TOKEN relation (round 22; the round-21 form checkpointed
+    // the 3× larger exploded-shingle relation and aggregated signatures
+    // through a SortAggregate). At 100 TB this relation is a materialized
+    // token table (the [[graft.queries.DupGraph]] token_rows posture);
+    // localCheckpoint is its single-job analog.
+    val toks = reps
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .localCheckpoint(eager = false)
+    val cand = lshCandidatePairsFromTokens(toks, idCol, "__toks",
+      numHashes, bands)
+    val rows = toks.select(col(idCol),
+      explode(TextOps.shingles3(col("__toks"))).as("shingle"))
     val ds0 = rows
       .select(col(idCol).as("doc"), xxhash64(col("shingle")).as("sh"))
       .distinct()

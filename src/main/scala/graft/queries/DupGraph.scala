@@ -283,20 +283,22 @@ object DupGraph {
       if (prev != null && (prev.fingerprints.sparkSession eq s)) prev
       else {
         import org.apache.spark.sql.functions.{col, count, lit}
-        // Materialized build rides the SHARED shingle relation (round 22):
-        // the full-corpus [[shingleRows]] checkpoint filtered to the even
-        // half — the tokenize+shingle explode, the single most expensive
-        // scan-side pass, runs once for h5/h6/h61's band rows AND h61's
-        // verify shingles instead of once per table. `sizes` derives from
-        // the CHECKPOINTED shingle table (the round-21 form checkpointed
-        // idx.sizes, whose plan re-ran the whole explode+distinct chain a
-        // fourth time). Row-identical either way — the per-call build()
-        // above stays the self-contained plan Verify exercises.
+        // Materialized build rides the SHARED token relation (round 22):
+        // the full-corpus [[tokenRows]] checkpoint filtered to the even
+        // half — the tokenize pass, the single most expensive scan-side
+        // op, runs once for h109's anchors, h5/h124's signatures AND both
+        // h61 index sides instead of once per table (signatures are the
+        // per-row native form — no aggregate exchange). `sizes` derives
+        // from the CHECKPOINTED shingle table (the round-21 form
+        // checkpointed idx.sizes, whose plan re-ran the whole
+        // explode+distinct chain a fourth time). Row-identical either way
+        // — the per-call build() above stays the self-contained plan
+        // Verify exercises.
         val docsEven = graft.Tables.documents(s, dir)
           .filter(col("doc_id") % 2 === 0)
-        val rows = shingleRows(s, dir).filter(col("doc_id") % 2 === 0)
-        val idx = graft.extensions.Dedup.corpusIndexFromShingles(
-          docsEven, rows, "doc_id", "text", numHashes = 16, bands = 4)
+        val toks = tokenRows(s, dir).filter(col("doc_id") % 2 === 0)
+        val idx = graft.extensions.Dedup.corpusIndexFromTokens(
+          docsEven, toks, "doc_id", "toks", "text", numHashes = 16, bands = 4)
         val sh = idx.shingles.localCheckpoint(false)
         graft.extensions.Dedup.CorpusIndex(
           idx.fingerprints.localCheckpoint(false),

@@ -123,11 +123,13 @@ object GroupH {
       |FROM sig a JOIN sig b ON a.band = b.band AND a.bucket = b.bucket
       |  AND a.doc_id < b.doc_id
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-    // the shingle relation routes through DupGraph so Bench can opt into
-    // the materialize-once posture; per-call build (≡ the monolithic
-    // lshCandidatePairs) everywhere else
-    Dedup.lshCandidatePairsFromShingles(
-        DupGraph.shingleRows(s, d).select("doc_id", "shingle"), "doc_id")
+    // the token relation routes through DupGraph so Bench can opt into the
+    // materialize-once posture; per-call build (≡ the monolithic
+    // lshCandidatePairs — Round8Spec pins it against the aggregate
+    // FromShingles reference) everywhere else. Round 22: signatures are
+    // per-row native over the token relation, no aggregate exchange.
+    Dedup.lshCandidatePairsFromTokens(
+        DupGraph.tokenRows(s, d), "doc_id", "toks")
       .orderBy("id_a", "id_b")
   }
 

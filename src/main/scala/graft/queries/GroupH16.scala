@@ -123,12 +123,12 @@ object GroupH16 {
       |  s.n_hot_buckets, s.cand_pairs, rec.recall_q
       |FROM stats s JOIN rec ON rec.r = s.r
       |ORDER BY rows_per_band""".stripMargin) { (s, d) =>
-    // rides the shared shingle relation (DupGraph memoizes it under Bench's
+    // rides the shared token relation (DupGraph memoizes it under Bench's
     // materialize opt-in; Verify builds it fresh) — the planner's whole
-    // point is to profile BEFORE the dedup run, over the same shingle
-    // table that run will consume
-    graft.extensions.Dedup.lshPlanFromShingles(
-        DupGraph.shingleRows(s, d), "doc_id")
+    // point is to profile BEFORE the dedup run, over the same tokenized
+    // corpus that run will consume. Round 22: per-row native signatures.
+    graft.extensions.Dedup.lshPlanFromTokens(
+        DupGraph.tokenRows(s, d), "doc_id", "toks")
       .orderBy("rows_per_band")
   }
 

@@ -312,11 +312,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("InSubquery"), p)
   }
 
-  test("h5: minhash aggregate is partial (map-side) before the doc shuffle") {
+  test("h5: minhash signature is per-row scan-side — no aggregate, no sort") {
     val p = planStr(qdf("h5_minhash_lsh_pairs"))
-    // two HashAggregates per agg (partial, final) — 'partial_min' markers
-    assert(p.contains("partial_min") || p.contains("HashAggregate"), p)
-    assert(p.contains("Generate"), p) // explode stayed scan-side
+    // round 22: the signature is the native minhash_signature expression in
+    // the scan (per-row — the retired min-over-strings aggregate was a
+    // SortAggregate, sorting the corpus-shingle relation around a full
+    // exchange), and the banded rows ride ONE localCheckpoint that both
+    // self-join sides read (the ExistingRDD scans)
+    assert(!p.contains("SortAggregate"), p)
+    assert(p.contains("ExistingRDD"), p)
   }
 
   test("h18 as-of join: one window pass, no range cross-product operators") {
@@ -507,11 +511,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("h55 DSIR: ratio table broadcasts back, (doc,bucket) agg is partial, explode scan-side") {
+  test("h55 DSIR: ratio table broadcasts back, LM agg partial, one histogram build") {
     val p = planStr(qdf("h55_dsir_weights"))
     assert(p.contains("BroadcastHashJoin"), p)  // ≤4096-row ratio table
     assert(!p.contains("CartesianProduct"), p)  // (1-row totals joins via BNLJ — fine)
-    assert(p.contains("Generate"), p)           // token explode stays scan-side
+    // round 22: the per-doc bucket histogram is the native
+    // token_bucket_counts expression behind ONE localCheckpoint (the
+    // ExistingRDD scans) — the corpus-token explode + (doc,bucket)
+    // aggregate exchange is gone, and the three consumers read one
+    // materialization instead of re-running the chain
+    assert(p.contains("ExistingRDD"), p)
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
 
@@ -535,7 +544,11 @@ class PlanSpec extends SparkSpec {
     val p = planStr(qdf("h61_incremental_dedup"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("LeftAnti"), p)           // exact layer + final admit
-    assert(p.contains("partial_min"), p)        // groupBy-min collapse map-side
+    // round 22: the corpus-index signatures are per-row native (the
+    // min-over-strings SortAggregate is gone); the remaining aggregates
+    // (sizes, intersections) stay partial map-side
+    assert(!p.contains("SortAggregate"), p)
+    assert(p.contains("partial_count"), p)
   }
 
   test("h62 novelty: df join is equi on shingle, aggregates partial, explode scan-side") {

@@ -39,6 +39,37 @@ class Round22Spec extends SparkSpec {
     assert(n.filter(_._1._1 == 1L).values.sum === 6L)
   }
 
+  test("minhashSignaturesFromTokens ≡ aggregate FromShingles reference") {
+    import graft.extensions.{Dedup, TextOps}
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "a b"),                                          // <3 tokens: no signature
+      (4L, "héllo wörld naïve café déjà vu"),               // multi-byte
+      (5L, "x y z"),                                        // exactly one shingle
+      (6L, null: String),                                   // null text
+      (7L, "  ")                                            // whitespace only
+    ).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val native = Dedup.minhashSignaturesFromTokens(toks, "doc_id", "toks")
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(r.getString)).toMap
+    val agg = Dedup.minhashSignaturesFromShingles(
+        Dedup.shingleRows(docs, "doc_id", "text"), "doc_id")
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(r.getString)).toMap
+    assert(native === agg)
+    assert(native.keySet === Set(1L, 2L, 4L, 5L), "<3-token/null docs absent")
+    assert(native(1L) === native(2L), "identical docs, identical signatures")
+  }
+
+  test("MinHashSignature: null element → null signature") {
+    import graft.functions.MinHashSignature
+    val df = Seq(Tuple1(Seq("a", null, "c", "d"))).toDF("toks")
+    val out = df.select(GraftColumnBridge.column(MinHashSignature(
+      GraftColumnBridge.expression(col("toks")), 16)).as("s"))
+      .head()
+    assert(out.isNullAt(0))
+  }
+
   test("TokenBucketCounts: null array → null; null element → null") {
     val df = Seq((1L, null: Seq[String]), (2L, Seq("a", null, "b")))
       .toDF("id", "toks")
