@@ -236,8 +236,14 @@ object Chunking {
       idCol: String, epochSeed: Long, shardSize: Long,
       shards: Int): DataFrame = {
     require(shardSize > 0, s"shardSize must be positive, got $shardSize")
+    // TWO consumers read the packed relation (the seq-id distinct feeding
+    // the epoch order, and the manifest join) — checkpoint it so the
+    // packing scan + per-shard cumulative window run once, not per branch
+    // (h125 builds two manifests, so the round-21 form paid this chain
+    // four times; guide §1.2 "don't compute twice")
     val packed = packed0
       .withColumn("seq_id", concat_ws(":", col("shard"), col("bin")))
+      .localCheckpoint(eager = false)
     val seqs = packed.select(col("seq_id")).distinct()
     val order = epochShuffle(seqs, "seq_id", epochSeed, shards)
       .select(col("seq_id"), col("global_pos"))
