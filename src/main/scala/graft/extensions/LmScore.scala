@@ -32,9 +32,15 @@ object LmScore {
     * integer score; avg_logprob = sum_q / (n_tokens · 10⁶) as a double.
     */
   def unigramScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // TWO consumers (the vocabulary roll-up and the final score join) read
+    // the (doc, token) aggregate — checkpoint it so the tokenize + explode
+    // + aggregate chain runs once, not per consumer (round 22; guide §1.2
+    // "don't compute twice"). At real scale this is the bucketed
+    // (doc, token, m) table the scaladoc names.
     val docTok = docs
       .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("m"))
+      .localCheckpoint(eager = false)
     val vocab = docTok.groupBy("tok").agg(sum(col("m")).as("c"))
     val total = vocab.agg(sum(col("c")).as("n_total"))
     val lp = vocab.crossJoin(broadcast(total))
@@ -57,22 +63,31 @@ object LmScore {
     * table, same shapes). Bigrams are built with the zipped-slice shingle
     * form (codegen'd, no captured-expr recompute); the left-word
     * denominator c(w₁·) derives FROM the bigram table (group by first
-    * word), never from a second tokenize. Note the honest plan shape: the
-    * (doc, bigram) explode is recomputed per consumer (Spark plans no
-    * exchange reuse across the three aggregate chains) — the same
-    * measured recompute-over-persist tradeoff as Dedup.dedupCorpus; at
-    * real scale, materialize the (doc, bigram, m) aggregate once as a
-    * bucketed table keyed by bigram and both count tables become cheap
-    * re-reads. Fixed-point micro-unit sums as in [[unigramScores]]; joins
+    * word), never from a second tokenize. The (doc, bigram) aggregate and
+    * the bigram-count table are each lazily checkpointed (round 22): Spark
+    * plans no exchange reuse across the three aggregate chains, so the
+    * pre-checkpoint plan re-ran the corpus explode per consumer; at real
+    * scale these are the bucketed (doc, bigram, m) / (bigram, c) tables a
+    * pipeline materializes once. Fixed-point micro-unit sums as in
+    * [[unigramScores]]; joins
     * back without broadcast hints for the same web-scale reason. Docs
     * with < 2 tokens have no bigrams and are absent.
     */
   def bigramScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // THREE consumers read the (doc, bigram) aggregate (the bigram count
+    // table — itself read twice: numerator and w1-denominator — plus the
+    // final score join): checkpoint both relations so the tokenize +
+    // shingle + aggregate chain runs once and the bigram-count aggregate
+    // once (round 22 — the plan previously scanned the corpus three
+    // times; the scaladoc's recompute-over-persist note predates lazy
+    // localCheckpoint here).
     val docBg = docs
       .select(col(idCol).as("doc_id"),
         explode(TextOps.shingles2(TextOps.tokens(col(textCol)))).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("m"))
+      .localCheckpoint(eager = false)
     val cb = docBg.groupBy("bg").agg(sum(col("m")).as("c_bg"))
+      .localCheckpoint(eager = false)
     val cw = cb.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("c_bg")).as("c_w"))
     val lp = cb.join(cw, substring_index(cb("bg"), " ", 1) === cw("w1"))
