@@ -278,14 +278,28 @@ object GroupH2 {
       col("event_type"),
       col("value").cast("decimal(18,2)").cast("string").as("value"),
       col("props"))
+    // Two explicit aggregate levels (round 22): the single-groupBy form
+    // (countDistinct + min/max) plans min/max(string) as PARTIAL functions
+    // of the corpus-level distinct expand — and min over strings has no
+    // fixed-width mutable buffer, so the whole 6×N stacked relation went
+    // through a SortAggregate (sorted on both sides of the exchange).
+    // Counting per (col, v) first is a plain HashAggregate; the string
+    // min/max then run over the distinct-value relation only. Identical
+    // results: sum of group counts = count(*) (null groups included),
+    // conditional sums/counts reproduce count(v)/count(DISTINCT v)'s
+    // null handling, min/max ignore the null group like the originals.
     norm
       .select(expr("""stack(6,
         |'event_id', event_id, 'ts', ts, 'user_id', user_id,
         |'event_type', event_type, 'value', value, 'props', props)
         |AS (col_name, v)""".stripMargin))
+      .groupBy("col_name", "v")
+      .agg(count(lit(1)).as("__cnt"))
       .groupBy("col_name")
-      .agg(count(lit(1)).as("n_rows"), count(col("v")).as("n_nonnull"),
-        countDistinct(col("v")).as("n_distinct"),
+      .agg(sum(col("__cnt")).as("n_rows"),
+        coalesce(sum(when(col("v").isNotNull, col("__cnt"))), lit(0L))
+          .as("n_nonnull"),
+        count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
         min(col("v")).as("min_s"), max(col("v")).as("max_s"))
       .orderBy("col_name")
   }
