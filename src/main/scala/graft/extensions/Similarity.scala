@@ -158,18 +158,35 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos_prefix", "cos")
   }
 
-  /** Nearest-centroid assignment: ONE broadcast pass, map-side `max_by`
-    * argmax (ties to the smaller cid), so the shuffle carries one row per
-    * vector. `payload` columns ride along.
+  /** Nearest-centroid assignment: the centroid set is BOUNDED (nCentroids),
+    * so the argmax is strictly per-row work and runs IN the scan (round 22
+    * — the native [[graft.functions.ArgMaxCosine]], reusing
+    * [[graft.functions.CosineSimilarity]]'s exact arithmetic; ties to the
+    * smaller cid, identical to the retired `max_by(cid, struct(acos,
+    * -cid))`). One broadcast of the collected centroid ARRAY (one row),
+    * zero exchanges, zero fan-out — the retired form joined every vector
+    * against the centroid relation (nCentroids× rows) and re-assembled
+    * per-vector rows through a SortAggregate (max_by-over-struct and
+    * first-over-array have no fixed-width mutable buffer). `payload`
+    * columns simply stay on the row. Precondition (unchanged): one row per
+    * `neighbor_id`.
     */
   private def assignToCentroids(vectors: DataFrame, cent: DataFrame,
       payload: Seq[String]): DataFrame = {
-    val aggs = max_by(col("cid"), struct(col("acos"), (-col("cid")).as("t"))).as("cid") +:
-      payload.map(p => first(col(p)).as(p))
-    vectors.join(broadcast(cent))
-      .withColumn("acos", cosine(col("cv"), col("centroid")))
-      .groupBy("neighbor_id")
-      .agg(aggs.head, aggs.tail: _*)
+    // the expression takes cid as long; an int-id corpus (ingest round-trip)
+    // widens losslessly on the way in and narrows back on the way out
+    val cidType = cent.schema("cid").dataType
+    val centArr = cent.agg(
+      sort_array(collect_list(
+        struct(col("cid").cast("long").as("cid"), col("centroid"))))
+        .as("__cents"))
+    val cid = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.ArgMaxCosine(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("cv")),
+        org.apache.spark.sql.GraftColumnBridge.expression(col("__cents"))))
+    vectors.join(broadcast(centArr))
+      .select(col("neighbor_id") +: cid.cast(cidType).as("cid") +:
+        payload.map(col): _*)
   }
 
   /** Deterministic distributed k-means step, exact across engines and
