@@ -315,12 +315,15 @@ object Chunking {
       spanTokens: Int): DataFrame = {
     val spans = chunks(docs, idCol, textCol, spanTokens, spanTokens)
       .withColumn("__fp", md5(col("chunk_text")))
-    val winners = spans
-      .groupBy(col("__fp"))
-      .agg(min(struct(col(idCol), col("chunk_idx"))).as("__win"))
-    val keep = col("__win") === struct(col(idCol), col("chunk_idx"))
+    // winner = the (id, chunk_idx)-min of each fingerprint group, found
+    // with ONE window over the span hash (round 22, the h109 rewrite): the
+    // aggregate+join form computed the span relation twice (two chunk
+    // explodes) through a min(struct) SortAggregate and joined the
+    // group-per-row winner relation back — corpus-sized on both counts.
+    val keep = struct(col(idCol), col("chunk_idx")) ===
+      min(struct(col(idCol), col("chunk_idx")))
+        .over(Window.partitionBy("__fp"))
     spans
-      .join(winners, "__fp")
       .withColumn("__keep", keep)
       .groupBy(col(idCol))
       .agg(
