@@ -128,10 +128,21 @@ object Bench {
     // reproduces the round-21 config.
     val openCost = sys.env.getOrElse("SPARK_GRAFT_OPEN_COST",
       (4 * 1024 * 1024).toString)
+    // AQE partition coalescing honors advisoryPartitionSizeInBytes instead
+    // of splitting small shuffles across all cores (round 22): with the
+    // default parallelismFirst=true every sub-MB shuffle still fans out to
+    // ~`cpus` tasks whose fixed scheduling cost exceeds their work — the
+    // measured reason the r21/r22 8-core suite beat the 32-core suite.
+    // Spark's own config doc recommends false ("respect the configured
+    // target size"); at production sizes partitions exceed the advisory
+    // size anyway, so this only changes the small-shuffle regime.
+    // Env-overridable; A/B'd at 32 cores in OPTIMIZATION_r22.md.
+    val parFirst = sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.files.openCostInBytes", openCost)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", parFirst)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

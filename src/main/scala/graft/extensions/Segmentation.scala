@@ -58,6 +58,10 @@ object Segmentation {
       .withColumn("recency_days",
         datediff(lit(asOfDate).cast("date"), col("_last")))
       .drop("_last")
+      // FIVE consumers read the per-entity metric relation (the count, the
+      // three ranking branches, the final join) — checkpoint it so the
+      // activity scan + aggregate run once (round 22, guide §1.2)
+      .localCheckpoint(eager = false)
     val n = m.agg(count(lit(1)).as("_n"))
     // decimal(38,6) holds every metric exactly: recency/frequency are
     // integral, _mon is decimal(28,2) from the sum — all cast lossless

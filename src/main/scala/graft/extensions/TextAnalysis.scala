@@ -216,7 +216,11 @@ object TextAnalysis {
       k: Int = 3): DataFrame = {
     val tokRows = docs.select(col(idCol),
       explode(TextOps.tokens(col(textCol))).as("term"))
+    // THREE consumers (doc lengths, document frequencies, the score join)
+    // read the term-frequency table — checkpoint it so the tokenize +
+    // explode + aggregate chain runs once (round 22, guide §1.2)
     val tf = tokRows.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
     val docLen = tf.groupBy(col(idCol)).agg(sum(col("cnt")).as("len"))
     val termDf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
@@ -345,6 +349,10 @@ object TextAnalysis {
   def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
       minCount: Long = 5L, k: Int = 30): DataFrame = {
     val toksCol = TextOps.tokens(col(textCol))
+    // NOTE (round 22): checkpointing ct (3 consumers) and the bigram count
+    // table (2 consumers) was A/B'd and REGRESSED h48 ~1.3x at sf0.1 — the
+    // vocabulary-sized materializations cost more than the recomputed
+    // pipelined aggregates they replace; left on the recompute form.
     val ct = docs.select(explode(toksCol).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
     val nt = ct.agg(sum(col("c")).as("n_tok"))
