@@ -128,16 +128,17 @@ object Bench {
     // reproduces the round-21 config.
     val openCost = sys.env.getOrElse("SPARK_GRAFT_OPEN_COST",
       (4 * 1024 * 1024).toString)
-    // AQE partition coalescing honors advisoryPartitionSizeInBytes instead
-    // of splitting small shuffles across all cores (round 22): with the
-    // default parallelismFirst=true every sub-MB shuffle still fans out to
-    // ~`cpus` tasks whose fixed scheduling cost exceeds their work — the
-    // measured reason the r21/r22 8-core suite beat the 32-core suite.
-    // Spark's own config doc recommends false ("respect the configured
-    // target size"); at production sizes partitions exceed the advisory
-    // size anyway, so this only changes the small-shuffle regime.
-    // Env-overridable; A/B'd at 32 cores in OPTIMIZATION_r22.md.
-    val parFirst = sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false")
+    // AQE coalescing knob, STOCK DEFAULT (round 22): parallelismFirst=false
+    // (honor advisoryPartitionSizeInBytes — Spark's own doc recommendation,
+    // and the plausible fix for the 8-core suite beating the 32-core suite)
+    // was A/B'd twice at 32 cores with frozen code and did NOT demonstrably
+    // win: clean pair 158.4 s (false) vs 161.6 s (true) but per-query
+    // geomean 1.026 vs 0.881 across the two pairs, pooled best-of-2 totals
+    // 151.5 (false) vs 138.0 (true). Conflicting inside the documented
+    // window noise ⇒ ship the stock default, keep the knob for scaling
+    // probes (the round-21 lesson: no unproven config twiddles in the
+    // measured bench session).
+    val parFirst = sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
