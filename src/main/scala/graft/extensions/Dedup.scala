@@ -920,17 +920,18 @@ object Dedup {
       minDf: Int = 2, persistLines: Boolean = false): DataFrame = {
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
     // the line relation feeds BOTH the df aggregate and the join's probe
-    // side (different keys, so no ReusedExchange) — the corpus split+md5
-    // pass otherwise runs twice; persistLines is the repeated-run escape
-    // hatch (the verifiedNearDupPairs persistShingles pattern; at 100 TB
-    // materialize the line relation as a table instead, the token_rows
-    // posture)
+    // side (different keys, so no ReusedExchange) — lazily checkpointed so
+    // the corpus split+md5 pass runs once, not per consumer (round 22; at
+    // 100 TB materialize the line relation as a table instead, the
+    // token_rows posture). persistLines additionally pins it across
+    // repeated CALLS (the verifiedNearDupPairs persistShingles pattern).
     val lines0 = docs
       .select(col(idCol), posexplode(split(col(textCol), splitRegex)))
       .withColumnRenamed("pos", "__i").withColumnRenamed("col", "__line")
       .filter(length(trim(col("__line"))) > 0)
       .withColumn("__fp", md5(TextOps.normalized(col("__line"))))
-    val lines = if (persistLines) lines0.persist() else lines0
+    val lines = if (persistLines) lines0.persist()
+                else lines0.localCheckpoint(eager = false)
     val bp = lines.select(col(idCol), col("__fp")).distinct()
       .groupBy("__fp").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDf)
