@@ -358,9 +358,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
-  test("h44 span dedup: winner aggregate is partial (map-side combine), no cross product") {
+  test("h44 span dedup: one window pass selects winners, no cross product") {
     val p = planStr(qdf("h44_span_dedup"))
-    assert(p.contains("partial_min") || p.contains("Partial"), p)
+    // round 22: winner selection is a single window min over the span
+    // fingerprint — the retired min(struct) aggregate (a SortAggregate)
+    // plus join-back computed the span relation twice
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SortAggregate"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
@@ -441,7 +445,10 @@ class PlanSpec extends SparkSpec {
       val p = planStr(qdf(q))
       assert(p.contains("partial_sum") || p.contains("partial_count"), s"$q:\n$p")
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
-      assert(p.contains("Generate"), s"$q:\n$p") // explode stayed scan-side
+      // h47's (doc, bigram) aggregate rides a checkpoint since round 22
+      // (its explode is inside the ExistingRDD scan); h49's explode stays
+      // visibly scan-side
+      assert(p.contains("Generate") || p.contains("ExistingRDD"), s"$q:\n$p")
     }
   }
 
